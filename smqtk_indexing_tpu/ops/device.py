@@ -1,0 +1,42 @@
+"""
+Device/layout helpers shared by all kernels: TPU-friendly padding (lane dim
+128, sublane 8), capacity scheduling for growable device arrays, and dtype
+policy.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+LANE = 128
+SUBLANE = 8
+
+# Row-capacity quantum: device row counts are always 1024 * 2^m so any two
+# capacities (and the scan chunk size) divide each other — keeps the jit
+# cache small and streaming chunking exact.
+_CAP_BASE = 1024
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pad_dim(d: int) -> int:
+    """Pad feature dim to a multiple of the TPU lane width (128)."""
+    return max(round_up(d, LANE), LANE)
+
+
+def capacity_for(n: int) -> int:
+    """Smallest 1024*2^m >= n."""
+    cap = _CAP_BASE
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def pad_rows_np(mat: np.ndarray, rows: int, cols: int,
+                dtype=np.float32) -> np.ndarray:
+    """Zero-pad a host matrix to (rows, cols)."""
+    n, d = mat.shape
+    out = np.zeros((rows, cols), dtype=dtype)
+    out[:n, :d] = mat
+    return out

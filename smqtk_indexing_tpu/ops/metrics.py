@@ -1,0 +1,40 @@
+"""
+Device-side (jax.numpy) batched distance metrics, semantics matching the host
+versions in ``smqtk_indexing_tpu.utils.metrics`` (and therefore
+/root/reference/smqtk_indexing/utils/metrics.py).
+"""
+import math
+
+import jax.numpy as jnp
+
+
+def euclidean_distance_many(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, d) queries vs (N, d) points -> (B, N) Euclidean distances."""
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    x_sq = jnp.sum(x * x, axis=-1)
+    ip = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(q_sq + x_sq[None, :] - 2.0 * ip, 0.0)
+    return jnp.sqrt(d2)
+
+
+def cosine_distance_many(q: jnp.ndarray, x: jnp.ndarray,
+                         pos_vectors: bool = True) -> jnp.ndarray:
+    """(B, d) vs (N, d) -> (B, N) angular distances in [0, 1]."""
+    qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    xn = jnp.linalg.norm(x, axis=-1)
+    denom = jnp.where(qn * xn[None, :] == 0, 1.0, qn * xn[None, :])
+    sim = jnp.clip(
+        jnp.dot(q, x.T, preferred_element_type=jnp.float32) / denom,
+        -1.0, 1.0)
+    return (1 + bool(pos_vectors)) * jnp.arccos(sim) / math.pi
+
+
+def hik_distance_many(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, d) vs (N, d) -> (B, N) histogram intersection distances."""
+    return 1.0 - jnp.sum(
+        jnp.minimum(q[:, None, :], x[None, :, :]), axis=-1)
+
+
+def inner_product_many(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, d) vs (N, d) -> (B, N) inner products."""
+    return jnp.dot(q, x.T, preferred_element_type=jnp.float32)

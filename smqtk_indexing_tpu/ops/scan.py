@@ -1,0 +1,175 @@
+"""
+Exhaustive kNN scan with fused streaming top-k.
+
+This is the TPU-native replacement for the reference's delegation of flat
+search to FAISS C++ (/root/reference/smqtk_indexing/impls/nn_index/faiss.py:789-791):
+the (N, d) descriptor matrix stays resident in HBM; a ``lax.scan`` streams
+row blocks through the MXU (query @ blockᵀ), carrying a running (B, k)
+best-distance/best-row state so the full (B, N) distance matrix is never
+materialized. Scoring is a per-metric monotone surrogate (cheap inside the
+scan); true distances are reconstructed only for the k selected rows.
+
+Supported metrics: ``euclidean`` (L2), ``inner_product`` (returns -<q,x> as
+the "distance" so ascending order = most similar), ``cosine`` (angular
+distance in [0,1], pos_vectors=True semantics of
+/root/reference/smqtk_indexing/utils/metrics.py:120-137), ``hik`` (histogram
+intersection distance).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+METRICS = ("euclidean", "inner_product", "cosine", "hik")
+
+#: Rows per streamed block. Must divide every device capacity, which
+#: ops.device.capacity_for guarantees (capacities are 1024 * 2^m).
+DEFAULT_CHUNK = 65536
+
+
+def _chunk_scores(metric: str, q: jnp.ndarray, q_norm: jnp.ndarray,
+                  x: jnp.ndarray, x_sq: jnp.ndarray,
+                  x_norm: jnp.ndarray) -> jnp.ndarray:
+    """
+    (B, C) surrogate scores, lower = closer. Monotone in the true distance
+    per query so top-k selection is exact; the true distance is produced by
+    ``_finalize``.
+    """
+    if metric == "hik":
+        # No matmul form exists: elementwise min on the VPU.
+        return 1.0 - jnp.sum(
+            jnp.minimum(q[:, None, :], x[None, :, :]), axis=-1)
+    ip = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+    if metric == "euclidean":
+        # ||q||^2 omitted: constant per query, added in _finalize.
+        return x_sq[None, :] - 2.0 * ip
+    if metric == "inner_product":
+        return -ip
+    if metric == "cosine":
+        denom = q_norm[:, None] * x_norm[None, :]
+        denom = jnp.where(denom == 0, 1.0, denom)
+        return -(ip / denom)
+    raise ValueError(f"Unknown metric '{metric}'. Must be one of {METRICS}.")
+
+
+def _finalize(metric: str, scores: jnp.ndarray,
+              q_sq: jnp.ndarray) -> jnp.ndarray:
+    """Map selected surrogate scores back to true distances."""
+    if metric == "euclidean":
+        return jnp.sqrt(jnp.maximum(scores + q_sq[:, None], 0.0))
+    if metric == "cosine":
+        sim = jnp.clip(-scores, -1.0, 1.0)
+        return 2.0 * jnp.arccos(sim) / math.pi
+    # inner_product (negated IP) and hik are already the reported distance.
+    return scores
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def flat_topk(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
+              valid: jnp.ndarray, q: jnp.ndarray, *, k: int,
+              metric: str = "euclidean",
+              chunk: int = DEFAULT_CHUNK):
+    """
+    Exhaustive top-k over a device-resident database.
+
+    :param db: (N, d) database matrix (rows beyond the live set zero-padded).
+    :param db_sq: (N,) float32 squared L2 norms of rows.
+    :param db_norm: (N,) float32 L2 norms of rows.
+    :param valid: (N,) bool row-liveness mask (False rows never selected).
+    :param q: (B, d) float32 query matrix (d matching db's padded dim).
+    :param k: Neighbors per query (static; <= N).
+    :param metric: One of METRICS (static).
+    :param chunk: Streamed block size (static; N % chunk == 0 or N <= chunk).
+    :return: (dists (B, k) float32 ascending, rows (B, k) int32). Entries
+        beyond the number of valid rows carry +inf distance.
+    """
+    n, d = db.shape
+    b = q.shape[0]
+    q = q.astype(jnp.float32)
+    q_sq = jnp.sum(q * q, axis=-1)
+    q_norm = jnp.sqrt(q_sq)
+    qc = q.astype(db.dtype)
+
+    if n <= chunk:
+        scores = _chunk_scores(metric, qc, q_norm, db, db_sq, db_norm)
+        scores = jnp.where(valid[None, :], scores, jnp.inf)
+        neg, rows = jax.lax.top_k(-scores, k)
+        return _exact_selected(metric, db, q, q_sq, -neg,
+                               rows.astype(jnp.int32))
+
+    num_chunks = n // chunk
+    db_c = db.reshape(num_chunks, chunk, d)
+    sq_c = db_sq.reshape(num_chunks, chunk)
+    nm_c = db_norm.reshape(num_chunks, chunk)
+    va_c = valid.reshape(num_chunks, chunk)
+    base_rows = (jnp.arange(num_chunks, dtype=jnp.int32) * chunk)
+
+    init = (jnp.full((b, k), jnp.inf, dtype=jnp.float32),
+            jnp.full((b, k), -1, dtype=jnp.int32))
+
+    def body(carry, blk):
+        best_s, best_r = carry
+        x, x_sq, x_norm, v, base = blk
+        s = _chunk_scores(metric, qc, q_norm, x, x_sq, x_norm)
+        s = jnp.where(v[None, :], s, jnp.inf)
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
+        cand_s = jnp.concatenate([best_s, s.astype(jnp.float32)], axis=1)
+        cand_r = jnp.concatenate([best_r, rows], axis=1)
+        neg, sel = jax.lax.top_k(-cand_s, k)
+        return (-neg, jnp.take_along_axis(cand_r, sel, axis=1)), None
+
+    (best_s, best_r), _ = jax.lax.scan(
+        body, init, (db_c, sq_c, nm_c, va_c, base_rows))
+    return _exact_selected(metric, db, q, q_sq, best_s, best_r)
+
+
+def _exact_selected(metric: str, db: jnp.ndarray, q: jnp.ndarray,
+                    q_sq: jnp.ndarray, scores: jnp.ndarray,
+                    rows: jnp.ndarray):
+    """
+    Reconstruct true distances for the selected (B, k) rows, re-sorted
+    ascending. For L2 the surrogate (x_sq - 2ip) suffers catastrophic
+    cancellation at tiny distances, so the k winners are re-computed exactly
+    from a (B, k, d) gather — the fused, on-device analog of the reference's
+    host-side exact re-rank
+    (/root/reference/smqtk_indexing/impls/nn_index/faiss.py:818-827). Other
+    metrics' surrogates finalize without cancellation.
+    """
+    if metric != "euclidean":
+        return _finalize(metric, scores, q_sq), rows
+    sel = jnp.take(db, jnp.maximum(rows, 0), axis=0).astype(jnp.float32)
+    diff = sel - q[:, None, :]
+    exact = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    # Rows never filled (index -1 / +inf surrogate) stay +inf.
+    exact = jnp.where(jnp.isinf(scores), jnp.inf, exact)
+    # Exact values may reorder near-ties relative to the surrogate ranking.
+    order = jnp.argsort(exact, axis=1)
+    return (jnp.take_along_axis(exact, order, axis=1),
+            jnp.take_along_axis(rows, order, axis=1))
+
+
+def rerank_exact(metric: str, q: jnp.ndarray,
+                 cand: jnp.ndarray) -> jnp.ndarray:
+    """
+    Exact distances from one query (d,) to candidate rows (M, d) — the fused
+    analog of the reference's host-side exact re-rank after ANN retrieval
+    (/root/reference/smqtk_indexing/impls/nn_index/faiss.py:818-827).
+    """
+    qb = q[None, :]
+    if metric == "euclidean":
+        diff = cand - qb
+        return jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    if metric == "cosine":
+        qn = jnp.linalg.norm(qb, axis=-1)
+        cn = jnp.linalg.norm(cand, axis=-1)
+        denom = jnp.where(qn * cn == 0, 1.0, qn * cn)
+        sim = jnp.clip(jnp.sum(cand * qb, axis=-1) / denom, -1.0, 1.0)
+        return 2.0 * jnp.arccos(sim) / math.pi
+    if metric == "hik":
+        return 1.0 - jnp.sum(jnp.minimum(qb, cand), axis=-1)
+    if metric == "inner_product":
+        return -jnp.sum(cand * qb, axis=-1)
+    raise ValueError(f"Unknown metric '{metric}'.")

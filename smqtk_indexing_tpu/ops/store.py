@@ -1,0 +1,300 @@
+"""
+Device-resident, growable vector store with UID bookkeeping.
+
+TPU-first inversion of the reference's storage triple-bookkeeping
+(/root/reference/smqtk_indexing/impls/nn_index/faiss.py:260-274): vectors live
+once in a padded HBM matrix; the host keeps a float32 mirror (the persistence
+and compaction source of truth), a row->UID array and UID->row dict. Removal
+is a validity-mask flip (the reference's ``remove_ids`` C++ call,
+faiss.py:675, becomes a mask update); capacity doubles on growth and the
+store compacts when under half full — both keep jit cache keys bounded
+(capacities are always 1024 * 2^m).
+"""
+from __future__ import annotations
+
+import io
+import threading
+from typing import Hashable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smqtk_indexing_tpu.ops import scan
+from smqtk_indexing_tpu.ops.device import (
+    capacity_for, pad_dim, pad_rows_np, round_up,
+)
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def _pow2_at_least(x: int, lo: int = 8) -> int:
+    p = lo
+    while p < x:
+        p *= 2
+    return p
+
+
+class VectorStore:
+    """
+    (N, d) float vector store, queryable with exhaustive top-k on device.
+
+    Thread safety: mutations swap immutable device arrays behind a lock
+    (mirrors the lock-around-swap discipline the reference interfaces mandate,
+    /root/reference/smqtk_indexing/interfaces/nearest_neighbor_index.py:22-24).
+    """
+
+    def __init__(self, dtype: str = "float32"):
+        if dtype not in _DTYPES:
+            raise ValueError(f"dtype must be one of {sorted(_DTYPES)}")
+        self._dtype_name = dtype
+        self._lock = threading.RLock()
+        self._clear_state()
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+    def _clear_state(self) -> None:
+        self._dim: Optional[int] = None
+        self._host: Optional[np.ndarray] = None      # (n_rows, d) f32
+        self._valid_host: Optional[np.ndarray] = None  # (n_rows,) bool
+        self._row2uid: List[Hashable] = []
+        self._uid2row: dict = {}
+        self._n_live = 0
+        # device side
+        self._dev = None
+        self._dev_sq = None
+        self._dev_norm = None
+        self._dev_valid = None
+        self._capacity = 0
+
+    @property
+    def dim(self) -> Optional[int]:
+        return self._dim
+
+    @property
+    def n_valid(self) -> int:
+        return self._n_live
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    def uids(self) -> List[Hashable]:
+        """Live UIDs in row order."""
+        with self._lock:
+            if self._host is None:
+                return []
+            return [u for u, v in zip(self._row2uid, self._valid_host) if v]
+
+    def has_uid(self, uid: Hashable) -> bool:
+        with self._lock:
+            return uid in self._uid2row
+
+    def vector(self, uid: Hashable) -> np.ndarray:
+        """:raises KeyError: unknown UID."""
+        with self._lock:
+            row = self._uid2row[uid]
+            assert self._host is not None
+            return self._host[row]
+
+    def clear(self) -> None:
+        with self._lock:
+            self._clear_state()
+
+    # ------------------------------------------------------------------
+    # mutation
+    # ------------------------------------------------------------------
+    def build(self, mat: np.ndarray, uids: Sequence[Hashable]) -> None:
+        """Replace all contents with the given (n, d) matrix and UIDs."""
+        mat = np.ascontiguousarray(np.atleast_2d(mat), dtype=np.float32)
+        if mat.shape[0] != len(uids):
+            raise ValueError("Row count does not match UID count.")
+        if len(set(uids)) != len(uids):
+            raise ValueError("Duplicate UIDs in build input.")
+        with self._lock:
+            self._clear_state()
+            self._dim = int(mat.shape[1])
+            self._host = mat
+            self._valid_host = np.ones(mat.shape[0], dtype=bool)
+            self._row2uid = list(uids)
+            self._uid2row = {u: i for i, u in enumerate(uids)}
+            self._n_live = mat.shape[0]
+            self._upload_full()
+
+    def add(self, mat: np.ndarray, uids: Sequence[Hashable]) -> None:
+        """
+        Append rows (UIDs must be new; replacing an existing UID is the
+        caller's policy to implement via remove+add).
+        """
+        mat = np.ascontiguousarray(np.atleast_2d(mat), dtype=np.float32)
+        if mat.shape[0] != len(uids):
+            raise ValueError("Row count does not match UID count.")
+        with self._lock:
+            if self._host is None:
+                self.build(mat, uids)
+                return
+            if mat.shape[1] != self._dim:
+                raise ValueError(
+                    f"Dim mismatch: store={self._dim}, input={mat.shape[1]}")
+            for u in uids:
+                if u in self._uid2row:
+                    raise ValueError(f"UID already present: {u!r}")
+            start = self._host.shape[0]
+            self._host = np.concatenate([self._host, mat], axis=0)
+            self._valid_host = np.concatenate(
+                [self._valid_host, np.ones(mat.shape[0], dtype=bool)])
+            for i, u in enumerate(uids):
+                self._uid2row[u] = start + i
+                self._row2uid.append(u)
+            self._n_live += mat.shape[0]
+            if self._host.shape[0] > self._capacity:
+                self._upload_full()
+            else:
+                self._upload_rows(start, mat)
+
+    def remove(self, uids: Sequence[Hashable]) -> None:
+        """
+        Mask out rows for the given UIDs.
+
+        :raises KeyError: any UID unknown; nothing is removed in that case.
+        """
+        with self._lock:
+            rows = []
+            for u in uids:
+                if u not in self._uid2row:
+                    raise KeyError(u)
+                rows.append(self._uid2row[u])
+            for u in uids:
+                del self._uid2row[u]
+            assert self._valid_host is not None
+            self._valid_host[rows] = False
+            self._n_live -= len(rows)
+            if self._n_live == 0:
+                self._clear_state()
+                return
+            if self._n_live < self._host.shape[0] // 2 \
+                    and self._host.shape[0] > 1024:
+                self._compact()
+            else:
+                self._upload_valid()
+
+    def _compact(self) -> None:
+        assert self._host is not None and self._valid_host is not None
+        keep = np.flatnonzero(self._valid_host)
+        self._host = np.ascontiguousarray(self._host[keep])
+        self._row2uid = [self._row2uid[i] for i in keep]
+        self._uid2row = {u: i for i, u in enumerate(self._row2uid)}
+        self._valid_host = np.ones(self._host.shape[0], dtype=bool)
+        self._upload_full()
+
+    # ------------------------------------------------------------------
+    # device sync
+    # ------------------------------------------------------------------
+    def _upload_full(self) -> None:
+        assert self._host is not None and self._dim is not None
+        n = self._host.shape[0]
+        self._capacity = capacity_for(n)
+        d_pad = pad_dim(self._dim)
+        dev_dtype = _DTYPES[self._dtype_name]
+        padded = pad_rows_np(self._host, self._capacity, d_pad)
+        sq = np.zeros(self._capacity, dtype=np.float32)
+        sq[:n] = np.einsum("ij,ij->i", self._host, self._host)
+        valid = np.zeros(self._capacity, dtype=bool)
+        valid[:n] = self._valid_host
+        self._dev = jnp.asarray(padded, dtype=dev_dtype)
+        self._dev_sq = jnp.asarray(sq)
+        self._dev_norm = jnp.sqrt(self._dev_sq)
+        self._dev_valid = jnp.asarray(valid)
+
+    def _upload_rows(self, start: int, mat: np.ndarray) -> None:
+        """Incremental append of rows [start, start+len(mat)) on device."""
+        d_pad = pad_dim(self._dim)  # type: ignore[arg-type]
+        block = pad_rows_np(mat, mat.shape[0], d_pad)
+        dev_dtype = _DTYPES[self._dtype_name]
+        self._dev = jax.lax.dynamic_update_slice(
+            self._dev, jnp.asarray(block, dtype=dev_dtype), (start, 0))
+        sq = np.einsum("ij,ij->i", mat, mat).astype(np.float32)
+        self._dev_sq = jax.lax.dynamic_update_slice(
+            self._dev_sq, jnp.asarray(sq), (start,))
+        self._dev_norm = jax.lax.dynamic_update_slice(
+            self._dev_norm, jnp.sqrt(jnp.asarray(sq)), (start,))
+        self._dev_valid = jax.lax.dynamic_update_slice(
+            self._dev_valid, jnp.ones(mat.shape[0], dtype=bool), (start,))
+
+    def _upload_valid(self) -> None:
+        assert self._valid_host is not None
+        valid = np.zeros(self._capacity, dtype=bool)
+        valid[:len(self._valid_host)] = self._valid_host
+        self._dev_valid = jnp.asarray(valid)
+
+    # ------------------------------------------------------------------
+    # query
+    # ------------------------------------------------------------------
+    def knn(self, q: np.ndarray, k: int, metric: str = "euclidean"
+            ) -> Tuple[np.ndarray, List[List[Hashable]], np.ndarray]:
+        """
+        Exhaustive top-k for a (B, d) query batch.
+
+        :return: (dists (B, k') float32 ascending, per-query UID lists,
+            rows (B, k') int32) where k' = min(k, live rows).
+        """
+        with self._lock:
+            if self._host is None:
+                raise ValueError("Store is empty.")
+            dev, dev_sq, dev_norm, dev_valid = (
+                self._dev, self._dev_sq, self._dev_norm, self._dev_valid)
+            row2uid = list(self._row2uid)
+            n_live = self._n_live
+            cap = self._capacity
+            d = self._dim
+
+        q = np.atleast_2d(np.asarray(q, dtype=np.float32))
+        if q.shape[1] != d:
+            raise ValueError(f"Query dim {q.shape[1]} != store dim {d}")
+        b = q.shape[0]
+        b_pad = _pow2_at_least(b, 8)
+        d_pad = pad_dim(d)  # type: ignore[arg-type]
+        q_pad = pad_rows_np(q, b_pad, d_pad)
+
+        k_eff = min(k, n_live)
+        # Round the on-device k up to a power of two (capped at capacity) so
+        # distinct user n values reuse compiled programs; trim host-side.
+        k_dev = min(_pow2_at_least(k_eff, 1), cap)
+
+        dists, rows = scan.flat_topk(
+            dev, dev_sq, dev_norm, dev_valid, jnp.asarray(q_pad),
+            k=k_dev, metric=metric)
+        dists = np.asarray(dists)[:b, :k_eff]
+        rows = np.asarray(rows)[:b, :k_eff]
+        uid_lists = [[row2uid[r] for r in row] for row in rows]
+        return dists, uid_lists, rows
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        """Serialize live rows + UIDs (compact form)."""
+        with self._lock:
+            bio = io.BytesIO()
+            if self._host is None:
+                np.savez(bio, empty=np.array(True))
+            else:
+                keep = np.flatnonzero(self._valid_host)
+                np.savez(
+                    bio,
+                    matrix=self._host[keep],
+                    uids=np.array([self._row2uid[i] for i in keep],
+                                  dtype=object),
+                )
+            return bio.getvalue()
+
+    def from_bytes(self, data: bytes) -> None:
+        bio = io.BytesIO(data)
+        with np.load(bio, allow_pickle=True) as z:
+            if "empty" in z:
+                self.clear()
+                return
+            mat = z["matrix"]
+            uids = list(z["uids"])
+        self.build(mat, uids)

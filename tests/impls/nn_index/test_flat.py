@@ -1,0 +1,255 @@
+import random
+import unittest
+
+import numpy as np
+import pytest
+
+from smqtk_indexing_tpu.core.configuration import configuration_test_helper
+from smqtk_indexing_tpu.data.data_element import DataMemoryElement
+from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+from smqtk_indexing_tpu.data.exceptions import ReadOnlyError
+from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
+    NearestNeighborsIndex,
+)
+from smqtk_indexing_tpu.models.nn_index.flat import FlatNearestNeighborsIndex
+
+
+def _mk(i, vec):
+    return DescriptorMemoryElement(i, np.asarray(vec, dtype=np.float32))
+
+
+class TestFlatPluginAndConfig (unittest.TestCase):
+
+    def test_impl_findable(self) -> None:
+        assert FlatNearestNeighborsIndex in \
+            NearestNeighborsIndex.get_impls()
+
+    def test_configuration_roundtrip(self) -> None:
+        inst = FlatNearestNeighborsIndex(metric="cosine", read_only=True)
+        for i in configuration_test_helper(inst):
+            assert i.metric == "cosine"
+            assert i.read_only is True
+
+    def test_invalid_metric_raises(self) -> None:
+        with pytest.raises(ValueError, match="metric"):
+            FlatNearestNeighborsIndex(metric="mahalanobis")
+
+    def test_default_config_json_compliant(self) -> None:
+        import json
+        json.dumps(FlatNearestNeighborsIndex.get_default_config())
+
+
+class TestFlatBehavior (unittest.TestCase):
+
+    def test_query_is_own_nearest_neighbor(self) -> None:
+        rng = np.random.default_rng(0)
+        descrs = [_mk(i, rng.normal(size=64)) for i in range(200)]
+        idx = FlatNearestNeighborsIndex()
+        idx.build_index(descrs)
+        assert idx.count() == 200
+        for q in random.Random(1).sample(descrs, 10):
+            ns, ds = idx.nn(q, 3)
+            assert ns[0].uuid() == q.uuid()
+            assert np.isclose(ds[0], 0.0, atol=1e-4)
+            # distances ascending
+            assert list(ds) == sorted(ds)
+
+    def test_perturbed_query_retrieves_source(self) -> None:
+        rng = np.random.default_rng(2)
+        descrs = [_mk(i, rng.normal(size=32)) for i in range(500)]
+        idx = FlatNearestNeighborsIndex()
+        idx.build_index(descrs)
+        src = descrs[123]
+        q = _mk("q", src.vector() + 0.001 * rng.normal(size=32))
+        ns, ds = idx.nn(q, 1)
+        assert ns[0].uuid() == 123
+
+    def test_colinear_points_exact_order(self) -> None:
+        # Points [j, 2j]: distances from origin-direction query are ordered
+        # by j (reference geometry test, test_faiss.py:443-515 family).
+        descrs = [_mk(j, [j + 1.0, 2.0 * (j + 1.0)]) for j in range(50)]
+        idx = FlatNearestNeighborsIndex()
+        idx.build_index(descrs)
+        q = _mk("q", [0.0, 0.0])
+        ns, ds = idx.nn(q, 10)
+        assert [n.uuid() for n in ns] == list(range(10))
+        assert list(ds) == sorted(ds)
+
+    def test_unit_vectors_all_equidistant(self) -> None:
+        dim = 8
+        descrs = [_mk(i, np.eye(dim)[i]) for i in range(dim)]
+        idx = FlatNearestNeighborsIndex()
+        idx.build_index(descrs)
+        q = _mk("q", np.eye(dim)[0])
+        ns, ds = idx.nn(q, dim)
+        assert np.isclose(ds[0], 0.0, atol=1e-5)
+        np.testing.assert_allclose(ds[1:], np.sqrt(2.0), rtol=1e-5)
+
+    def test_nn_many_matches_single(self) -> None:
+        rng = np.random.default_rng(3)
+        descrs = [_mk(i, rng.normal(size=16)) for i in range(100)]
+        idx = FlatNearestNeighborsIndex()
+        idx.build_index(descrs)
+        qs = descrs[:7]
+        batch = idx.nn_many(qs, 4)
+        for q, (ns_b, ds_b) in zip(qs, batch):
+            ns_s, ds_s = idx.nn(q, 4)
+            assert [n.uuid() for n in ns_b] == [n.uuid() for n in ns_s]
+            np.testing.assert_allclose(ds_b, ds_s, rtol=1e-5)
+
+    def test_request_more_than_indexed_warns_and_truncates(self) -> None:
+        descrs = [_mk(i, [float(i), 0.0]) for i in range(5)]
+        idx = FlatNearestNeighborsIndex()
+        idx.build_index(descrs)
+        with pytest.warns(UserWarning):
+            ns, ds = idx.nn(descrs[0], 10)
+        assert len(ns) == 5
+
+    def test_cosine_metric(self) -> None:
+        descrs = [
+            _mk("a", [1.0, 0.0]),
+            _mk("b", [1.0, 1.0]),
+            _mk("c", [0.0, 1.0]),
+        ]
+        idx = FlatNearestNeighborsIndex(metric="cosine")
+        idx.build_index(descrs)
+        ns, ds = idx.nn(_mk("q", [2.0, 0.0]), 3)
+        assert [n.uuid() for n in ns] == ["a", "b", "c"]
+        assert np.isclose(ds[0], 0.0, atol=1e-3)
+        assert np.isclose(ds[1], 0.5, atol=1e-3)
+        assert np.isclose(ds[2], 1.0, atol=1e-3)
+
+    def test_hik_metric(self) -> None:
+        descrs = [
+            _mk("a", [0.5, 0.5, 0.0]),
+            _mk("b", [0.0, 0.5, 0.5]),
+        ]
+        idx = FlatNearestNeighborsIndex(metric="hik")
+        idx.build_index(descrs)
+        ns, ds = idx.nn(_mk("q", [0.5, 0.5, 0.0]), 2)
+        assert ns[0].uuid() == "a"
+        assert np.isclose(ds[0], 0.0, atol=1e-5)
+        assert np.isclose(ds[1], 0.5, atol=1e-5)
+
+    def test_inner_product_metric(self) -> None:
+        descrs = [_mk("lo", [1.0, 0.0]), _mk("hi", [10.0, 0.0])]
+        idx = FlatNearestNeighborsIndex(metric="inner_product")
+        idx.build_index(descrs)
+        ns, ds = idx.nn(_mk("q", [1.0, 0.0]), 2)
+        assert ns[0].uuid() == "hi"  # larger IP first (dist = -ip)
+        assert np.isclose(ds[0], -10.0, atol=1e-4)
+
+
+class TestFlatMutation (unittest.TestCase):
+
+    def _small_index(self):
+        descrs = [_mk(i, [float(i), float(i)]) for i in range(10)]
+        idx = FlatNearestNeighborsIndex()
+        idx.build_index(descrs)
+        return idx, descrs
+
+    def test_rebuild_replaces(self) -> None:
+        idx, _ = self._small_index()
+        idx.build_index([_mk("only", [5.0, 5.0])])
+        assert idx.count() == 1
+        ns, _ = idx.nn(_mk("q", [0.0, 0.0]), 1)
+        assert ns[0].uuid() == "only"
+
+    def test_update_adds(self) -> None:
+        idx, _ = self._small_index()
+        idx.update_index([_mk(100, [100.0, 100.0])])
+        assert idx.count() == 11
+        ns, _ = idx.nn(_mk("q", [101.0, 101.0]), 1)
+        assert ns[0].uuid() == 100
+
+    def test_update_on_empty_builds(self) -> None:
+        idx = FlatNearestNeighborsIndex()
+        idx.update_index([_mk(0, [1.0, 2.0])])
+        assert idx.count() == 1
+
+    def test_update_duplicate_uid_skipped_with_warning(self) -> None:
+        idx, descrs = self._small_index()
+        with pytest.warns(UserWarning, match="already-indexed"):
+            idx.update_index([_mk(0, [99.0, 99.0])])
+        assert idx.count() == 10
+        # Original vector still in place.
+        ns, ds = idx.nn(_mk("q", [0.0, 0.0]), 1)
+        assert ns[0].uuid() == 0
+        assert np.isclose(ds[0], 0.0, atol=1e-5)
+
+    def test_remove(self) -> None:
+        idx, descrs = self._small_index()
+        idx.remove_from_index([0, 1])
+        assert idx.count() == 8
+        ns, _ = idx.nn(_mk("q", [0.0, 0.0]), 1)
+        assert ns[0].uuid() == 2
+
+    def test_remove_unknown_uid_keyerror_no_mutation(self) -> None:
+        idx, _ = self._small_index()
+        with pytest.raises(KeyError):
+            idx.remove_from_index([5, "nope"])
+        assert idx.count() == 10
+        # 5 must still be present.
+        ns, ds = idx.nn(_mk("q", [5.0, 5.0]), 1)
+        assert ns[0].uuid() == 5
+
+    def test_remove_then_re_add(self) -> None:
+        idx, descrs = self._small_index()
+        idx.remove_from_index([3])
+        idx.update_index([descrs[3]])
+        assert idx.count() == 10
+        ns, _ = idx.nn(descrs[3], 1)
+        assert ns[0].uuid() == 3
+
+    def test_remove_all_then_query_raises(self) -> None:
+        idx, _ = self._small_index()
+        idx.remove_from_index(range(10))
+        assert idx.count() == 0
+        with pytest.raises(ValueError):
+            idx.nn(_mk("q", [0.0, 0.0]))
+
+    def test_read_only_guards(self) -> None:
+        descrs = [_mk(i, [float(i)]) for i in range(3)]
+        idx = FlatNearestNeighborsIndex(read_only=True)
+        with pytest.raises(ReadOnlyError):
+            idx.build_index(descrs)
+        with pytest.raises(ReadOnlyError):
+            idx.update_index(descrs)
+        with pytest.raises(ReadOnlyError):
+            idx.remove_from_index([0])
+
+
+class TestFlatPersistence (unittest.TestCase):
+
+    def test_save_load_roundtrip(self) -> None:
+        elem = DataMemoryElement()
+        rng = np.random.default_rng(5)
+        descrs = [_mk(i, rng.normal(size=24)) for i in range(50)]
+        idx = FlatNearestNeighborsIndex(index_element=elem)
+        idx.build_index(descrs)
+        assert not elem.is_empty()
+
+        idx2 = FlatNearestNeighborsIndex(index_element=elem)
+        assert idx2.count() == 50
+        ns, ds = idx2.nn(descrs[7], 1)
+        assert ns[0].uuid() == 7
+
+    def test_persistence_through_update_and_remove(self) -> None:
+        elem = DataMemoryElement()
+        idx = FlatNearestNeighborsIndex(index_element=elem)
+        idx.build_index([_mk(i, [float(i), 1.0]) for i in range(5)])
+        idx.update_index([_mk(10, [10.0, 1.0])])
+        idx.remove_from_index([0])
+
+        idx2 = FlatNearestNeighborsIndex(index_element=elem)
+        assert idx2.count() == 5
+        ns, _ = idx2.nn(_mk("q", [10.0, 1.0]), 1)
+        assert ns[0].uuid() == 10
+        with pytest.raises(KeyError):
+            idx2.remove_from_index([0])
+
+    def test_read_only_index_element_raises_on_build(self) -> None:
+        elem = DataMemoryElement(readonly=True)
+        idx = FlatNearestNeighborsIndex(index_element=elem)
+        with pytest.raises(ReadOnlyError):
+            idx.build_index([_mk(0, [1.0])])
