@@ -1,0 +1,354 @@
+"""
+Composite LSH nearest-neighbor index.
+
+Capability-parity with the reference's ``LSHNearestNeighborIndex``
+(/root/reference/smqtk_indexing/impls/nn_index/lsh.py:39-519): an
+``LshFunctor`` maps descriptors to hash codes, a ``hash2uuids`` KV store maps
+code integers to UID sets, an optional ``HashIndex`` accelerates near-code
+lookup (with an on-the-fly LinearHashIndex over the KV keys as fallback,
+lsh.py:481-487), and candidates are re-ranked by exact distance.
+
+TPU-first inversions:
+- the per-descriptor Python hashing loop (lsh.py:316-321) is one batched
+  matmul+sign program (``LshFunctor.get_hash_batch``);
+- code-int conversion is vectorized packing (utils/bits.py), not an O(bits)
+  Python shift loop per element;
+- candidate re-ranking (lsh.py:499-518's parallel_map fetch + host distance
+  loop) is one padded gather + fused distance + sort program on device.
+"""
+from __future__ import annotations
+
+import logging
+import threading
+from functools import partial
+from typing import (
+    Any, Dict, Hashable, Iterable, List, Optional, Sequence, Set, Tuple,
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smqtk_indexing_tpu.core.configuration import (
+    from_config_dict, make_default_config, merge_dict, to_config_dict,
+)
+from smqtk_indexing_tpu.data.descriptor import (
+    DescriptorElement, DescriptorSet, MemoryDescriptorSet,
+)
+from smqtk_indexing_tpu.data.exceptions import ReadOnlyError
+from smqtk_indexing_tpu.data.key_value import (
+    KeyValueStore, MemoryKeyValueStore,
+)
+from smqtk_indexing_tpu.interfaces.hash_index import HashIndex
+from smqtk_indexing_tpu.interfaces.lsh_functor import LshFunctor
+from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
+    NearestNeighborsIndex, NNResult,
+)
+from smqtk_indexing_tpu.models.hash_index.linear import LinearHashIndex
+from smqtk_indexing_tpu.utils.bits import (
+    bit_vector_to_int_large, int_to_bit_vector_large,
+)
+LOG = logging.getLogger(__name__)
+
+VALID_DISTANCES = ("euclidean", "cosine", "hik")
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def _rerank(q: jnp.ndarray, cand: jnp.ndarray, valid: jnp.ndarray,
+            metric: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Exact distances from one (d,) query to padded (M, d) candidates, sorted
+    ascending with invalid rows pushed to +inf. The on-device analog of the
+    reference's fetch-and-re-rank (lsh.py:507-518).
+    """
+    qb = q[None, :].astype(jnp.float32)
+    cand = cand.astype(jnp.float32)
+    if metric == "euclidean":
+        diff = cand - qb
+        d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    elif metric == "cosine":
+        qn = jnp.linalg.norm(qb, axis=-1)
+        cn = jnp.linalg.norm(cand, axis=-1)
+        denom = jnp.where(qn * cn == 0, 1.0, qn * cn)
+        sim = jnp.clip(jnp.sum(cand * qb, axis=-1) / denom, -1.0, 1.0)
+        d = 2.0 * jnp.arccos(sim) / jnp.pi
+    elif metric == "hik":
+        d = 1.0 - jnp.sum(jnp.minimum(qb, cand), axis=-1)
+    else:
+        raise ValueError(f"Unknown distance method '{metric}'.")
+    d = jnp.where(valid, d, jnp.inf)
+    order = jnp.argsort(d)
+    return d[order], order
+
+
+def _pow2_at_least(x: int, lo: int = 8) -> int:
+    p = lo
+    while p < x:
+        p *= 2
+    return p
+
+
+class LSHNearestNeighborIndex (NearestNeighborsIndex):
+    """
+    Locality-sensitive-hashing based nearest neighbor index.
+
+    :param lsh_functor: LSH functor mapping descriptors to hash codes.
+    :param descriptor_set: Backing descriptor element storage.
+    :param hash2uuids_kvstore: KV store mapping hash-code integers to sets of
+        descriptor UIDs.
+    :param hash_index: Optional HashIndex for near-code lookup; when None, a
+        LinearHashIndex is built over the KV-store keys at query time
+        (reference fallback semantics, lsh.py:481-487).
+    :param distance_method: Candidate re-rank distance:
+        'euclidean' | 'cosine' | 'hik'.
+    :param read_only: Refuse mutations when True.
+    """
+
+    @classmethod
+    def is_usable(cls) -> bool:
+        return True
+
+    @classmethod
+    def get_default_config(cls) -> Dict[str, Any]:
+        c = super().get_default_config()
+        c["lsh_functor"] = make_default_config(LshFunctor.get_impls())
+        c["descriptor_set"] = make_default_config(DescriptorSet.get_impls())
+        c["hash2uuids_kvstore"] = make_default_config(
+            KeyValueStore.get_impls())
+        c["hash_index"] = make_default_config(HashIndex.get_impls())
+        # Match the reference's nullable sub-config for the optional hash
+        # index (lsh.py:141-148).
+        c["hash_index"]["type"] = None
+        return c
+
+    @classmethod
+    def from_config(cls, config_dict: Dict, merge_default: bool = True
+                    ) -> "LSHNearestNeighborIndex":
+        if merge_default:
+            config_dict = merge_dict(cls.get_default_config(),
+                                     dict(config_dict))
+        cfg = dict(config_dict)
+        cfg["lsh_functor"] = from_config_dict(
+            cfg["lsh_functor"], LshFunctor.get_impls())
+        ds_cfg = cfg.get("descriptor_set")
+        if ds_cfg and ds_cfg.get("type"):
+            cfg["descriptor_set"] = from_config_dict(
+                ds_cfg, DescriptorSet.get_impls())
+        else:
+            cfg["descriptor_set"] = MemoryDescriptorSet()
+        kv_cfg = cfg.get("hash2uuids_kvstore")
+        if kv_cfg and kv_cfg.get("type"):
+            cfg["hash2uuids_kvstore"] = from_config_dict(
+                kv_cfg, KeyValueStore.get_impls())
+        else:
+            cfg["hash2uuids_kvstore"] = MemoryKeyValueStore()
+        hi_cfg = cfg.get("hash_index")
+        if hi_cfg and hi_cfg.get("type"):
+            cfg["hash_index"] = from_config_dict(
+                hi_cfg, HashIndex.get_impls())
+        else:
+            cfg["hash_index"] = None
+        return super().from_config(cfg, False)
+
+    def __init__(self,
+                 lsh_functor: LshFunctor,
+                 descriptor_set: Optional[DescriptorSet] = None,
+                 hash2uuids_kvstore: Optional[KeyValueStore] = None,
+                 hash_index: Optional[HashIndex] = None,
+                 distance_method: str = "cosine",
+                 read_only: bool = False):
+        super().__init__()
+        if distance_method not in VALID_DISTANCES:
+            raise ValueError(
+                f"distance_method must be one of {VALID_DISTANCES}, got "
+                f"{distance_method!r}")
+        self.lsh_functor = lsh_functor
+        self.descriptor_set = descriptor_set if descriptor_set is not None \
+            else MemoryDescriptorSet()
+        self.hash2uuids_kvstore = hash2uuids_kvstore \
+            if hash2uuids_kvstore is not None else MemoryKeyValueStore()
+        self.hash_index = hash_index
+        self.distance_method = distance_method
+        self.read_only = bool(read_only)
+        self._model_lock = threading.RLock()
+
+    def get_config(self) -> Dict[str, Any]:
+        c = self.get_default_config()
+        c["lsh_functor"] = merge_dict(
+            c["lsh_functor"], to_config_dict(self.lsh_functor))
+        c["descriptor_set"] = merge_dict(
+            c["descriptor_set"], to_config_dict(self.descriptor_set))
+        c["hash2uuids_kvstore"] = merge_dict(
+            c["hash2uuids_kvstore"],
+            to_config_dict(self.hash2uuids_kvstore))
+        if self.hash_index is not None:
+            c["hash_index"] = merge_dict(
+                c["hash_index"], to_config_dict(self.hash_index))
+        else:
+            c["hash_index"]["type"] = None
+        c["distance_method"] = self.distance_method
+        c["read_only"] = self.read_only
+        return c
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+    def _guard_read_only(self) -> None:
+        if self.read_only:
+            raise ReadOnlyError("Cannot modify read-only index.")
+
+    def _hash_elements(
+            self, elems: Sequence[DescriptorElement]
+    ) -> Tuple[np.ndarray, List[int]]:
+        """Batched hash of elements -> ((n, bits) bool matrix, code ints)."""
+        mat = np.vstack([e.vector() for e in elems]).astype(np.float32)
+        codes = self.lsh_functor.get_hash_batch(mat)
+        ints = [bit_vector_to_int_large(r) for r in codes]
+        return codes, ints
+
+    def count(self) -> int:
+        # Σ |uid-set| over the KV store (reference lsh.py:271-281).
+        with self._model_lock:
+            return sum(len(v) for v in self.hash2uuids_kvstore.values())
+
+    # ------------------------------------------------------------------
+    # mutation
+    # ------------------------------------------------------------------
+    def _build_index(self, descriptors: Iterable[DescriptorElement]) -> None:
+        with self._model_lock:
+            self._guard_read_only()
+            elems = list(descriptors)
+            LOG.debug("Building LSH index over %d descriptors (one batched "
+                      "hash program)", len(elems))
+            codes, ints = self._hash_elements(elems)
+
+            kv_update: Dict[int, Set[Hashable]] = {}
+            for e, c in zip(elems, ints):
+                kv_update.setdefault(c, set()).add(e.uuid())
+
+            self.descriptor_set.clear()
+            self.descriptor_set.add_many_descriptors(elems)
+            self.hash2uuids_kvstore.clear()
+            self.hash2uuids_kvstore.add_many(kv_update)
+
+            if self.hash_index is not None:
+                # Unique codes only (HashIndex contract).
+                uniq_rows: Dict[int, int] = {}
+                for i, c in enumerate(ints):
+                    uniq_rows.setdefault(c, i)
+                self.hash_index.build_index(
+                    codes[sorted(uniq_rows.values())])
+
+    def _update_index(self, descriptors: Iterable[DescriptorElement]) -> None:
+        with self._model_lock:
+            self._guard_read_only()
+            elems = list(descriptors)
+            codes, ints = self._hash_elements(elems)
+
+            new_code_rows: List[int] = []
+            kv_update: Dict[int, Set[Hashable]] = {}
+            for i, (e, c) in enumerate(zip(elems, ints)):
+                if c in kv_update:
+                    s = kv_update[c]
+                else:
+                    s = set(self.hash2uuids_kvstore.get(c, set()))
+                    if not s:
+                        new_code_rows.append(i)
+                    kv_update[c] = s
+                s.add(e.uuid())
+
+            self.descriptor_set.add_many_descriptors(elems)
+            self.hash2uuids_kvstore.add_many(kv_update)
+            if self.hash_index is not None and new_code_rows:
+                self.hash_index.update_index(codes[new_code_rows])
+
+    def _remove_from_index(self, uids: Iterable[Hashable]) -> None:
+        """
+        Remove descriptors by UID, pruning per-hash UID sets and deleting
+        emptied hash codes from the KV store and hash index (reference
+        lsh.py:385-450), with the KeyError-no-mutation guarantee.
+        """
+        with self._model_lock:
+            self._guard_read_only()
+            uids = list(uids)
+            # Pre-check: all UIDs must exist (raises KeyError before any
+            # mutation; MemoryDescriptorSet.get_many_descriptors checks
+            # before yielding).
+            elems = list(self.descriptor_set.get_many_descriptors(uids))
+            codes, ints = self._hash_elements(elems)
+
+            kv_update: Dict[int, Set[Hashable]] = {}
+            kv_delete: Set[int] = set()
+            dead_code_rows: List[int] = []
+            for i, (u, c) in enumerate(zip(uids, ints)):
+                if c in kv_update:
+                    s = kv_update[c]
+                else:
+                    s = set(self.hash2uuids_kvstore.get(c, set()))
+                    kv_update[c] = s
+                s.discard(u)
+                if not s:
+                    kv_delete.add(c)
+                    dead_code_rows.append(i)
+            for c in kv_delete:
+                kv_update.pop(c, None)
+
+            if kv_update:
+                self.hash2uuids_kvstore.add_many(kv_update)
+            if kv_delete:
+                self.hash2uuids_kvstore.remove_many(kv_delete)
+            if self.hash_index is not None and dead_code_rows:
+                self.hash_index.remove_from_index(codes[dead_code_rows])
+            self.descriptor_set.remove_many_descriptors(uids)
+
+    # ------------------------------------------------------------------
+    # query
+    # ------------------------------------------------------------------
+    def _choose_hash_index(self, bits: int) -> HashIndex:
+        """Configured hash index, or an on-the-fly linear index over the KV
+        store's code keys (reference lsh.py:481-487)."""
+        if self.hash_index is not None:
+            return self.hash_index
+        hi = LinearHashIndex()
+        keys = list(self.hash2uuids_kvstore.keys())
+        hi.build_index(
+            np.vstack([int_to_bit_vector_large(c, bits) for c in keys]))
+        return hi
+
+    def _nn(self, d: DescriptorElement, n: int = 1) -> NNResult:
+        with self._model_lock:
+            q_vec = np.asarray(d.vector(), dtype=np.float32)
+            q_code = self.lsh_functor.get_hash(q_vec)
+            bits = len(q_code)
+            hi = self._choose_hash_index(bits)
+            near_codes, _ = hi.nn(q_code, n)
+
+            cand_uids: List[Hashable] = []
+            seen: Set[Hashable] = set()
+            for code in near_codes:
+                c_int = bit_vector_to_int_large(code)
+                for u in self.hash2uuids_kvstore.get(c_int, set()):
+                    if u not in seen:
+                        seen.add(u)
+                        cand_uids.append(u)
+            LOG.debug("Query: %d near codes -> %d candidate UIDs",
+                      len(near_codes), len(cand_uids))
+
+            cand_elems = list(
+                self.descriptor_set.get_many_descriptors(cand_uids))
+            cand = np.vstack([e.vector() for e in cand_elems]) \
+                .astype(np.float32)
+
+        m = cand.shape[0]
+        m_pad = _pow2_at_least(m)
+        pad = np.zeros((m_pad, cand.shape[1]), dtype=np.float32)
+        pad[:m] = cand
+        valid = np.zeros(m_pad, dtype=bool)
+        valid[:m] = True
+        dists, order = _rerank(jnp.asarray(q_vec), jnp.asarray(pad),
+                               jnp.asarray(valid), self.distance_method)
+        k = min(n, m)
+        dists = np.asarray(dists)[:k]
+        order = np.asarray(order)[:k]
+        return (tuple(cand_elems[i] for i in order),
+                tuple(float(x) for x in dists))
