@@ -40,29 +40,36 @@ def itq_fit(x: jnp.ndarray, r_init: jnp.ndarray, *, bits: int,
     xc = x - mean_vec[None, :]
 
     # PCA: top-`bits` eigenvectors of the (symmetric) covariance.
-    cov = jnp.dot(xc.T, xc, preferred_element_type=jnp.float32) \
+    cov = jnp.dot(xc.T, xc, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) \
         / jnp.maximum(n - 1, 1)
     _, eigvecs = jnp.linalg.eigh(cov)       # ascending eigenvalues
     pc_top = eigvecs[:, ::-1][:, :bits]      # (d, bits), descending
 
-    v = jnp.dot(xc, pc_top, preferred_element_type=jnp.float32)  # (n, bits)
+    v = jnp.dot(xc, pc_top, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (n, bits)
 
     # Initial random orthogonal rotation (orthogonalize the Gaussian init).
     u0, _, vt0 = jnp.linalg.svd(r_init.astype(jnp.float32),
                                 full_matrices=False)
-    r0 = jnp.dot(u0, vt0, preferred_element_type=jnp.float32)
+    r0 = jnp.dot(u0, vt0, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
     def body(_, r):
-        z = jnp.dot(v, r, preferred_element_type=jnp.float32)
+        z = jnp.dot(v, r, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         b = jnp.where(z >= 0, 1.0, -1.0)
-        c = jnp.dot(b.T, v, preferred_element_type=jnp.float32)
+        c = jnp.dot(b.T, v, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         ub, _, vtb = jnp.linalg.svd(c, full_matrices=False)
         # argmin_R ||B - V R||_F over orthogonal R: R = Ŝ S̄ᵀ where
         # BᵀV = S̄ Ω Ŝᵀ.
-        return jnp.dot(vtb.T, ub.T, preferred_element_type=jnp.float32)
+        return jnp.dot(vtb.T, ub.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
     r = jax.lax.fori_loop(0, n_iter, body, r0)
-    rotation = jnp.dot(pc_top, r, preferred_element_type=jnp.float32)
+    rotation = jnp.dot(pc_top, r, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     return mean_vec, rotation
 
 
@@ -73,5 +80,6 @@ def hash_batch(x: jnp.ndarray, mean_vec: jnp.ndarray,
     replacing the reference's per-descriptor Python loop
     (/root/reference/smqtk_indexing/impls/nn_index/lsh.py:316-321)."""
     z = jnp.dot(x.astype(jnp.float32) - mean_vec[None, :], rotation,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     return z >= 0

@@ -1,0 +1,111 @@
+"""
+IVF (inverted-file) list-scan query kernel.
+
+TPU-native equivalent of FAISS's IVF search with ``nprobe``
+(/root/reference/smqtk_indexing/impls/nn_index/faiss.py:715-749): the
+database is laid out sorted by coarse-cluster id so every inverted list is a
+contiguous row range (CSR layout: per-list offset + length). A query batch
+scores the centroid matrix on the MXU, selects the top-``nprobe`` lists,
+gathers the (padded) candidate row blocks, scores them with the same
+monotone surrogates as the flat scan, and finishes with the fused exact
+re-rank of the k winners (ops/scan._exact_selected) — the reference's
+host-side exact re-rank (faiss.py:818-827) fused on device.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from smqtk_indexing_tpu.ops.scan import _exact_selected
+
+METRICS = ("euclidean", "inner_product", "cosine")
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe", "l_max", "metric"))
+def ivf_query(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
+              valid: jnp.ndarray, centroids: jnp.ndarray,
+              offsets: jnp.ndarray, lens: jnp.ndarray, q: jnp.ndarray, *,
+              k: int, nprobe: int, l_max: int,
+              metric: str = "euclidean"
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    :param db: (N, d) database sorted by coarse-cluster id (zero-padded).
+    :param db_sq: (N,) squared L2 norms of rows.
+    :param db_norm: (N,) L2 norms of rows.
+    :param valid: (N,) bool row-liveness mask.
+    :param centroids: (C, d) coarse centroids.
+    :param offsets: (C,) int32 start row of each inverted list.
+    :param lens: (C,) int32 length of each inverted list.
+    :param q: (B, d) float32 queries.
+    :param k: Neighbors per query (static).
+    :param nprobe: Lists probed per query (static; <= C).
+    :param l_max: Padded inverted-list length (static; >= max(lens)).
+    :param metric: 'euclidean' | 'inner_product' | 'cosine' (static).
+    :return: (dists (B, k) float32 ascending, rows (B, k) int32 into the
+        sorted layout; unfilled slots carry +inf / -1).
+    """
+    n, d = db.shape
+    b = q.shape[0]
+    q = q.astype(jnp.float32)
+    q_sq = jnp.sum(q * q, axis=-1)
+    q_norm = jnp.sqrt(q_sq)
+
+    c = centroids.astype(db.dtype)
+    c_sq = jnp.sum(c.astype(jnp.float32) * c.astype(jnp.float32), axis=-1)
+    # precision=HIGHEST: see ops/scan._chunk_scores — default TPU f32
+    # matmuls truncate to bf16 and corrupt score rankings.
+    ip_c = jnp.dot(q.astype(db.dtype), c.T,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    if metric == "inner_product":
+        c_scores = -ip_c
+    elif metric == "cosine":
+        c_norm = jnp.sqrt(c_sq)
+        denom = q_norm[:, None] * c_norm[None, :]
+        c_scores = -(ip_c / jnp.where(denom == 0, 1.0, denom))
+    else:
+        c_scores = c_sq[None, :] - 2.0 * ip_c
+    # Empty lists are never worth probing.
+    c_scores = jnp.where(lens[None, :] > 0, c_scores, jnp.inf)
+    _, lists = jax.lax.top_k(-c_scores, nprobe)          # (B, nprobe)
+
+    starts = offsets[lists]                               # (B, nprobe)
+    lengths = lens[lists]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (b, nprobe, l_max), 2)
+    rows = starts[..., None] + ii                         # (B, nprobe, L)
+    in_list = ii < lengths[..., None]
+    rows_flat = jnp.clip(rows.reshape(b, nprobe * l_max), 0, n - 1)
+    mask = in_list.reshape(b, nprobe * l_max) \
+        & jnp.take(valid, rows_flat, axis=0)
+
+    cand = jnp.take(db, rows_flat, axis=0)                # (B, M, d)
+    ip = jnp.einsum("bmd,bd->bm", cand.astype(jnp.float32), q,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    if metric == "inner_product":
+        scores = -ip
+    elif metric == "cosine":
+        cn = jnp.take(db_norm, rows_flat, axis=0)
+        denom = q_norm[:, None] * cn
+        scores = -(ip / jnp.where(denom == 0, 1.0, denom))
+    else:
+        scores = jnp.take(db_sq, rows_flat, axis=0) - 2.0 * ip
+    scores = jnp.where(mask, scores, jnp.inf)
+
+    # The candidate pool may be smaller than k (few probed lists); select
+    # what exists and pad the remainder with empty (-1 / +inf) slots.
+    k_inner = min(k, nprobe * l_max)
+    neg, sel = jax.lax.top_k(-scores, k_inner)
+    top_rows = jnp.take_along_axis(rows_flat, sel, axis=1).astype(jnp.int32)
+    top_scores = -neg
+    top_rows = jnp.where(jnp.isinf(top_scores), -1, top_rows)
+    if k_inner < k:
+        pad = k - k_inner
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1)
+        top_rows = jnp.concatenate(
+            [top_rows, jnp.full((b, pad), -1, jnp.int32)], axis=1)
+    return _exact_selected(metric, db, q, q_sq, top_scores, top_rows)

@@ -1,0 +1,115 @@
+"""
+Device-side k-means (Lloyd) training and assignment.
+
+This is the TPU-native replacement for the coarse-quantizer training the
+reference delegates to FAISS C++ (``faiss_index.train``,
+/root/reference/smqtk_indexing/impls/nn_index/faiss.py:516): assignment is a
+chunked (rows-streamed) matmul against the centroid matrix on the MXU, and
+the centroid update is a segment-sum — both inside one jitted program with
+the Lloyd loop under ``lax.fori_loop``. The (N, C) distance matrix is never
+materialized whole; a ``lax.scan`` streams row blocks.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+#: Rows per streamed assignment block.
+ASSIGN_CHUNK = 16384
+
+
+def _assign_block(x: jnp.ndarray, x_sq: jnp.ndarray, c: jnp.ndarray,
+                  c_sq: jnp.ndarray) -> jnp.ndarray:
+    """(B, d) rows -> (B,) nearest-centroid ids (L2; ||x||² constant omitted
+    from the argmin)."""
+    # precision=HIGHEST: see ops/scan._chunk_scores — default TPU f32
+    # matmuls truncate to bf16, which scrambles nearest-centroid argmins.
+    ip = jnp.dot(x, c.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "chunk"))
+def kmeans_lloyd(x: jnp.ndarray, valid: jnp.ndarray, init: jnp.ndarray, *,
+                 n_iter: int, chunk: int = ASSIGN_CHUNK
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Lloyd's algorithm on a (N, d) float32 matrix (zero-padded rows masked by
+    ``valid``).
+
+    :param x: (N, d) training rows; N % chunk == 0 or N <= chunk.
+    :param valid: (N,) bool mask of real rows.
+    :param init: (C, d) initial centroids.
+    :param n_iter: Lloyd iterations (static).
+    :return: (centroids (C, d) float32, assignments (N,) int32 under the
+        final centroids; masked rows get assignment of nearest centroid but
+        contribute nothing to updates).
+    """
+    n, d = x.shape
+    c_count = init.shape[0]
+    x = x.astype(jnp.float32)
+    x_sq = jnp.sum(x * x, axis=-1)
+    w = valid.astype(jnp.float32)
+
+    num_chunks = max(n // chunk, 1)
+    eff_chunk = n // num_chunks
+    x_c = x.reshape(num_chunks, eff_chunk, d)
+    xsq_c = x_sq.reshape(num_chunks, eff_chunk)
+    w_c = w.reshape(num_chunks, eff_chunk)
+
+    def lloyd_step(_, c):
+        c_sq = jnp.sum(c * c, axis=-1)
+
+        def body(carry, blk):
+            sums, counts = carry
+            xb, xsqb, wb = blk
+            a = _assign_block(xb, xsqb, c, c_sq)
+            sums = sums + jax.ops.segment_sum(
+                xb * wb[:, None], a, num_segments=c_count)
+            counts = counts + jax.ops.segment_sum(
+                wb, a, num_segments=c_count)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((c_count, d), jnp.float32),
+             jnp.zeros((c_count,), jnp.float32)),
+            (x_c, xsq_c, w_c))
+        # Empty clusters keep their previous centroid.
+        return jnp.where(counts[:, None] > 0,
+                         sums / jnp.maximum(counts[:, None], 1.0), c)
+
+    c = jax.lax.fori_loop(0, n_iter, lloyd_step, init.astype(jnp.float32))
+
+    c_sq = jnp.sum(c * c, axis=-1)
+
+    def assign_body(_, blk):
+        xb, xsqb, wb = blk
+        return None, _assign_block(xb, xsqb, c, c_sq)
+
+    _, assigns = jax.lax.scan(assign_body, None, (x_c, xsq_c, w_c))
+    return c, assigns.reshape(n)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def kmeans_assign(x: jnp.ndarray, centroids: jnp.ndarray, *,
+                  chunk: int = ASSIGN_CHUNK) -> jnp.ndarray:
+    """Nearest-centroid assignment for (N, d) rows (chunk-streamed)."""
+    n, d = x.shape
+    x = x.astype(jnp.float32)
+    c = centroids.astype(jnp.float32)
+    c_sq = jnp.sum(c * c, axis=-1)
+    num_chunks = max(n // chunk, 1)
+    eff_chunk = n // num_chunks
+    x_c = x.reshape(num_chunks, eff_chunk, d)
+    xsq_c = jnp.sum(x * x, axis=-1).reshape(num_chunks, eff_chunk)
+
+    def body(_, blk):
+        xb, xsqb = blk
+        return None, _assign_block(xb, xsqb, c, c_sq)
+
+    _, assigns = jax.lax.scan(body, None, (x_c, xsq_c))
+    return assigns.reshape(n)

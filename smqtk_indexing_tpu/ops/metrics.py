@@ -5,6 +5,7 @@ versions in ``smqtk_indexing_tpu.utils.metrics`` (and therefore
 """
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -12,7 +13,8 @@ def euclidean_distance_many(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """(B, d) queries vs (N, d) points -> (B, N) Euclidean distances."""
     q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
     x_sq = jnp.sum(x * x, axis=-1)
-    ip = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+    ip = jnp.dot(q, x.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(q_sq + x_sq[None, :] - 2.0 * ip, 0.0)
     return jnp.sqrt(d2)
 
@@ -24,7 +26,8 @@ def cosine_distance_many(q: jnp.ndarray, x: jnp.ndarray,
     xn = jnp.linalg.norm(x, axis=-1)
     denom = jnp.where(qn * xn[None, :] == 0, 1.0, qn * xn[None, :])
     sim = jnp.clip(
-        jnp.dot(q, x.T, preferred_element_type=jnp.float32) / denom,
+        jnp.dot(q, x.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST) / denom,
         -1.0, 1.0)
     return (1 + bool(pos_vectors)) * jnp.arccos(sim) / math.pi
 
@@ -37,4 +40,5 @@ def hik_distance_many(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 def inner_product_many(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """(B, d) vs (N, d) -> (B, N) inner products."""
-    return jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+    return jnp.dot(q, x.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)

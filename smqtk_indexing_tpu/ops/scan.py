@@ -42,7 +42,13 @@ def _chunk_scores(metric: str, q: jnp.ndarray, q_norm: jnp.ndarray,
         # No matmul form exists: elementwise min on the VPU.
         return 1.0 - jnp.sum(
             jnp.minimum(q[:, None, :], x[None, :, :]), axis=-1)
-    ip = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: the TPU MXU's default f32 matmul truncates inputs
+    # to bf16, whose ~8-bit mantissa on O(||x||^2)-magnitude scores corrupts
+    # the surrogate *ranking* (true neighbors drop out of the top-k before
+    # the exact re-rank can fix them). bf16-stored databases are unaffected
+    # (bf16 inputs are exact on the MXU).
+    ip = jnp.dot(q, x.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     if metric == "euclidean":
         # ||q||^2 omitted: constant per query, added in _finalize.
         return x_sq[None, :] - 2.0 * ip

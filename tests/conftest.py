@@ -3,12 +3,20 @@ Test-global JAX configuration: run on CPU with 8 virtual devices so sharding
 tests emulate an 8-chip slice without TPU hardware (the same emulation the
 driver uses for the multichip dry-run).
 
-Must run before any jax import in the test session.
+Note: an environment sitecustomize may have force-registered a TPU plugin
+backend and overridden ``jax_platforms`` via ``jax.config.update`` at
+interpreter start, so setting the JAX_PLATFORMS env var is NOT sufficient —
+the config must be re-updated after jax import (backends initialize lazily,
+so doing this before any device use is effective). Set SMQTK_TPU_TESTS=1 to
+run the suite against the real TPU backend instead.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+if not os.environ.get("SMQTK_TPU_TESTS"):
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")

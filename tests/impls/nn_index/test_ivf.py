@@ -1,0 +1,169 @@
+"""
+IvfNearestNeighborsIndex tests: behavioral geometry (reference
+test_faiss.py:443-515 patterns), mutation semantics, persistence, and
+recall-vs-exhaustive sanity on clustered data.
+"""
+import numpy as np
+import pytest
+
+from smqtk_indexing_tpu.core.configuration import configuration_test_helper
+from smqtk_indexing_tpu.data.data_element import DataMemoryElement
+from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+from smqtk_indexing_tpu.data.exceptions import ReadOnlyError
+from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
+    NearestNeighborsIndex,
+)
+from smqtk_indexing_tpu.models.nn_index.ivf import IvfNearestNeighborsIndex
+
+
+def _elem(uid, vec):
+    return DescriptorMemoryElement(uid, np.asarray(vec, dtype=np.float32))
+
+
+def _clustered(n_clusters=8, per=40, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)) * 10
+    elems = []
+    for ci, c in enumerate(centers):
+        for j in range(per):
+            elems.append(_elem(f"{ci}-{j}", c + rng.normal(size=d) * 0.3))
+    return elems
+
+
+class TestIvfIndex:
+    def test_plugin_discoverable(self):
+        assert IvfNearestNeighborsIndex in NearestNeighborsIndex.get_impls()
+
+    def test_configuration_roundtrip(self):
+        i = IvfNearestNeighborsIndex(
+            metric="cosine", n_lists=32, nprobe=4, kmeans_iterations=5,
+            random_seed=0)
+        for inst in configuration_test_helper(i):
+            assert isinstance(inst, IvfNearestNeighborsIndex)
+            assert inst.metric == "cosine"
+            assert inst.n_lists == 32
+            assert inst.nprobe == 4
+
+    def test_invalid_metric(self):
+        with pytest.raises(ValueError):
+            IvfNearestNeighborsIndex(metric="hik")
+
+    def test_build_and_self_retrieval(self):
+        elems = _clustered()
+        i = IvfNearestNeighborsIndex(n_lists=8, nprobe=2,
+                                     kmeans_iterations=8, random_seed=0)
+        i.build_index(elems)
+        assert i.count() == len(elems)
+        for j in (0, 111, 319):
+            res, dists = i.nn(elems[j], 3)
+            assert res[0].uuid() == elems[j].uuid()
+            assert dists[0] == pytest.approx(0.0, abs=1e-4)
+            assert list(dists) == sorted(dists)
+
+    def test_full_probe_matches_exhaustive(self):
+        # With nprobe == n_lists the IVF result must equal the flat scan.
+        from smqtk_indexing_tpu.models.nn_index.flat import (
+            FlatNearestNeighborsIndex,
+        )
+        elems = _clustered(n_clusters=4, per=30, seed=1)
+        ivf = IvfNearestNeighborsIndex(n_lists=4, nprobe=4,
+                                       kmeans_iterations=8, random_seed=0)
+        flat = FlatNearestNeighborsIndex()
+        ivf.build_index(elems)
+        flat.build_index(elems)
+        q = _elem("q", np.asarray(elems[5].vector()) + 0.01)
+        r_ivf, d_ivf = ivf.nn(q, 10)
+        r_flat, d_flat = flat.nn(q, 10)
+        assert [e.uuid() for e in r_ivf] == [e.uuid() for e in r_flat]
+        np.testing.assert_allclose(d_ivf, d_flat, atol=1e-4)
+
+    def test_recall_with_partial_probe(self):
+        elems = _clustered(n_clusters=16, per=25, d=16, seed=2)
+        i = IvfNearestNeighborsIndex(n_lists=16, nprobe=3,
+                                     kmeans_iterations=10, random_seed=0)
+        i.build_index(elems)
+        hits = 0
+        for j in range(0, 400, 40):
+            res, _ = i.nn(elems[j], 1)
+            hits += res[0].uuid() == elems[j].uuid()
+        assert hits >= 9  # own point lives in own cell
+
+    def test_cosine_metric(self):
+        rng = np.random.default_rng(3)
+        elems = [_elem(j, rng.normal(size=16)) for j in range(64)]
+        i = IvfNearestNeighborsIndex(metric="cosine", n_lists=4, nprobe=4,
+                                     kmeans_iterations=5, random_seed=0)
+        i.build_index(elems)
+        res, dists = i.nn(elems[10], 2)
+        assert res[0].uuid() == 10
+        assert dists[0] == pytest.approx(0.0, abs=1e-3)
+        assert all(0 <= d <= 2.0001 for d in dists)
+
+    def test_update_skips_dupes_with_warning(self):
+        elems = _clustered(n_clusters=2, per=10, seed=4)
+        i = IvfNearestNeighborsIndex(n_lists=2, nprobe=2,
+                                     kmeans_iterations=5, random_seed=0)
+        i.build_index(elems)
+        with pytest.warns(UserWarning):
+            i.update_index([elems[0], _elem("new", elems[0].vector())])
+        assert i.count() == len(elems) + 1
+        res, d = i.nn(_elem("q", elems[0].vector()), 2)
+        assert {r.uuid() for r in res} == {elems[0].uuid(), "new"}
+
+    def test_update_on_empty_builds(self):
+        i = IvfNearestNeighborsIndex(n_lists=2, kmeans_iterations=3,
+                                     random_seed=0)
+        i.update_index([_elem(j, [j, j, j, j]) for j in range(8)])
+        assert i.count() == 8
+
+    def test_remove(self):
+        elems = _clustered(n_clusters=2, per=20, seed=5)
+        i = IvfNearestNeighborsIndex(n_lists=2, nprobe=2,
+                                     kmeans_iterations=5, random_seed=0)
+        i.build_index(elems)
+        i.remove_from_index([elems[0].uuid(), elems[1].uuid()])
+        assert i.count() == len(elems) - 2
+        res, _ = i.nn(elems[0], 1)
+        assert res[0].uuid() != elems[0].uuid()
+
+    def test_remove_missing_keyerror_no_mutation(self):
+        elems = _clustered(n_clusters=2, per=5, seed=6)
+        i = IvfNearestNeighborsIndex(n_lists=2, nprobe=2,
+                                     kmeans_iterations=5, random_seed=0)
+        i.build_index(elems)
+        with pytest.raises(KeyError):
+            i.remove_from_index([elems[0].uuid(), "bogus"])
+        assert i.count() == len(elems)
+        res, d = i.nn(elems[0], 1)
+        assert res[0].uuid() == elems[0].uuid()
+
+    def test_read_only(self):
+        i = IvfNearestNeighborsIndex(read_only=True)
+        with pytest.raises(ReadOnlyError):
+            i.build_index([_elem(0, [0, 0])])
+
+    def test_persistence_roundtrip(self):
+        cache = DataMemoryElement()
+        elems = _clustered(n_clusters=4, per=10, seed=7)
+        i = IvfNearestNeighborsIndex(index_element=cache, n_lists=4,
+                                     nprobe=4, kmeans_iterations=5,
+                                     random_seed=0)
+        i.build_index(elems)
+        assert not cache.is_empty()
+
+        i2 = IvfNearestNeighborsIndex(index_element=cache, n_lists=4,
+                                      nprobe=4, random_seed=0)
+        assert i2.count() == len(elems)
+        res, dists = i2.nn(elems[3], 1)
+        assert res[0].uuid() == elems[3].uuid()
+        assert dists[0] == pytest.approx(0.0, abs=1e-4)
+
+    def test_nn_many_batched(self):
+        elems = _clustered(n_clusters=4, per=10, seed=8)
+        i = IvfNearestNeighborsIndex(n_lists=4, nprobe=4,
+                                     kmeans_iterations=5, random_seed=0)
+        i.build_index(elems)
+        results = i.nn_many(elems[:6], 2)
+        assert len(results) == 6
+        for j, (res, dists) in enumerate(results):
+            assert res[0].uuid() == elems[j].uuid()
