@@ -1,0 +1,109 @@
+"""
+Headline benchmark (BASELINE.md config 1): exhaustive flat L2 kNN on
+SIFT1M-shaped data (1M x 128-d float32, k=10) — the configuration the
+reference serves through CPU-FAISS 'IDMap,Flat'
+(/root/reference/smqtk_indexing/impls/nn_index/faiss.py:190).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+value    = TPU queries/second through the fused scan+top-k program
+           (ops/scan.flat_topk) at batch 64, database resident in HBM.
+baseline = host (numpy/BLAS, this machine) exhaustive scan QPS on the same
+           data — the stand-in for CPU-FAISS Flat, which is not installed
+           here (BASELINE.json "published": {}). Measured on a 1/8 subsample
+           and scaled linearly (exhaustive scan cost is linear in N); the
+           scan itself (sgemm + argpartition) is the same work FAISS Flat
+           does per query.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N = 1_000_000
+DIM = 128
+K = 10
+BATCH = 64
+WARMUP = 2
+ITERS = 10
+HOST_SUBSAMPLE = N // 8
+HOST_ITERS = 3
+
+
+def _host_scan_qps(db: np.ndarray, q: np.ndarray) -> float:
+    """Exhaustive L2 top-k on host BLAS (the CPU-FAISS-Flat stand-in)."""
+    db_sq = np.einsum("ij,ij->i", db, db)
+    t0 = time.perf_counter()
+    for _ in range(HOST_ITERS):
+        ip = q @ db.T
+        d2 = db_sq[None, :] - 2.0 * ip
+        idx = np.argpartition(d2, K, axis=1)[:, :K]
+        part = np.take_along_axis(d2, idx, axis=1)
+        np.take_along_axis(idx, np.argsort(part, axis=1), axis=1)
+    dt = time.perf_counter() - t0
+    return HOST_ITERS * q.shape[0] / dt
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from smqtk_indexing_tpu.ops.scan import flat_topk
+
+    from smqtk_indexing_tpu.ops.device import capacity_for
+
+    rng = np.random.default_rng(0)
+    # SIFT-like: non-negative, roughly uniform magnitude 0..218.
+    db = (rng.random((N, DIM), dtype=np.float32) * 218.0)
+    q = (rng.random((BATCH, DIM), dtype=np.float32) * 218.0)
+    db_sq = np.einsum("ij,ij->i", db, db).astype(np.float32)
+
+    # Pad rows to the store's capacity quantum (chunk-divisible), masking
+    # the tail — the same layout VectorStore uploads.
+    n_pad = capacity_for(N)
+    db_p = np.zeros((n_pad, DIM), dtype=np.float32)
+    db_p[:N] = db
+    sq_p = np.zeros(n_pad, dtype=np.float32)
+    sq_p[:N] = db_sq
+    valid_np = np.zeros(n_pad, dtype=bool)
+    valid_np[:N] = True
+
+    dev = jnp.asarray(db_p)
+    dev_sq = jnp.asarray(sq_p)
+    dev_norm = jnp.sqrt(dev_sq)
+    valid = jnp.asarray(valid_np)
+    qd = jnp.asarray(q)
+
+    # Warmup / compile.
+    for _ in range(WARMUP):
+        d, r = flat_topk(dev, dev_sq, dev_norm, valid, qd, k=16)
+        d.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        d, r = flat_topk(dev, dev_sq, dev_norm, valid, qd, k=16)
+        d.block_until_ready()
+    dt = time.perf_counter() - t0
+    tpu_qps = ITERS * BATCH / dt
+
+    # Sanity: self-queries must return themselves (run once, not timed).
+    dd, rr = flat_topk(dev, dev_sq, dev_norm, valid,
+                       jnp.asarray(db[:BATCH]), k=16)
+    rr0 = np.asarray(rr)[:, 0]
+    assert np.array_equal(rr0, np.arange(BATCH)), "self-query recall failed"
+
+    host_qps_sub = _host_scan_qps(db[:HOST_SUBSAMPLE], q)
+    host_qps = host_qps_sub * HOST_SUBSAMPLE / N
+
+    print(json.dumps({
+        "metric": "sift1m_flat_l2_knn_qps_b64",
+        "value": round(tpu_qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(tpu_qps / host_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""
+Mesh construction and row-sharding helpers.
+
+One logical axis ("shard") covers the whole slice: flat/Hamming/IVF scans
+are embarrassingly row-parallel, so a 1-D mesh maximizes the ICI bandwidth
+available to the single k-sized all-gather each query performs. Multi-slice
+(DCN) deployments would add an outer axis with the same per-shard program.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SHARD_AXIS = "shard"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """
+    Build a 1-D mesh over the first ``n_devices`` available devices (all by
+    default).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"Requested {n_devices} devices; only {len(devices)} "
+                "available.")
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (SHARD_AXIS,))
+
+
+def shard_rows(mesh: Mesh, arr: jax.Array) -> jax.Array:
+    """
+    Place an array row-sharded over the mesh (first axis split across
+    ``shard``). Row count must divide evenly (ops/device.capacity_for
+    capacities are powers of two, so any power-of-two mesh divides them).
+    """
+    n_dev = mesh.devices.size
+    if arr.shape[0] % n_dev:
+        raise ValueError(
+            f"Leading dim {arr.shape[0]} not divisible by mesh size "
+            f"{n_dev}.")
+    spec = P(SHARD_AXIS, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, arr: jax.Array) -> jax.Array:
+    """Place an array fully replicated over the mesh."""
+    spec = P(*([None] * arr.ndim))
+    return jax.device_put(arr, NamedSharding(mesh, spec))

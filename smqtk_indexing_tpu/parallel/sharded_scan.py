@@ -1,0 +1,123 @@
+"""
+Row-sharded scan kernels: per-shard fused top-k + ICI all-gather merge.
+
+The SPMD pattern (SURVEY.md §5 "distributed communication backend"): every
+chip scans its own row shard with the exact same single-chip program
+(ops/scan.flat_topk / ops/hamming.hamming_topk), converts local row ids to
+global ids with its shard offset, all-gathers the tiny (devices, B, k)
+result blocks over ICI, and merges with one more top-k — communication is
+O(devices * B * k), independent of N.
+
+``sharded_kmeans_step`` is the distributed trainer step: local partial
+centroid sums/counts + ``psum`` over the shard axis (the classic
+data-parallel reduction, replacing nothing in the reference because the
+reference has no distributed training at all).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from smqtk_indexing_tpu.ops import hamming, scan
+from smqtk_indexing_tpu.ops.kmeans import _assign_block
+from smqtk_indexing_tpu.parallel.mesh import SHARD_AXIS
+
+
+def _merge_topk(d_all: jnp.ndarray, r_all: jnp.ndarray, k: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(S, B, k) per-shard results -> (B, k) global merge (ascending)."""
+    s, b, kk = d_all.shape
+    d_flat = jnp.transpose(d_all, (1, 0, 2)).reshape(b, s * kk)
+    r_flat = jnp.transpose(r_all, (1, 0, 2)).reshape(b, s * kk)
+    neg, sel = jax.lax.top_k(-d_flat, k)
+    return -neg, jnp.take_along_axis(r_flat, sel, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "mesh"))
+def sharded_flat_topk(mesh: Mesh, db, db_sq, db_norm, valid, q, *,
+                      k: int, metric: str = "euclidean"):
+    """
+    Exhaustive top-k over a row-sharded database.
+
+    :param mesh: 1-D device mesh (axis "shard"). All array args must already
+        be placed: db/db_sq/db_norm/valid row-sharded, q replicated.
+    :return: (dists (B, k) ascending, global rows (B, k) int32), replicated.
+    """
+    def local(db_l, sq_l, nm_l, va_l, q_l):
+        d, r = scan.flat_topk(db_l, sq_l, nm_l, va_l, q_l,
+                              k=k, metric=metric)
+        offset = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) \
+            * db_l.shape[0]
+        r = jnp.where(r >= 0, r + offset, r)
+        d_all = jax.lax.all_gather(d, SHARD_AXIS)       # (S, B, k)
+        r_all = jax.lax.all_gather(r, SHARD_AXIS)
+        return _merge_topk(d_all, r_all, k)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(SHARD_AXIS), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(db, db_sq, db_norm, valid, q)
+
+
+@partial(jax.jit, static_argnames=("k", "mesh"))
+def sharded_hamming_topk(mesh: Mesh, db, valid, q, *, k: int):
+    """Row-sharded packed-code Hamming top-k (same merge pattern)."""
+    def local(db_l, va_l, q_l):
+        d, r = hamming.hamming_topk(db_l, va_l, q_l, k=k)
+        offset = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) \
+            * db_l.shape[0]
+        r = jnp.where(r >= 0, r + offset, r)
+        d_all = jax.lax.all_gather(d.astype(jnp.float32), SHARD_AXIS)
+        r_all = jax.lax.all_gather(r, SHARD_AXIS)
+        dm, rm = _merge_topk(d_all, r_all, k)
+        return dm.astype(jnp.int32), rm
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(db, valid, q)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def sharded_kmeans_step(mesh: Mesh, db, valid, centroids):
+    """
+    One data-parallel Lloyd step: each shard assigns its rows to the
+    (replicated) centroids and contributes partial sums/counts; a ``psum``
+    over ICI produces the new replicated centroids.
+
+    :return: (new centroids (C, d) float32 replicated,
+              local assignments (N,) int32 row-sharded).
+    """
+    c_count = centroids.shape[0]
+
+    def local(db_l, va_l, c):
+        x = db_l.astype(jnp.float32)
+        x_sq = jnp.sum(x * x, axis=-1)
+        a = _assign_block(x, x_sq, c.astype(jnp.float32),
+                          jnp.sum(c.astype(jnp.float32) ** 2, axis=-1))
+        w = va_l.astype(jnp.float32)
+        sums = jax.ops.segment_sum(x * w[:, None], a,
+                                   num_segments=c_count)
+        counts = jax.ops.segment_sum(w, a, num_segments=c_count)
+        sums = jax.lax.psum(sums, SHARD_AXIS)
+        counts = jax.lax.psum(counts, SHARD_AXIS)
+        new_c = jnp.where(counts[:, None] > 0,
+                          sums / jnp.maximum(counts[:, None], 1.0),
+                          c.astype(jnp.float32))
+        return new_c, a
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(None, None)),
+        out_specs=(P(None, None), P(SHARD_AXIS)),
+        check_vma=False,
+    )(db, valid, centroids)
