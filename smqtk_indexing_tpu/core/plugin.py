@@ -30,6 +30,7 @@ PLUGIN_ENTRYPOINT_GROUP = "smqtk_plugins"
 # installed packages).
 _BUILTIN_IMPL_MODULES = (
     "smqtk_indexing_tpu.models.nn_index.flat",
+    "smqtk_indexing_tpu.models.nn_index.autotune",
     "smqtk_indexing_tpu.models.nn_index.ivf",
     "smqtk_indexing_tpu.models.nn_index.lsh",
     "smqtk_indexing_tpu.models.nn_index.mrpt",

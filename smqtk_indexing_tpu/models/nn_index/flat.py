@@ -34,6 +34,7 @@ from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
 )
 from smqtk_indexing_tpu.ops.scan import METRICS
 from smqtk_indexing_tpu.ops.store import VectorStore
+from smqtk_indexing_tpu.utils.tracing import COUNTERS, trace_span
 
 LOG = logging.getLogger(__name__)
 
@@ -230,7 +231,8 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
     def _nn_many(self, ds: Sequence[DescriptorElement],
                  n: int = 1) -> List[NNResult]:
         q = np.vstack([d.vector() for d in ds]).astype(np.float32)
-        with self._model_lock:
+        with self._model_lock, trace_span("flat.query"):
+            COUNTERS.add("flat.queries", len(ds))
             dists, uid_lists, _ = self._store.knn(q, n, metric=self.metric)
             out: List[NNResult] = []
             for b, uids in enumerate(uid_lists):

@@ -42,6 +42,7 @@ from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
 from smqtk_indexing_tpu.ops.device import capacity_for, pad_dim, pad_rows_np
 from smqtk_indexing_tpu.ops.ivf import METRICS, ivf_query
 from smqtk_indexing_tpu.ops.kmeans import kmeans_assign, kmeans_lloyd
+from smqtk_indexing_tpu.utils.tracing import COUNTERS, trace_span
 
 LOG = logging.getLogger(__name__)
 
@@ -356,7 +357,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             mat = np.vstack([by_uid[u].vector() for u in uids]) \
                 .astype(np.float32)
             self._dim = int(mat.shape[1])
-            self._centroids_np = self._train_centroids(mat)
+            with trace_span("ivf.train"):
+                self._centroids_np = self._train_centroids(mat)
             assigns = self._assign(mat)
             self._layout(mat, uids, assigns)
             self.descriptor_set.clear()
@@ -445,6 +447,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             k_eff = min(n, self._n_live)
             k_dev = min(_pow2_at_least(k_eff), self._capacity)
             nprobe = min(self.nprobe, self._centroids_np.shape[0])
+            COUNTERS.add("ivf.queries", b)
+            COUNTERS.add("ivf.probed_lists", b * nprobe)
+            COUNTERS.add("ivf.candidates_scanned",
+                         b * nprobe * self._l_max)
             dists, rows = ivf_query(
                 self._dev, self._dev_sq, self._dev_norm, self._dev_valid,
                 self._dev_centroids, self._dev_offsets, self._dev_lens,

@@ -48,6 +48,8 @@ from smqtk_indexing_tpu.models.hash_index.linear import LinearHashIndex
 from smqtk_indexing_tpu.utils.bits import (
     bit_vector_to_int_large, int_to_bit_vector_large,
 )
+from smqtk_indexing_tpu.utils.tracing import COUNTERS, trace_span
+
 LOG = logging.getLogger(__name__)
 
 VALID_DISTANCES = ("euclidean", "cosine", "hik")
@@ -333,6 +335,8 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
                         cand_uids.append(u)
             LOG.debug("Query: %d near codes -> %d candidate UIDs",
                       len(near_codes), len(cand_uids))
+            COUNTERS.add("lsh.queries")
+            COUNTERS.add("lsh.candidates", len(cand_uids))
 
             cand_elems = list(
                 self.descriptor_set.get_many_descriptors(cand_uids))

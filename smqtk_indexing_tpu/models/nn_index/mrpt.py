@@ -36,6 +36,7 @@ from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
 )
 from smqtk_indexing_tpu.ops.device import capacity_for, pad_dim, pad_rows_np
 from smqtk_indexing_tpu.ops.mrpt import build_trees, mrpt_query, project_all
+from smqtk_indexing_tpu.utils.tracing import COUNTERS, trace_span
 
 LOG = logging.getLogger(__name__)
 
@@ -355,6 +356,9 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
             q_p = pad_rows_np(q, b_pad, d_pad)
             k_eff = min(n, self.count())
             k_dev = min(_pow2_at_least(k_eff), self._capacity)
+            COUNTERS.add("mrpt.queries", b)
+            COUNTERS.add("mrpt.candidates_examined",
+                         b * self.num_trees * self._leaf_max)
             dists, rows = mrpt_query(
                 self._dev, self._dev_sq, self._dev_valid, self._dev_bases,
                 self._dev_splits, self._dev_leaf, self._dev_offsets,

@@ -31,6 +31,10 @@ from smqtk_indexing_tpu.utils import bits as bits_util
 #: Rows per streamed block (codes are narrow, so blocks can be large).
 DEFAULT_CHUNK = 262144
 
+#: Below this many live codes the host popcount scan (native C++ when
+#: available) beats the device program's launch/transfer latency.
+HOST_SCAN_MAX = 2048
+
 #: Sentinel distance for invalid (masked / padded) rows. Larger than any
 #: real Hamming distance (codes are at most a few thousand bits).
 _INVALID = jnp.int32(2 ** 30)
@@ -313,11 +317,23 @@ class CodeStore:
                 [q_packed,
                  np.zeros((b_pad - b, q_packed.shape[1]), dtype=np.uint32)])
         k_eff = min(k, n_live)
-        k_dev = min(_pow2_at_least(k_eff), cap)
-        dists, rows = hamming_topk(dev, dev_valid, jnp.asarray(q_packed),
-                                   k=k_dev)
-        dists = np.asarray(dists)[:b, :k_eff]
-        rows = np.asarray(rows)[:b, :k_eff]
+        with self._lock:
+            host_rows = self._host.shape[0]
+        if host_rows <= HOST_SCAN_MAX:
+            # Tiny index: device round-trip latency dominates; run the
+            # native (C++) host scan over the host mirror. Tie order
+            # matches the device path (distance then row ascending).
+            from smqtk_indexing_tpu import native
+            with self._lock:
+                h_db, h_valid = self._host, self._valid_host
+            dists, rows = native.hamming_topk(
+                h_db, h_valid, q_packed[:b], k_eff)
+        else:
+            k_dev = min(_pow2_at_least(k_eff), cap)
+            dists, rows = hamming_topk(dev, dev_valid,
+                                       jnp.asarray(q_packed), k=k_dev)
+            dists = np.asarray(dists)[:b, :k_eff]
+            rows = np.asarray(rows)[:b, :k_eff]
         with self._lock:
             host = self._host
         sel = host[rows.reshape(-1)]

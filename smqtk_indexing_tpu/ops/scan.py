@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-METRICS = ("euclidean", "inner_product", "cosine", "hik")
+METRICS = ("euclidean", "inner_product", "cosine", "hik", "chi_square")
 
 #: Rows per streamed block. Must divide every device capacity, which
 #: ops.device.capacity_for guarantees (capacities are 1024 * 2^m).
@@ -42,6 +42,15 @@ def _chunk_scores(metric: str, q: jnp.ndarray, q_norm: jnp.ndarray,
         # No matmul form exists: elementwise min on the VPU.
         return 1.0 - jnp.sum(
             jnp.minimum(q[:, None, :], x[None, :, :]), axis=-1)
+    if metric == "chi_square":
+        # Chi-square histogram distance (FLANN's CS_DISTANCE semantics as
+        # exposed by the reference wrapper,
+        # /root/reference/smqtk_indexing/impls/nn_index/flann.py:96-100):
+        # sum over bins of (a-b)^2 / (a+b), empty bins contributing 0.
+        s = q[:, None, :] + x[None, :, :]
+        dlt = q[:, None, :] - x[None, :, :]
+        return jnp.sum(jnp.where(s > 0, dlt * dlt / jnp.where(s > 0, s, 1.0),
+                                 0.0), axis=-1)
     # precision=HIGHEST: the TPU MXU's default f32 matmul truncates inputs
     # to bf16, whose ~8-bit mantissa on O(||x||^2)-magnitude scores corrupts
     # the surrogate *ranking* (true neighbors drop out of the top-k before
@@ -176,6 +185,11 @@ def rerank_exact(metric: str, q: jnp.ndarray,
         return 2.0 * jnp.arccos(sim) / math.pi
     if metric == "hik":
         return 1.0 - jnp.sum(jnp.minimum(qb, cand), axis=-1)
+    if metric == "chi_square":
+        s = qb + cand
+        dlt = qb - cand
+        return jnp.sum(jnp.where(s > 0, dlt * dlt / jnp.where(s > 0, s, 1.0),
+                                 0.0), axis=-1)
     if metric == "inner_product":
         return -jnp.sum(cand * qb, axis=-1)
     raise ValueError(f"Unknown metric '{metric}'.")
