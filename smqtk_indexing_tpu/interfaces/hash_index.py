@@ -74,6 +74,25 @@ class HashIndex (Configurable, Pluggable):
             raise ValueError("No index currently set to query from!")
         return self._nn(h, n)
 
+    def nn_many(self, hs: np.ndarray, n: int = 1
+                ) -> "list[Tuple[np.ndarray, Tuple[float, ...]]]":
+        """
+        Batched near-code query: one (codes, distances) result per row of
+        the (B, bits) boolean query matrix. Device-backed implementations
+        execute this as a single program launch; semantics per row match
+        ``nn``.
+
+        :raises ValueError: The index is empty.
+        """
+        if not self.count():
+            raise ValueError("No index currently set to query from!")
+        return self._nn_many(np.atleast_2d(np.asarray(hs)), n)
+
+    def _nn_many(self, hs: np.ndarray, n: int = 1
+                 ) -> "list[Tuple[np.ndarray, Tuple[float, ...]]]":
+        """Default batched query: loop the scalar hook."""
+        return [self._nn(h, n) for h in hs]
+
     @abc.abstractmethod
     def count(self) -> int:
         """:return: Number of unique hash codes currently indexed."""

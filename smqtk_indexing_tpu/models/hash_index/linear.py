@@ -119,6 +119,15 @@ class LinearHashIndex (HashIndex):
             self._store.remove(mat)
             self._save_cache()
 
+
+    def _nn_many(self, hs, n: int = 1):
+        hs = np.atleast_2d(np.asarray(hs)).astype(bool)
+        with self._model_lock:
+            dists, codes = self._store.knn(hs, n)
+        bits = hs.shape[1]
+        return [(codes[i], tuple(float(d) / bits for d in dists[i]))
+                for i in range(hs.shape[0])]
+
     def _nn(self, h: np.ndarray, n: int = 1
             ) -> Tuple[np.ndarray, Tuple[float, ...]]:
         h = np.asarray(h).astype(bool).reshape(1, -1)

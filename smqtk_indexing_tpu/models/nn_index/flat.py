@@ -93,6 +93,7 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         metric: str = "euclidean",
         dtype: str = "float32",
         read_only: bool = False,
+        n_devices: Optional[int] = None,
     ):
         super().__init__()
         if metric not in METRICS:
@@ -104,10 +105,20 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         self.metric = metric
         self.dtype = dtype
         self.read_only = bool(read_only)
+        self.n_devices = n_devices
 
         self._model_lock = threading.RLock()
-        self._store = VectorStore(dtype=dtype)
+        self._store = VectorStore(dtype=dtype, mesh=self._make_mesh())
         self._load_index()
+
+    def _make_mesh(self):
+        """Row-shard across a device mesh when multi-device is requested
+        (the reference has no distributed path at all — SURVEY.md §2.6;
+        this is the slice-scaling design of parallel/)."""
+        if self.n_devices is None or self.n_devices <= 1:
+            return None
+        from smqtk_indexing_tpu.parallel.mesh import make_mesh
+        return make_mesh(self.n_devices)
 
     def get_config(self) -> Dict[str, Any]:
         c = self.get_default_config()
@@ -119,6 +130,7 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         c["metric"] = self.metric
         c["dtype"] = self.dtype
         c["read_only"] = self.read_only
+        c["n_devices"] = self.n_devices
         return c
 
     # ------------------------------------------------------------------
@@ -184,7 +196,8 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
             uids = list(by_uid.keys())
             mat = np.vstack([by_uid[u].vector() for u in uids]) \
                 .astype(np.float32)
-            new_store = VectorStore(dtype=self.dtype)
+            new_store = VectorStore(dtype=self.dtype,
+                                    mesh=self._make_mesh())
             new_store.build(mat, uids)
             # Atomic swap once device arrays are ready.
             self._store = new_store

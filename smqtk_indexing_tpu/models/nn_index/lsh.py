@@ -83,6 +83,14 @@ def _rerank(q: jnp.ndarray, cand: jnp.ndarray, valid: jnp.ndarray,
     return d[order], order
 
 
+@partial(jax.jit, static_argnames=("metric",))
+def _rerank_batch(q: jnp.ndarray, cand: jnp.ndarray, valid: jnp.ndarray,
+                  metric: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched exact re-rank: vmap of :func:`_rerank` over the queries."""
+    return jax.vmap(lambda a, b, c: _rerank(a, b, c, metric))(q, cand,
+                                                              valid)
+
+
 def _pow2_at_least(x: int, lo: int = 8) -> int:
     p = lo
     while p < x:
@@ -316,6 +324,62 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
         hi.build_index(
             np.vstack([int_to_bit_vector_large(c, bits) for c in keys]))
         return hi
+
+    def _nn_many(self, ds: Sequence[DescriptorElement],
+                 n: int = 1) -> List[NNResult]:
+        """
+        Batched query: one hashing program for all queries, one batched
+        near-code scan, one padded re-rank program — amortizing device
+        launches across the batch (the reference processes queries one at a
+        time end to end).
+        """
+        with self._model_lock, trace_span("lsh.query_batch"):
+            q_mat = np.vstack([d.vector() for d in ds]).astype(np.float32)
+            q_codes = self.lsh_functor.get_hash_batch(q_mat)
+            bits = q_codes.shape[1]
+            hi = self._choose_hash_index(bits)
+            try:
+                near_per_q = hi.nn_many(q_codes, n)
+            except AttributeError:  # pragma: no cover - legacy HashIndex
+                near_per_q = [hi.nn(c, n) for c in q_codes]
+
+            cand_elems_per_q = []
+            for near_codes, _ in near_per_q:
+                cand_uids: List[Hashable] = []
+                seen: Set[Hashable] = set()
+                for code in near_codes:
+                    c_int = bit_vector_to_int_large(code)
+                    for u in self.hash2uuids_kvstore.get(c_int, set()):
+                        if u not in seen:
+                            seen.add(u)
+                            cand_uids.append(u)
+                cand_elems_per_q.append(list(
+                    self.descriptor_set.get_many_descriptors(cand_uids)))
+            COUNTERS.add("lsh.queries", len(ds))
+            COUNTERS.add("lsh.candidates",
+                         sum(len(c) for c in cand_elems_per_q))
+
+            d_dim = q_mat.shape[1]
+            m_pad = _pow2_at_least(max(len(c) for c in cand_elems_per_q))
+            cand = np.zeros((len(ds), m_pad, d_dim), dtype=np.float32)
+            valid = np.zeros((len(ds), m_pad), dtype=bool)
+            for i, elems in enumerate(cand_elems_per_q):
+                if elems:
+                    cand[i, :len(elems)] = np.vstack(
+                        [e.vector() for e in elems])
+                    valid[i, :len(elems)] = True
+            dists, order = _rerank_batch(
+                jnp.asarray(q_mat), jnp.asarray(cand), jnp.asarray(valid),
+                self.distance_method)
+            dists = np.asarray(dists)
+            order = np.asarray(order)
+
+        out: List[NNResult] = []
+        for i, elems in enumerate(cand_elems_per_q):
+            k = min(n, len(elems))
+            out.append((tuple(elems[j] for j in order[i, :k]),
+                        tuple(float(x) for x in dists[i, :k])))
+        return out
 
     def _nn(self, d: DescriptorElement, n: int = 1) -> NNResult:
         with self._model_lock:

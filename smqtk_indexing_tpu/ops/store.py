@@ -44,10 +44,18 @@ class VectorStore:
     /root/reference/smqtk_indexing/interfaces/nearest_neighbor_index.py:22-24).
     """
 
-    def __init__(self, dtype: str = "float32"):
+    def __init__(self, dtype: str = "float32", mesh=None):
+        """
+        :param mesh: Optional 1-D ``jax.sharding.Mesh`` — when given, device
+            arrays are row-sharded across it and queries run the per-shard
+            scan + ICI all-gather merge (parallel/sharded_scan.py). Mesh
+            sizes are powers of two, so they always divide the capacity
+            quantum.
+        """
         if dtype not in _DTYPES:
             raise ValueError(f"dtype must be one of {sorted(_DTYPES)}")
         self._dtype_name = dtype
+        self._mesh = mesh
         self._lock = threading.RLock()
         self._clear_state()
 
@@ -206,9 +214,20 @@ class VectorStore:
         self._dev_sq = jnp.asarray(sq)
         self._dev_norm = jnp.sqrt(self._dev_sq)
         self._dev_valid = jnp.asarray(valid)
+        if self._mesh is not None:
+            from smqtk_indexing_tpu.parallel.mesh import shard_rows
+            self._dev = shard_rows(self._mesh, self._dev)
+            self._dev_sq = shard_rows(self._mesh, self._dev_sq)
+            self._dev_norm = shard_rows(self._mesh, self._dev_norm)
+            self._dev_valid = shard_rows(self._mesh, self._dev_valid)
 
     def _upload_rows(self, start: int, mat: np.ndarray) -> None:
         """Incremental append of rows [start, start+len(mat)) on device."""
+        if self._mesh is not None:
+            # Sharded arrays re-place wholesale (dynamic_update_slice would
+            # drop the sharding); mutation rate is low relative to queries.
+            self._upload_full()
+            return
         d_pad = pad_dim(self._dim)  # type: ignore[arg-type]
         block = pad_rows_np(mat, mat.shape[0], d_pad)
         dev_dtype = _DTYPES[self._dtype_name]
@@ -227,6 +246,9 @@ class VectorStore:
         valid = np.zeros(self._capacity, dtype=bool)
         valid[:len(self._valid_host)] = self._valid_host
         self._dev_valid = jnp.asarray(valid)
+        if self._mesh is not None:
+            from smqtk_indexing_tpu.parallel.mesh import shard_rows
+            self._dev_valid = shard_rows(self._mesh, self._dev_valid)
 
     # ------------------------------------------------------------------
     # query
@@ -262,9 +284,19 @@ class VectorStore:
         # distinct user n values reuse compiled programs; trim host-side.
         k_dev = min(_pow2_at_least(k_eff, 1), cap)
 
-        dists, rows = scan.flat_topk(
-            dev, dev_sq, dev_norm, dev_valid, jnp.asarray(q_pad),
-            k=k_dev, metric=metric)
+        if self._mesh is not None:
+            from smqtk_indexing_tpu.parallel.mesh import replicate
+            from smqtk_indexing_tpu.parallel.sharded_scan import (
+                sharded_flat_topk,
+            )
+            dists, rows = sharded_flat_topk(
+                self._mesh, dev, dev_sq, dev_norm, dev_valid,
+                replicate(self._mesh, jnp.asarray(q_pad)),
+                k=k_dev, metric=metric)
+        else:
+            dists, rows = scan.flat_topk(
+                dev, dev_sq, dev_norm, dev_valid, jnp.asarray(q_pad),
+                k=k_dev, metric=metric)
         dists = np.asarray(dists)[:b, :k_eff]
         rows = np.asarray(rows)[:b, :k_eff]
         uid_lists = [[row2uid[r] for r in row] for row in rows]

@@ -48,8 +48,16 @@ def sharded_flat_topk(mesh: Mesh, db, db_sq, db_norm, valid, q, *,
     :return: (dists (B, k) ascending, global rows (B, k) int32), replicated.
     """
     def local(db_l, sq_l, nm_l, va_l, q_l):
+        # A shard may hold fewer than k rows; select what exists and pad.
+        k_loc = min(k, db_l.shape[0])
         d, r = scan.flat_topk(db_l, sq_l, nm_l, va_l, q_l,
-                              k=k, metric=metric)
+                              k=k_loc, metric=metric)
+        if k_loc < k:
+            b = q_l.shape[0]
+            d = jnp.concatenate(
+                [d, jnp.full((b, k - k_loc), jnp.inf, jnp.float32)], axis=1)
+            r = jnp.concatenate(
+                [r, jnp.full((b, k - k_loc), -1, jnp.int32)], axis=1)
         offset = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) \
             * db_l.shape[0]
         r = jnp.where(r >= 0, r + offset, r)
@@ -70,7 +78,14 @@ def sharded_flat_topk(mesh: Mesh, db, db_sq, db_norm, valid, q, *,
 def sharded_hamming_topk(mesh: Mesh, db, valid, q, *, k: int):
     """Row-sharded packed-code Hamming top-k (same merge pattern)."""
     def local(db_l, va_l, q_l):
-        d, r = hamming.hamming_topk(db_l, va_l, q_l, k=k)
+        k_loc = min(k, db_l.shape[0])
+        d, r = hamming.hamming_topk(db_l, va_l, q_l, k=k_loc)
+        if k_loc < k:
+            b = q_l.shape[0]
+            d = jnp.concatenate(
+                [d, jnp.full((b, k - k_loc), 2 ** 30, jnp.int32)], axis=1)
+            r = jnp.concatenate(
+                [r, jnp.full((b, k - k_loc), -1, jnp.int32)], axis=1)
         offset = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) \
             * db_l.shape[0]
         r = jnp.where(r >= 0, r + offset, r)

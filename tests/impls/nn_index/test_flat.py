@@ -253,3 +253,58 @@ class TestFlatPersistence (unittest.TestCase):
         idx = FlatNearestNeighborsIndex(index_element=elem)
         with pytest.raises(ReadOnlyError):
             idx.build_index([_mk(0, [1.0])])
+
+
+class TestShardedFlat:
+    """Multi-device flat index (n_devices) on the 8-virtual-CPU mesh."""
+
+    def _elems(self, n=200, d=32, seed=0):
+        import numpy as np
+        from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+        rng = np.random.default_rng(seed)
+        return [DescriptorMemoryElement(j, rng.normal(size=d).astype(np.float32))
+                for j in range(n)]
+
+    def test_sharded_matches_single(self):
+        import numpy as np
+        import pytest
+        from smqtk_indexing_tpu.models.nn_index.flat import (
+            FlatNearestNeighborsIndex,
+        )
+        elems = self._elems()
+        single = FlatNearestNeighborsIndex()
+        multi = FlatNearestNeighborsIndex(n_devices=8)
+        single.build_index(elems)
+        multi.build_index(elems)
+        for j in (0, 57, 199):
+            r1, d1 = single.nn(elems[j], 5)
+            r8, d8 = multi.nn(elems[j], 5)
+            assert [e.uuid() for e in r8] == [e.uuid() for e in r1]
+            np.testing.assert_allclose(d8, d1, atol=1e-5)
+
+    def test_sharded_mutation(self):
+        import numpy as np
+        from smqtk_indexing_tpu.models.nn_index.flat import (
+            FlatNearestNeighborsIndex,
+        )
+        from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+        elems = self._elems(64, 16, seed=1)
+        i = FlatNearestNeighborsIndex(n_devices=8)
+        i.build_index(elems)
+        i.update_index([DescriptorMemoryElement("new", np.full(16, 9.0, np.float32))])
+        r, d = i.nn(DescriptorMemoryElement("q", np.full(16, 9.0, np.float32)), 1)
+        assert r[0].uuid() == "new"
+        i.remove_from_index(["new"])
+        r, d = i.nn(DescriptorMemoryElement("q", np.full(16, 9.0, np.float32)), 1)
+        assert r[0].uuid() != "new"
+
+    def test_sharded_config_roundtrip(self):
+        from smqtk_indexing_tpu.core.configuration import (
+            configuration_test_helper,
+        )
+        from smqtk_indexing_tpu.models.nn_index.flat import (
+            FlatNearestNeighborsIndex,
+        )
+        i = FlatNearestNeighborsIndex(n_devices=8)
+        for inst in configuration_test_helper(i):
+            assert inst.n_devices == 8

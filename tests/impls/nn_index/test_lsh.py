@@ -198,3 +198,26 @@ class TestLshIndex:
         assert res[0].uuid() == "0-0"
         # All top-5 from the query's own cluster.
         assert all(r.uuid().startswith("0-") for r in res)
+
+
+class TestLshBatched:
+    def test_nn_many_matches_nn(self):
+        rng = np.random.default_rng(11)
+        elems = [_elem(j, rng.normal(size=16)) for j in range(100)]
+        i = _mk_index(distance_method="euclidean")
+        i.build_index(elems)
+        batch = i.nn_many(elems[:8], 4)
+        for j, (res, dists) in enumerate(batch):
+            r1, d1 = i.nn(elems[j], 4)
+            assert [e.uuid() for e in res] == [e.uuid() for e in r1]
+            np.testing.assert_allclose(dists, d1, atol=1e-5)
+
+    def test_nn_many_with_hash_index(self):
+        rng = np.random.default_rng(12)
+        elems = [_elem(j, rng.normal(size=16)) for j in range(64)]
+        i = _mk_index(distance_method="cosine", hash_index=LinearHashIndex())
+        i.build_index(elems)
+        batch = i.nn_many(elems[:4], 3)
+        assert len(batch) == 4
+        for j, (res, dists) in enumerate(batch):
+            assert res[0].uuid() == j
