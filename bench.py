@@ -76,24 +76,35 @@ def main() -> None:
     valid = jnp.asarray(valid_np)
     qd = jnp.asarray(q)
 
+    # Flagship path: the fused Pallas stage-1 kernel when on real TPU.
+    use_fused = jax.default_backend() == "tpu"
+    if use_fused:
+        from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused
+        dev_t = jnp.asarray(np.ascontiguousarray(db_p.T))
+
+        def run(qb):
+            return flat_topk_fused(dev, dev_sq, valid, qb, k=16,
+                                   db_t=dev_t)
+    else:  # pragma: no cover - CPU smoke path
+        def run(qb):
+            return flat_topk(dev, dev_sq, dev_norm, valid, qb, k=16)
+
     # Warmup / compile. NOTE: results must be materialized to host —
     # block_until_ready does not reliably block through tunneled backends.
     for _ in range(WARMUP):
-        d, r = flat_topk(dev, dev_sq, dev_norm, valid, qd, k=16)
+        d, r = run(qd)
         np.asarray(d)
 
     # Throughput: pipeline dispatches (serving-style), materialize all.
     t0 = time.perf_counter()
-    outs = [flat_topk(dev, dev_sq, dev_norm, valid, qd, k=16)
-            for _ in range(ITERS)]
+    outs = [run(qd) for _ in range(ITERS)]
     for d, r in outs:
         np.asarray(d)
     dt = time.perf_counter() - t0
     tpu_qps = ITERS * BATCH / dt
 
     # Sanity: self-queries must return themselves (run once, not timed).
-    dd, rr = flat_topk(dev, dev_sq, dev_norm, valid,
-                       jnp.asarray(db[:BATCH]), k=16)
+    dd, rr = run(jnp.asarray(db[:BATCH]))
     rr0 = np.asarray(rr)[:, 0]
     assert np.array_equal(rr0, np.arange(BATCH)), "self-query recall failed"
 

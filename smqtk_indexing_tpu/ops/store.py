@@ -59,6 +59,22 @@ class VectorStore:
         self._lock = threading.RLock()
         self._clear_state()
 
+    def _fused_eligible(self, metric: str) -> bool:
+        """Use the Pallas fused kernel (ops/pallas_scan.py): single real
+        TPU chip, euclidean metric, capacity tiled for the kernel. Costs a
+        persistent transposed copy of the database in HBM."""
+        import os
+        if os.environ.get("SMQTK_TPU_NO_FUSED"):
+            return False
+        from smqtk_indexing_tpu.ops.pallas_scan import TILE_N
+        try:
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover
+            return False
+        return (metric == "euclidean" and self._mesh is None
+                and backend == "tpu" and self._capacity >= TILE_N
+                and self._capacity % TILE_N == 0)
+
     # ------------------------------------------------------------------
     # state
     # ------------------------------------------------------------------
@@ -71,6 +87,7 @@ class VectorStore:
         self._n_live = 0
         # device side
         self._dev = None
+        self._dev_t = None   # transposed copy for the fused TPU kernel
         self._dev_sq = None
         self._dev_norm = None
         self._dev_valid = None
@@ -214,6 +231,7 @@ class VectorStore:
         self._dev_sq = jnp.asarray(sq)
         self._dev_norm = jnp.sqrt(self._dev_sq)
         self._dev_valid = jnp.asarray(valid)
+        self._dev_t = None  # rebuilt lazily on the first fused query
         if self._mesh is not None:
             from smqtk_indexing_tpu.parallel.mesh import shard_rows
             self._dev = shard_rows(self._mesh, self._dev)
@@ -229,6 +247,7 @@ class VectorStore:
             self._upload_full()
             return
         d_pad = pad_dim(self._dim)  # type: ignore[arg-type]
+        self._dev_t = None  # transposed mirror is stale after row writes
         block = pad_rows_np(mat, mat.shape[0], d_pad)
         dev_dtype = _DTYPES[self._dtype_name]
         self._dev = jax.lax.dynamic_update_slice(
@@ -293,6 +312,15 @@ class VectorStore:
                 self._mesh, dev, dev_sq, dev_norm, dev_valid,
                 replicate(self._mesh, jnp.asarray(q_pad)),
                 k=k_dev, metric=metric)
+        elif self._fused_eligible(metric):
+            from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused
+            with self._lock:
+                if self._dev_t is None:
+                    self._dev_t = jnp.asarray(self._dev.T)
+                dev_t = self._dev_t
+            dists, rows = flat_topk_fused(
+                dev, dev_sq, dev_valid, jnp.asarray(q_pad), k=k_dev,
+                db_t=dev_t)
         else:
             dists, rows = scan.flat_topk(
                 dev, dev_sq, dev_norm, dev_valid, jnp.asarray(q_pad),

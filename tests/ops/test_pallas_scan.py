@@ -1,0 +1,77 @@
+"""
+Pallas fused scan kernel tests (interpret mode on CPU; the real-TPU path is
+exercised by bench.py and the verify drives).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from smqtk_indexing_tpu.ops.pallas_scan import TILE_N, flat_topk_fused
+
+MIN_N = TILE_N  # smallest db the fused kernel accepts
+from smqtk_indexing_tpu.ops.scan import flat_topk
+
+
+def _mk(n, d, b, seed=0):
+    rng = np.random.default_rng(seed)
+    db = rng.normal(size=(n, d)).astype(np.float32) * 3
+    sq = np.einsum("ij,ij->i", db, db).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32) * 3
+    return db, sq, q
+
+
+def test_fused_matches_reference_scan():
+    n, d, b, k = 2 * MIN_N, 128, 8, 10
+    db, sq, q = _mk(n, d, b)
+    valid = np.ones(n, dtype=bool)
+    d_ref, r_ref = flat_topk(jnp.asarray(db), jnp.asarray(sq),
+                             jnp.asarray(np.sqrt(sq)), jnp.asarray(valid),
+                             jnp.asarray(q), k=k)
+    d_fused, r_fused = flat_topk_fused(
+        jnp.asarray(db), jnp.asarray(sq), jnp.asarray(valid),
+        jnp.asarray(q), k=k, interpret=True)
+    assert np.array_equal(np.asarray(r_fused), np.asarray(r_ref))
+    np.testing.assert_allclose(np.asarray(d_fused), np.asarray(d_ref),
+                               atol=1e-4)
+
+
+def test_fused_exact_vs_numpy_float64():
+    n, d, b, k = MIN_N, 64, 8, 5
+    db, sq, q = _mk(n, d, b, seed=1)
+    valid = np.ones(n, dtype=bool)
+    d_fused, r_fused = flat_topk_fused(
+        jnp.asarray(db), jnp.asarray(sq), jnp.asarray(valid),
+        jnp.asarray(q), k=k, interpret=True)
+    d2 = ((q.astype(np.float64)[:, None, :]
+           - db.astype(np.float64)[None, :, :]) ** 2).sum(-1)
+    ref_rows = np.argsort(d2, axis=1)[:, :k]
+    assert np.array_equal(np.asarray(r_fused), ref_rows)
+
+
+def test_fused_respects_valid_mask():
+    n, d, b = MIN_N, 64, 8
+    db, sq, q = _mk(n, d, b, seed=2)
+    valid = np.zeros(n, dtype=bool)
+    valid[37] = True
+    q2 = np.vstack([db[37] + 0.001] + [q[1:]]).astype(np.float32)
+    d_fused, r_fused = flat_topk_fused(
+        jnp.asarray(db), jnp.asarray(sq), jnp.asarray(valid),
+        jnp.asarray(q2), k=4, interpret=True)
+    r = np.asarray(r_fused)
+    assert np.all(r[:, 0] == 37)
+    assert np.all(r[:, 1:] == -1)
+    assert np.all(np.isinf(np.asarray(d_fused)[:, 1:]))
+
+
+def test_fused_duplicate_heavy_data():
+    # Many identical rows: distances must still be valid (ties arbitrary).
+    n, d, b, k = MIN_N, 32, 8, 8
+    db = np.tile(np.arange(32, dtype=np.float32), (n, 1))
+    db[100] += 0.5
+    sq = np.einsum("ij,ij->i", db, db).astype(np.float32)
+    q = db[:b].copy()
+    d_fused, r_fused = flat_topk_fused(
+        jnp.asarray(db), jnp.asarray(sq), jnp.asarray(np.ones(n, bool)),
+        jnp.asarray(q), k=k, interpret=True)
+    assert np.allclose(np.asarray(d_fused)[1:, :], 0.0, atol=1e-5)
