@@ -1,0 +1,230 @@
+"""
+Full benchmark table for the BASELINE.md configurations. Prints one JSON
+line per measurement (bench.py remains the single-line headline the driver
+consumes).
+
+Configs (synthetic data at the published shapes; drop real .fvecs files in
+$SMQTK_TPU_DATA to use them via native.read_vecs — column `dataset` says
+which was used):
+
+1. Exhaustive flat L2, SIFT1M-shaped (1M x 128): exact QPS (see bench.py).
+2. ItqFunctor 256-bit + LinearHashIndex, SIFT1M-shaped: ITQ fit wall time
+   (target < 60s), batched hash throughput, Hamming lookup p50, end-to-end
+   LSH recall@10 vs exact.
+3. IVF (4096 lists), Deep1M-shaped (1M x 96): nprobe sweep recall@10 + QPS.
+4. MRPT, GIST1M-shaped (256K x 960): build time, recall@10 + QPS.
+5. Sharded flat over an 8-device mesh: exercised functionally by
+   __graft_entry__.dryrun_multichip (no multi-chip hardware here).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def emit(**kw) -> None:
+    print(json.dumps(kw), flush=True)
+
+
+def _load_or_make(name: str, n: int, d: int, scale: float,
+                  seed: int) -> np.ndarray:
+    data_dir = os.environ.get("SMQTK_TPU_DATA", "")
+    path = os.path.join(data_dir, name) if data_dir else ""
+    if path and os.path.isfile(path):
+        from smqtk_indexing_tpu import native
+        return native.read_vecs(path, n, d)
+    rng = np.random.default_rng(seed)
+    # Clustered synthetic data (ANN recall on pure-uniform data is
+    # degenerate; clusters make recall@10 meaningful).
+    n_clusters = 1024
+    centers = rng.random((n_clusters, d), dtype=np.float32) * scale
+    pts = centers[rng.integers(0, n_clusters, size=n)]
+    pts += rng.normal(size=(n, d)).astype(np.float32) * (scale / 12)
+    return np.clip(pts, 0, scale).astype(np.float32)
+
+
+def _recall_at_10(got_ids, true_ids) -> float:
+    return float(np.mean([
+        len(set(g[:10]) & set(t[:10])) / 10.0
+        for g, t in zip(got_ids, true_ids)]))
+
+
+def _exact_ground_truth(db, queries, k=10, chunk=100_000):
+    """Chunked float64 exact top-k on host (no (Q, N, d) materialization)."""
+    q64 = queries.astype(np.float64)
+    q_sq = (q64 ** 2).sum(1)[:, None]
+    best = None
+    for lo in range(0, db.shape[0], chunk):
+        x = db[lo:lo + chunk].astype(np.float64)
+        d2 = q_sq + (x ** 2).sum(1)[None, :] - 2.0 * (q64 @ x.T)
+        ids = np.argsort(d2, axis=1)[:, :k] + lo
+        vals = np.take_along_axis(d2, ids - lo, axis=1)
+        if best is None:
+            best = (vals, ids)
+        else:
+            cv = np.concatenate([best[0], vals], axis=1)
+            ci = np.concatenate([best[1], ids], axis=1)
+            sel = np.argsort(cv, axis=1)[:, :k]
+            best = (np.take_along_axis(cv, sel, axis=1),
+                    np.take_along_axis(ci, sel, axis=1))
+    return best[1]
+
+
+def bench_itq_linear() -> None:
+    import jax.numpy as jnp
+
+    from smqtk_indexing_tpu.ops.hamming import hamming_topk
+    from smqtk_indexing_tpu.ops.itq import hash_batch, itq_fit
+    from smqtk_indexing_tpu.utils.bits import pack_bit_vectors_u32
+
+    n, d, bits = 1_000_000, 128, 128  # ITQ requires bits <= d; SIFT is 128-d
+    db = _load_or_make("sift_base.fvecs", n, d, 218.0, seed=0)
+    fit_sample = db[np.random.default_rng(0).choice(n, 100_000,
+                                                    replace=False)]
+
+    # ITQ fit (100K sample, 50 iterations — the reference default).
+    rng = np.random.default_rng(0)
+    r_init = rng.standard_normal((bits, bits)).astype(np.float32)
+    t0 = time.perf_counter()
+    mean_vec, rotation = itq_fit(jnp.asarray(fit_sample),
+                                 jnp.asarray(r_init), bits=bits, n_iter=50)
+    np.asarray(mean_vec)
+    fit_s = time.perf_counter() - t0
+    emit(metric="itq128_fit_100k_wall", value=round(fit_s, 2), unit="s",
+         note="target < 60s (BASELINE.md)")
+
+    # Batched hashing throughput (1M codes).
+    t0 = time.perf_counter()
+    codes = np.asarray(hash_batch(jnp.asarray(db), mean_vec, rotation))
+    hash_s = time.perf_counter() - t0
+    emit(metric="itq128_hash_1m_throughput",
+         value=round(n / hash_s, 0), unit="vectors/s")
+
+    # Hamming lookup over 1M packed codes: p50 latency + QPS.
+    packed = pack_bit_vectors_u32(codes)
+    # Pad to capacity quantum.
+    n_pad = 1 << 20
+    packed_p = np.zeros((n_pad, packed.shape[1]), dtype=np.uint32)
+    packed_p[:n] = packed
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n] = True
+    dev = jnp.asarray(packed_p)
+    dev_valid = jnp.asarray(valid)
+    b = 1024
+    qcodes = jnp.asarray(packed[:b])
+    dd, rr = hamming_topk(dev, dev_valid, qcodes, k=16)
+    np.asarray(dd)
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        dd, rr = hamming_topk(dev, dev_valid, qcodes, k=16)
+        np.asarray(dd)
+        lat.append(time.perf_counter() - t0)
+    p50 = sorted(lat)[len(lat) // 2]
+    emit(metric="hamming128_1m_lookup_p50_b1024",
+         value=round(p50 * 1e3, 2), unit="ms",
+         qps=round(b / p50, 0))
+    assert int(np.asarray(rr)[0, 0]) == 0  # self-code found
+
+    # End-to-end recall@10 of hash-then-rerank vs exact (128 queries).
+    nq = 128
+    queries = db[:nq] + np.random.default_rng(1).normal(
+        size=(nq, d)).astype(np.float32) * 2.0
+    truth = _exact_ground_truth(db, queries)
+    q_codes = np.asarray(hash_batch(jnp.asarray(queries), mean_vec,
+                                    rotation))
+    qp = np.zeros((nq, packed.shape[1]), dtype=np.uint32)
+    qp[:] = pack_bit_vectors_u32(q_codes)
+    dd, rr = hamming_topk(dev, dev_valid, jnp.asarray(qp), k=512)
+    cand = np.asarray(rr)
+    got = []
+    for qi in range(nq):
+        c = cand[qi][cand[qi] >= 0]
+        vecs = db[c]
+        dist = ((vecs - queries[qi]) ** 2).sum(1)
+        got.append(c[np.argsort(dist)][:10])
+    emit(metric="itq128_hamming512_rerank_recall_at_10",
+         value=round(_recall_at_10(got, truth), 4), unit="recall",
+         note="full 1M index, candidate pool 512")
+
+
+def bench_ivf() -> None:
+    import jax
+
+    from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+    from smqtk_indexing_tpu.models.nn_index.ivf import (
+        IvfNearestNeighborsIndex,
+    )
+
+    n, d = 1_000_000, 96
+    db = _load_or_make("deep_base.fvecs", n, d, 1.0, seed=2)
+    elems = [DescriptorMemoryElement(i, db[i]) for i in range(n)]
+    idx = IvfNearestNeighborsIndex(n_lists=4096, kmeans_iterations=10,
+                                   max_points_per_centroid=64,
+                                   random_seed=0)
+    t0 = time.perf_counter()
+    idx.build_index(elems)
+    emit(metric="ivf4096_deep1m_build_wall",
+         value=round(time.perf_counter() - t0, 1), unit="s")
+
+    nq = 128
+    queries = db[:nq] + np.random.default_rng(3).normal(
+        size=(nq, d)).astype(np.float32) * 0.02
+    truth = _exact_ground_truth(db, queries)
+    q_elems = [DescriptorMemoryElement(f"q{i}", queries[i])
+               for i in range(nq)]
+    for nprobe in (1, 4, 16, 64):
+        idx.nprobe = nprobe
+        res = idx.nn_many(q_elems, 10)          # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            res = idx.nn_many(q_elems, 10)
+        dt = (time.perf_counter() - t0) / 3
+        got = [[e.uuid() for e in r] for r, _ in res]
+        emit(metric=f"ivf4096_deep1m_nprobe{nprobe}",
+             value=round(nq / dt, 0), unit="queries/s",
+             recall_at_10=round(_recall_at_10(got, truth), 4))
+
+
+def bench_mrpt() -> None:
+    from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+    from smqtk_indexing_tpu.models.nn_index.mrpt import (
+        MRPTNearestNeighborsIndex,
+    )
+
+    n, d = 262_144, 960
+    db = _load_or_make("gist_base.fvecs", n, d, 1.0, seed=4)
+    elems = [DescriptorMemoryElement(i, db[i]) for i in range(n)]
+    idx = MRPTNearestNeighborsIndex(num_trees=16, depth=7, random_seed=0)
+    t0 = time.perf_counter()
+    idx.build_index(elems)
+    emit(metric="mrpt_gist256k_build_wall",
+         value=round(time.perf_counter() - t0, 1), unit="s",
+         note="16 trees depth 7: examines ~= 16*N/128 = N/8 points/query")
+
+    nq = 64
+    queries = db[:nq] + np.random.default_rng(5).normal(
+        size=(nq, d)).astype(np.float32) * 0.005
+    truth = _exact_ground_truth(db, queries)
+    q_elems = [DescriptorMemoryElement(f"q{i}", queries[i])
+               for i in range(nq)]
+    res = idx.nn_many(q_elems, 10)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        res = idx.nn_many(q_elems, 10)
+    dt = (time.perf_counter() - t0) / 3
+    got = [[e.uuid() for e in r] for r, _ in res]
+    emit(metric="mrpt_gist256k_t16_d7", value=round(nq / dt, 0),
+         unit="queries/s",
+         recall_at_10=round(_recall_at_10(got, truth), 4))
+
+
+if __name__ == "__main__":
+    emit(metric="bench_all_start", value=time.time(), unit="epoch_s")
+    bench_itq_linear()
+    bench_ivf()
+    bench_mrpt()
+    emit(metric="bench_all_done", value=time.time(), unit="epoch_s")

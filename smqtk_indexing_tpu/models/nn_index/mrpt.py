@@ -36,7 +36,7 @@ from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
 )
 from smqtk_indexing_tpu.ops.device import capacity_for, pad_dim, pad_rows_np
 from smqtk_indexing_tpu.ops.mrpt import build_trees, mrpt_query, project_all
-from smqtk_indexing_tpu.utils.tracing import COUNTERS, trace_span
+from smqtk_indexing_tpu.utils.tracing import COUNTERS
 
 LOG = logging.getLogger(__name__)
 

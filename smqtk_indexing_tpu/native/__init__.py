@@ -16,7 +16,7 @@ import os
 import subprocess
 import tempfile
 import threading
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -20,6 +20,29 @@ import jax
 import jax.numpy as jnp
 
 
+def _polar(m: jnp.ndarray, steps: int = 16) -> jnp.ndarray:
+    """
+    Orthogonal polar factor via Newton–Schulz iteration — pure MXU matmuls.
+
+    ``jnp.linalg.svd`` per ITQ iteration is pathologically slow on TPU (QR
+    iteration lowers poorly); the polar factor is all the rotation update
+    needs, and Newton–Schulz (X <- 1.5X - 0.5 X Xᵀ X, converging for
+    spectral norm < sqrt(3); guaranteed here by Frobenius pre-scaling)
+    replaces each SVD with ~16 small matmuls.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    x = m / jnp.maximum(jnp.linalg.norm(m), 1e-30)
+
+    def body(_, x):
+        xxt = jnp.dot(x, x.T, preferred_element_type=jnp.float32,
+                      precision=hi)
+        return 1.5 * x - 0.5 * jnp.dot(xxt, x,
+                                       preferred_element_type=jnp.float32,
+                                       precision=hi)
+
+    return jax.lax.fori_loop(0, steps, body, x)
+
+
 @partial(jax.jit, static_argnames=("bits", "n_iter"))
 def itq_fit(x: jnp.ndarray, r_init: jnp.ndarray, *, bits: int,
             n_iter: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -50,10 +73,7 @@ def itq_fit(x: jnp.ndarray, r_init: jnp.ndarray, *, bits: int,
                 precision=jax.lax.Precision.HIGHEST)  # (n, bits)
 
     # Initial random orthogonal rotation (orthogonalize the Gaussian init).
-    u0, _, vt0 = jnp.linalg.svd(r_init.astype(jnp.float32),
-                                full_matrices=False)
-    r0 = jnp.dot(u0, vt0, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    r0 = _polar(r_init.astype(jnp.float32))
 
     def body(_, r):
         z = jnp.dot(v, r, preferred_element_type=jnp.float32,
@@ -61,11 +81,9 @@ def itq_fit(x: jnp.ndarray, r_init: jnp.ndarray, *, bits: int,
         b = jnp.where(z >= 0, 1.0, -1.0)
         c = jnp.dot(b.T, v, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-        ub, _, vtb = jnp.linalg.svd(c, full_matrices=False)
-        # argmin_R ||B - V R||_F over orthogonal R: R = Ŝ S̄ᵀ where
-        # BᵀV = S̄ Ω Ŝᵀ.
-        return jnp.dot(vtb.T, ub.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+        # argmin_R ||B - V R||_F over orthogonal R is the orthogonal polar
+        # factor of Cᵀ (C = BᵀV = S̄ Ω Ŝᵀ  =>  R = Ŝ S̄ᵀ = polar(Cᵀ)).
+        return _polar(c.T)
 
     r = jax.lax.fori_loop(0, n_iter, body, r0)
     rotation = jnp.dot(pc_top, r, preferred_element_type=jnp.float32,

@@ -24,13 +24,11 @@ falls back to interpret mode off-TPU (tests).
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

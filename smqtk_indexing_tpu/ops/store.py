@@ -21,9 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from smqtk_indexing_tpu.ops import scan
-from smqtk_indexing_tpu.ops.device import (
-    capacity_for, pad_dim, pad_rows_np, round_up,
-)
+from smqtk_indexing_tpu.ops.device import capacity_for, pad_dim, pad_rows_np
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 

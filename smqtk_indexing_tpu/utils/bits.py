@@ -13,7 +13,7 @@ for all Hamming-distance kernels (XOR + population_count instead of
 """
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
