@@ -62,18 +62,32 @@ class LinearHashIndex (HashIndex):
             cfg["cache_element"] = None
         return super().from_config(cfg, False)
 
-    def __init__(self, cache_element: Optional[DataElement] = None):
+    def __init__(self, cache_element: Optional[DataElement] = None,
+                 n_devices: Optional[int] = None):
+        """
+        :param n_devices: Row-shard the packed codes across this many
+            devices (per-shard scan + ICI all-gather merge); None = single
+            device.
+        """
         super().__init__()
         self.cache_element = cache_element
+        self.n_devices = n_devices
         self._model_lock = threading.RLock()
-        self._store = CodeStore()
+        self._store = CodeStore(mesh=self._make_mesh())
         self._load_cache()
+
+    def _make_mesh(self):
+        if self.n_devices is None or self.n_devices <= 1:
+            return None
+        from smqtk_indexing_tpu.parallel.mesh import make_mesh
+        return make_mesh(self.n_devices)
 
     def get_config(self) -> Dict[str, Any]:
         c = self.get_default_config()
         if self.cache_element is not None:
             c["cache_element"] = merge_dict(
                 c["cache_element"], to_config_dict(self.cache_element))
+        c["n_devices"] = self.n_devices
         return c
 
     # ------------------------------------------------------------------
@@ -102,7 +116,7 @@ class LinearHashIndex (HashIndex):
     def _build_index(self, hashes: Iterable[np.ndarray]) -> None:
         with self._model_lock:
             mat = np.vstack([np.asarray(h) for h in hashes]).astype(bool)
-            new_store = CodeStore()
+            new_store = CodeStore(mesh=self._make_mesh())
             new_store.build(mat)
             self._store = new_store
             self._save_cache()

@@ -46,7 +46,7 @@ from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
 )
 from smqtk_indexing_tpu.models.hash_index.linear import LinearHashIndex
 from smqtk_indexing_tpu.utils.bits import (
-    bit_vector_to_int_large, int_to_bit_vector_large,
+    bit_matrix_to_ints, bit_vector_to_int_large, int_to_bit_vector_large,
 )
 from smqtk_indexing_tpu.utils.tracing import COUNTERS, trace_span
 
@@ -213,7 +213,7 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
         """Batched hash of elements -> ((n, bits) bool matrix, code ints)."""
         mat = np.vstack([e.vector() for e in elems]).astype(np.float32)
         codes = self.lsh_functor.get_hash_batch(mat)
-        ints = [bit_vector_to_int_large(r) for r in codes]
+        ints = bit_matrix_to_ints(codes)
         return codes, ints
 
     def count(self) -> int:

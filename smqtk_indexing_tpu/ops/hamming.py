@@ -35,6 +35,15 @@ DEFAULT_CHUNK = 262144
 #: available) beats the device program's launch/transfer latency.
 HOST_SCAN_MAX = 2048
 
+#: Above this many codes on a real TPU, Hamming queries ride the MXU via a
+#: ±1 bfloat16 representation (see CodeStore._mxu_eligible): squared
+#: Euclidean distance between ±1 vectors is exactly 4x the Hamming
+#: distance, so the fused flat-scan kernel (ops/pallas_scan.py) serves hash
+#: lookups too — XOR+popcount is VPU-bound and materializes (B, chunk)
+#: score blocks, while the MXU form streams at matmul speed. ±1 values and
+#: f32 accumulation are exact in bfloat16, so results are exact integers.
+MXU_SCAN_MIN = 16384
+
 #: Sentinel distance for invalid (masked / padded) rows. Larger than any
 #: real Hamming distance (codes are at most a few thousand bits).
 _INVALID = jnp.int32(2 ** 30)
@@ -110,9 +119,15 @@ class CodeStore:
     ops/store.VectorStore).
     """
 
-    def __init__(self, bit_length: Optional[int] = None):
+    def __init__(self, bit_length: Optional[int] = None, mesh=None):
+        """
+        :param mesh: Optional 1-D ``jax.sharding.Mesh`` — packed codes
+            row-shard across it and queries run the per-shard Hamming scan
+            + ICI all-gather merge (parallel/sharded_scan.py).
+        """
         self._lock = threading.RLock()
         self._bits = bit_length
+        self._mesh = mesh
         self._clear_state()
         if bit_length is not None:
             self._bits = int(bit_length)
@@ -126,6 +141,9 @@ class CodeStore:
         self._n_live = 0
         self._dev = None
         self._dev_valid = None
+        self._dev_pm1 = None     # (cap, bits_pad) bf16 ±1 (MXU mirror)
+        self._dev_pm1_t = None   # transposed mirror for the fused kernel
+        self._dev_pm1_sq = None  # (cap,) f32 squared norms (= bits)
         self._capacity = 0
         self._bits = bits
 
@@ -172,7 +190,7 @@ class CodeStore:
             self._clear_state()
             self._bits = bits
             self._check_bits(bool_mat)
-            ints = [bits_util.bit_vector_to_int_large(r) for r in bool_mat]
+            ints = bits_util.bit_matrix_to_ints(bool_mat)
             seen: Dict[int, int] = {}
             keep_rows = []
             for i, c in enumerate(ints):
@@ -194,7 +212,7 @@ class CodeStore:
                 self.build(bool_mat)
                 return
             self._check_bits(bool_mat)
-            ints = [bits_util.bit_vector_to_int_large(r) for r in bool_mat]
+            ints = bits_util.bit_matrix_to_ints(bool_mat)
             fresh_rows = []
             fresh_ints = []
             batch_seen = set()
@@ -229,7 +247,7 @@ class CodeStore:
         """
         bool_mat = np.atleast_2d(np.asarray(bool_mat)).astype(bool)
         with self._lock:
-            ints = [bits_util.bit_vector_to_int_large(r) for r in bool_mat]
+            ints = bits_util.bit_matrix_to_ints(bool_mat)
             rows = []
             for c in ints:
                 if c not in self._int2row:
@@ -273,8 +291,14 @@ class CodeStore:
         valid[:n] = self._valid_host
         self._dev = jnp.asarray(padded)
         self._dev_valid = jnp.asarray(valid)
+        self._dev_pm1 = self._dev_pm1_t = self._dev_pm1_sq = None
+        if self._mesh is not None:
+            from smqtk_indexing_tpu.parallel.mesh import shard_rows
+            self._dev = shard_rows(self._mesh, self._dev)
+            self._dev_valid = shard_rows(self._mesh, self._dev_valid)
 
     def _upload_rows(self, start: int, packed: np.ndarray) -> None:
+        self._dev_pm1 = self._dev_pm1_t = self._dev_pm1_sq = None
         self._dev = jax.lax.dynamic_update_slice(
             self._dev, jnp.asarray(packed), (start, 0))
         self._dev_valid = jax.lax.dynamic_update_slice(
@@ -285,6 +309,66 @@ class CodeStore:
         valid = np.zeros(self._capacity, dtype=bool)
         valid[:len(self._valid_host)] = self._valid_host
         self._dev_valid = jnp.asarray(valid)
+        if self._mesh is not None:
+            from smqtk_indexing_tpu.parallel.mesh import shard_rows
+            self._dev_valid = shard_rows(self._mesh, self._dev_valid)
+
+    # ------------------------------------------------------------------
+    # MXU (±1 matmul) mirror
+    # ------------------------------------------------------------------
+    def _mxu_eligible(self) -> bool:
+        import os
+        if os.environ.get("SMQTK_TPU_NO_MXU_HAMMING"):
+            return False
+        try:
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover
+            return False
+        from smqtk_indexing_tpu.ops.pallas_scan import TILE_N
+        return (backend == "tpu" and self._mesh is None
+                and self._capacity >= MXU_SCAN_MIN
+                and self._capacity % TILE_N == 0)
+
+    def _ensure_pm1(self) -> None:
+        """Build the ±1 bfloat16 mirror lazily (cap, bits padded to 128)."""
+        if self._dev_pm1 is not None:
+            return
+        bits_pad = -(-self._bits // 128) * 128
+        pm1 = np.zeros((self._capacity, bits_pad), dtype=np.float32)
+        bools = bits_util.unpack_bit_vectors_u32(self._host, self._bits)
+        pm1[:self._host.shape[0], :self._bits] = bools * 2.0 - 1.0
+        sq = np.zeros(self._capacity, dtype=np.float32)
+        sq[:self._host.shape[0]] = float(self._bits)
+        self._dev_pm1 = jnp.asarray(pm1, dtype=jnp.bfloat16)
+        self._dev_pm1_t = jnp.asarray(
+            np.ascontiguousarray(pm1.T), dtype=jnp.bfloat16)
+        self._dev_pm1_sq = jnp.asarray(sq)
+
+    def _knn_mxu(self, q_bool: np.ndarray, k_dev: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """Hamming top-k through the fused flat-scan kernel on ±1 codes."""
+        from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused
+        with self._lock:
+            self._ensure_pm1()
+            pm1, pm1_t, pm1_sq = (self._dev_pm1, self._dev_pm1_t,
+                                  self._dev_pm1_sq)
+            dev_valid = self._dev_valid
+        b = q_bool.shape[0]
+        b_pad = _pow2_at_least(b, 8)
+        bits_pad = pm1.shape[1]
+        qp = np.zeros((b_pad, bits_pad), dtype=np.float32)
+        qp[:b, :self._bits] = q_bool * 2.0 - 1.0
+        # Interpret mode off-TPU lets tests exercise this path on CPU.
+        interpret = jax.default_backend() != "tpu"
+        d, rows = flat_topk_fused(pm1, pm1_sq, dev_valid,
+                                  jnp.asarray(qp), k=k_dev, db_t=pm1_t,
+                                  interpret=interpret)
+        d = np.asarray(d)
+        rows = np.asarray(rows)
+        # d = sqrt(4 * hamming) exactly; recover integer distances.
+        ham = np.round((d * d) / 4.0)
+        ham = np.where(rows >= 0, ham, float(2 ** 30)).astype(np.int32)
+        return ham, rows
 
     # ------------------------------------------------------------------
     # query
@@ -319,7 +403,19 @@ class CodeStore:
         k_eff = min(k, n_live)
         with self._lock:
             host_rows = self._host.shape[0]
-        if host_rows <= HOST_SCAN_MAX:
+        if self._mesh is not None:
+            from smqtk_indexing_tpu.parallel.mesh import replicate
+            from smqtk_indexing_tpu.parallel.sharded_scan import (
+                sharded_hamming_topk,
+            )
+            k_dev = min(_pow2_at_least(k_eff), cap)
+            b_pad2 = q_packed.shape[0]
+            dd, rr = sharded_hamming_topk(
+                self._mesh, dev, dev_valid,
+                replicate(self._mesh, jnp.asarray(q_packed)), k=k_dev)
+            dists = np.asarray(dd)[:b, :k_eff]
+            rows = np.asarray(rr)[:b, :k_eff]
+        elif host_rows <= HOST_SCAN_MAX:
             # Tiny index: device round-trip latency dominates; run the
             # native (C++) host scan over the host mirror. Tie order
             # matches the device path (distance then row ascending).
@@ -328,6 +424,11 @@ class CodeStore:
                 h_db, h_valid = self._host, self._valid_host
             dists, rows = native.hamming_topk(
                 h_db, h_valid, q_packed[:b], k_eff)
+        elif self._mxu_eligible():
+            k_dev = min(_pow2_at_least(k_eff), cap)
+            dists, rows = self._knn_mxu(q_bool, k_dev)
+            dists = dists[:b, :k_eff]
+            rows = rows[:b, :k_eff]
         else:
             k_dev = min(_pow2_at_least(k_eff), cap)
             dists, rows = hamming_topk(dev, dev_valid,

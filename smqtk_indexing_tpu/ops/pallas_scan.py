@@ -95,7 +95,10 @@ def segment_minima(db_t: jnp.ndarray, db_sq: jnp.ndarray,
     assert b % tile_b == 0
     n_tiles = n // TILE_N
     grid = (b // tile_b, n_tiles)
-    precision = jax.lax.Precision.HIGHEST if use_highest else None
+    # bf16 operands are exact on the MXU and Mosaic rejects HIGHEST for
+    # them ("Bad lhs type"); HIGHEST only matters for f32 inputs.
+    precision = jax.lax.Precision.HIGHEST \
+        if (use_highest and db_t.dtype != jnp.bfloat16) else None
 
     # Queries ship as (q_tiles, tile_b, d) so each q block is a leading
     # full slice (cheap reshape, no relayout).

@@ -60,6 +60,25 @@ def int_to_bit_vector_large(integer: int, bits: int = 0) -> np.ndarray:
 # Packed-word (device format) helpers
 # ---------------------------------------------------------------------------
 
+def bit_matrix_to_ints(mat: np.ndarray) -> List[int]:
+    """
+    Batch form of :func:`bit_vector_to_int_large`: one vectorized
+    ``packbits`` over the whole (n, bits) matrix, then a cheap
+    ``int.from_bytes`` per row — the per-element conversion loop is the
+    reference's LSH-build hot spot (lsh.py:316-321).
+    """
+    mat = np.atleast_2d(np.asarray(mat)).astype(bool)
+    n, bits = mat.shape
+    if bits == 0:
+        return [0] * n
+    packed = np.packbits(mat, axis=1)
+    pad = (-bits) % 8
+    buf = packed.tobytes()
+    width = packed.shape[1]
+    return [int.from_bytes(buf[i * width:(i + 1) * width], "big") >> pad
+            for i in range(n)]
+
+
 def pack_bit_vectors_u32(vectors: np.ndarray) -> np.ndarray:
     """
     Pack a (n, bits) boolean matrix into (n, ceil(bits/32)) uint32 words.

@@ -119,3 +119,25 @@ class TestLinearHashIndex:
         codes, dists = i.nn(mat[17], 1)
         assert dists[0] == 0.0
         assert np.array_equal(codes[0], mat[17])
+
+
+class TestShardedLinearHashIndex:
+    def test_sharded_matches_single(self):
+        rng = np.random.default_rng(0)
+        mat = rng.integers(0, 2, size=(4096, 64)).astype(bool)
+        single = LinearHashIndex()
+        multi = LinearHashIndex(n_devices=8)
+        single.build_index(mat)
+        multi.build_index(mat)
+        for j in (0, 100, 4000):
+            c1, d1 = single.nn(mat[j], 5)
+            c8, d8 = multi.nn(mat[j], 5)
+            assert d8 == d1
+
+    def test_sharded_config_roundtrip(self):
+        from smqtk_indexing_tpu.core.configuration import (
+            configuration_test_helper,
+        )
+        i = LinearHashIndex(n_devices=8)
+        for inst in configuration_test_helper(i):
+            assert inst.n_devices == 8

@@ -308,3 +308,68 @@ class TestShardedFlat:
         i = FlatNearestNeighborsIndex(n_devices=8)
         for inst in configuration_test_helper(i):
             assert inst.n_devices == 8
+
+
+class TestBfloat16Storage:
+    def test_bf16_self_retrieval_and_order(self):
+        import numpy as np
+        import pytest
+        from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+        from smqtk_indexing_tpu.models.nn_index.flat import (
+            FlatNearestNeighborsIndex,
+        )
+        rng = np.random.default_rng(0)
+        elems = [DescriptorMemoryElement(j, rng.normal(size=32).astype(np.float32))
+                 for j in range(128)]
+        i = FlatNearestNeighborsIndex(dtype="bfloat16")
+        i.build_index(elems)
+        res, dists = i.nn(elems[7], 5)
+        assert res[0].uuid() == 7
+        # bf16 storage quantizes coordinates; self-distance is small, not 0.
+        assert dists[0] == pytest.approx(0.0, abs=5e-2)
+        assert list(dists) == sorted(dists)
+
+    def test_invalid_dtype(self):
+        import pytest
+        from smqtk_indexing_tpu.models.nn_index.flat import (
+            FlatNearestNeighborsIndex,
+        )
+        with pytest.raises(ValueError):
+            FlatNearestNeighborsIndex(dtype="float16")
+
+
+class TestFactoryString:
+    def test_flat(self):
+        from smqtk_indexing_tpu.models.nn_index.factory import (
+            index_from_factory_string,
+        )
+        from smqtk_indexing_tpu.models.nn_index.flat import (
+            FlatNearestNeighborsIndex,
+        )
+        i = index_from_factory_string("IDMap,Flat")
+        assert isinstance(i, FlatNearestNeighborsIndex)
+        assert i.metric == "euclidean"
+        i2 = index_from_factory_string("Flat", metric="ip")
+        assert i2.metric == "inner_product"
+
+    def test_ivf(self):
+        from smqtk_indexing_tpu.models.nn_index.factory import (
+            index_from_factory_string,
+        )
+        from smqtk_indexing_tpu.models.nn_index.ivf import (
+            IvfNearestNeighborsIndex,
+        )
+        i = index_from_factory_string("IVF4096,Flat", nprobe=32)
+        assert isinstance(i, IvfNearestNeighborsIndex)
+        assert i.n_lists == 4096
+        assert i.nprobe == 32
+
+    def test_unsupported(self):
+        import pytest
+        from smqtk_indexing_tpu.models.nn_index.factory import (
+            index_from_factory_string,
+        )
+        with pytest.raises(ValueError):
+            index_from_factory_string("IVF100,PQ8")
+        with pytest.raises(ValueError):
+            index_from_factory_string("Flat", metric="hamming")

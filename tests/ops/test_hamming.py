@@ -146,3 +146,24 @@ def test_pack_unpack_roundtrip_odd_bits():
         packed = pack_bit_vectors_u32(mat)
         assert packed.shape == (5, (bits + 31) // 32)
         assert np.array_equal(unpack_bit_vectors_u32(packed, bits), mat)
+
+
+def test_mxu_hamming_path_matches_xor(monkeypatch):
+    """The ±1-matmul (MXU) Hamming engine must return identical distances
+    to the XOR+popcount engine (exercised in interpret mode on CPU)."""
+    rng = np.random.default_rng(42)
+    bits, n = 128, 4096
+    mat = rng.integers(0, 2, size=(n, bits)).astype(bool)
+    cs = CodeStore()
+    cs.build(mat)
+    q = mat[:8]
+    d_xor, c_xor = cs.knn(q, 5)
+
+    monkeypatch.setattr(CodeStore, "_mxu_eligible", lambda self: True)
+    cs2 = CodeStore()
+    cs2.build(mat)
+    d_mxu, c_mxu = cs2.knn(q, 5)
+    assert np.array_equal(d_mxu, d_xor)
+    # Same codes selected (ties permitting: compare distances of codes).
+    assert np.array_equal(
+        (q[:, None, :] ^ c_mxu).sum(-1), (q[:, None, :] ^ c_xor).sum(-1))

@@ -90,3 +90,16 @@ class TestPackedU32:
         word_ham = bin(int.from_bytes((pa ^ pb).tobytes(), "little")) \
             .count("1")
         assert word_ham == int(np.sum(a != b))
+
+
+def test_bit_matrix_to_ints_matches_scalar():
+    import numpy as np
+    from smqtk_indexing_tpu.utils.bits import (
+        bit_matrix_to_ints, bit_vector_to_int_large,
+    )
+    rng = np.random.default_rng(0)
+    for bits in (1, 7, 8, 33, 100, 256):
+        mat = rng.integers(0, 2, size=(13, bits)).astype(bool)
+        batch = bit_matrix_to_ints(mat)
+        scalar = [bit_vector_to_int_large(r) for r in mat]
+        assert batch == scalar
