@@ -298,12 +298,30 @@ class CodeStore:
             self._dev_valid = shard_rows(self._mesh, self._dev_valid)
 
     def _upload_rows(self, start: int, packed: np.ndarray) -> None:
-        self._dev_pm1 = self._dev_pm1_t = self._dev_pm1_sq = None
         self._dev = jax.lax.dynamic_update_slice(
             self._dev, jnp.asarray(packed), (start, 0))
         self._dev_valid = jax.lax.dynamic_update_slice(
             self._dev_valid,
             jnp.ones(packed.shape[0], dtype=bool), (start,))
+        if self._dev_pm1 is not None:
+            # Incremental append into the ±1 mirrors: only the new rows are
+            # unpacked (a full mirror rebuild is O(cap * bits) host work +
+            # two whole-matrix HBM uploads per mutation).
+            n_new = packed.shape[0]
+            bits_pad = self._dev_pm1.shape[1]
+            block = np.zeros((n_new, bits_pad), dtype=np.float32)
+            block[:, :self._bits] = bits_util.unpack_bit_vectors_u32(
+                packed, self._bits) * 2.0 - 1.0
+            self._dev_pm1 = jax.lax.dynamic_update_slice(
+                self._dev_pm1, jnp.asarray(block, dtype=jnp.bfloat16),
+                (start, 0))
+            self._dev_pm1_t = jax.lax.dynamic_update_slice(
+                self._dev_pm1_t,
+                jnp.asarray(np.ascontiguousarray(block.T),
+                            dtype=jnp.bfloat16), (0, start))
+            self._dev_pm1_sq = jax.lax.dynamic_update_slice(
+                self._dev_pm1_sq,
+                jnp.full(n_new, float(self._bits), jnp.float32), (start,))
 
     def _upload_valid(self) -> None:
         valid = np.zeros(self._capacity, dtype=bool)
@@ -344,15 +362,11 @@ class CodeStore:
             np.ascontiguousarray(pm1.T), dtype=jnp.bfloat16)
         self._dev_pm1_sq = jnp.asarray(sq)
 
-    def _knn_mxu(self, q_bool: np.ndarray, k_dev: int
-                 ) -> Tuple[np.ndarray, np.ndarray]:
-        """Hamming top-k through the fused flat-scan kernel on ±1 codes."""
+    def _knn_mxu(self, q_bool: np.ndarray, k_dev: int, pm1, pm1_t,
+                 pm1_sq, dev_valid) -> Tuple[np.ndarray, np.ndarray]:
+        """Hamming top-k through the fused flat-scan kernel on ±1 codes
+        (all device arrays are caller-snapshotted under the store lock)."""
         from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused
-        with self._lock:
-            self._ensure_pm1()
-            pm1, pm1_t, pm1_sq = (self._dev_pm1, self._dev_pm1_t,
-                                  self._dev_pm1_sq)
-            dev_valid = self._dev_valid
         b = q_bool.shape[0]
         b_pad = _pow2_at_least(b, 8)
         bits_pad = pm1.shape[1]
@@ -401,15 +415,27 @@ class CodeStore:
                 [q_packed,
                  np.zeros((b_pad - b, q_packed.shape[1]), dtype=np.uint32)])
         k_eff = min(k, n_live)
+        # One more consistent snapshot for the engine choice + the MXU
+        # mirror (the first snapshot above covers dev/dev_valid/cap/bits;
+        # mutations between the two acquisitions only swap references,
+        # never mutate the snapshotted arrays).
         with self._lock:
-            host_rows = self._host.shape[0]
+            host = self._host
+            h_valid = self._valid_host
+            host_rows = host.shape[0]
+            use_mxu = self._mxu_eligible()
+            if use_mxu and host_rows > HOST_SCAN_MAX \
+                    and self._mesh is None:
+                self._ensure_pm1()
+                pm1, pm1_t, pm1_sq = (self._dev_pm1, self._dev_pm1_t,
+                                      self._dev_pm1_sq)
+                mxu_valid = self._dev_valid
         if self._mesh is not None:
             from smqtk_indexing_tpu.parallel.mesh import replicate
             from smqtk_indexing_tpu.parallel.sharded_scan import (
                 sharded_hamming_topk,
             )
             k_dev = min(_pow2_at_least(k_eff), cap)
-            b_pad2 = q_packed.shape[0]
             dd, rr = sharded_hamming_topk(
                 self._mesh, dev, dev_valid,
                 replicate(self._mesh, jnp.asarray(q_packed)), k=k_dev)
@@ -420,13 +446,12 @@ class CodeStore:
             # native (C++) host scan over the host mirror. Tie order
             # matches the device path (distance then row ascending).
             from smqtk_indexing_tpu import native
-            with self._lock:
-                h_db, h_valid = self._host, self._valid_host
             dists, rows = native.hamming_topk(
-                h_db, h_valid, q_packed[:b], k_eff)
-        elif self._mxu_eligible():
+                host, h_valid, q_packed[:b], k_eff)
+        elif use_mxu:
             k_dev = min(_pow2_at_least(k_eff), cap)
-            dists, rows = self._knn_mxu(q_bool, k_dev)
+            dists, rows = self._knn_mxu(q_bool, k_dev, pm1, pm1_t, pm1_sq,
+                                        mxu_valid)
             dists = dists[:b, :k_eff]
             rows = rows[:b, :k_eff]
         else:
@@ -435,9 +460,9 @@ class CodeStore:
                                        jnp.asarray(q_packed), k=k_dev)
             dists = np.asarray(dists)[:b, :k_eff]
             rows = np.asarray(rows)[:b, :k_eff]
-        with self._lock:
-            host = self._host
-        sel = host[rows.reshape(-1)]
+        # Unfilled slots carry row -1 (clamp for the host gather; their
+        # distances already hold the sentinel).
+        sel = host[np.maximum(rows, 0).reshape(-1)]
         codes = bits_util.unpack_bit_vectors_u32(sel, bits) \
             .reshape(b, k_eff, bits)
         return dists, codes

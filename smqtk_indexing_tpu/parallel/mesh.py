@@ -30,6 +30,10 @@ def make_mesh(n_devices: Optional[int] = None,
             raise ValueError(
                 f"Requested {n_devices} devices; only {len(devices)} "
                 "available.")
+        if n_devices & (n_devices - 1):
+            raise ValueError(
+                f"n_devices must be a power of two (got {n_devices}): "
+                "store capacities are 1024*2^m and must shard evenly.")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (SHARD_AXIS,))
 

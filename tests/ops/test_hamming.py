@@ -167,3 +167,23 @@ def test_mxu_hamming_path_matches_xor(monkeypatch):
     # Same codes selected (ties permitting: compare distances of codes).
     assert np.array_equal(
         (q[:, None, :] ^ c_mxu).sum(-1), (q[:, None, :] ^ c_xor).sum(-1))
+
+
+def test_mxu_mirror_incremental_append(monkeypatch):
+    """After a build+query, add() must update the ±1 mirror incrementally
+    and keep results exact."""
+    monkeypatch.setattr(CodeStore, "_mxu_eligible", lambda self: True)
+    rng = np.random.default_rng(7)
+    bits = 64
+    # Above HOST_SCAN_MAX so the MXU path (not the host scan) serves it.
+    mat = rng.integers(0, 2, size=(3072, bits)).astype(bool)
+    extra = rng.integers(0, 2, size=(100, bits)).astype(bool)
+    cs = CodeStore()
+    cs.build(mat)
+    cs.knn(mat[:4], 3)          # forces the mirror to materialize
+    assert cs._dev_pm1 is not None
+    cs.add(extra)               # incremental append (capacity unchanged)
+    assert cs._dev_pm1 is not None
+    d, codes = cs.knn(extra[:4], 1)
+    assert np.array_equal(d[:, 0], np.zeros(4))
+    assert np.array_equal(codes[:, 0, :], extra[:4])
