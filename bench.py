@@ -27,7 +27,7 @@ DIM = 128
 K = 10
 BATCH = 1024
 WARMUP = 2
-ITERS = 10
+ITERS = 32
 HOST_SUBSAMPLE = N // 8
 HOST_ITERS = 3
 

@@ -181,6 +181,10 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
         self.distance_method = distance_method
         self.read_only = bool(read_only)
         self._model_lock = threading.RLock()
+        # Cached on-the-fly fallback hash index (the reference rebuilds it
+        # on EVERY query, lsh.py:481-487 — an O(N) host pass per lookup;
+        # here it is invalidated only when the KV mapping mutates).
+        self._fallback_hi: Optional[LinearHashIndex] = None
 
     def get_config(self) -> Dict[str, Any]:
         c = self.get_default_config()
@@ -240,6 +244,7 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
             self.descriptor_set.add_many_descriptors(elems)
             self.hash2uuids_kvstore.clear()
             self.hash2uuids_kvstore.add_many(kv_update)
+            self._fallback_hi = None
 
             if self.hash_index is not None:
                 # Unique codes only (HashIndex contract).
@@ -269,6 +274,7 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
 
             self.descriptor_set.add_many_descriptors(elems)
             self.hash2uuids_kvstore.add_many(kv_update)
+            self._fallback_hi = None
             if self.hash_index is not None and new_code_rows:
                 self.hash_index.update_index(codes[new_code_rows])
 
@@ -307,6 +313,7 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
                 self.hash2uuids_kvstore.add_many(kv_update)
             if kv_delete:
                 self.hash2uuids_kvstore.remove_many(kv_delete)
+            self._fallback_hi = None
             if self.hash_index is not None and dead_code_rows:
                 self.hash_index.remove_from_index(codes[dead_code_rows])
             self.descriptor_set.remove_many_descriptors(uids)
@@ -315,15 +322,18 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
     # query
     # ------------------------------------------------------------------
     def _choose_hash_index(self, bits: int) -> HashIndex:
-        """Configured hash index, or an on-the-fly linear index over the KV
-        store's code keys (reference lsh.py:481-487)."""
+        """Configured hash index, or a (mutation-invalidated) cached linear
+        index over the KV store's code keys (reference on-the-fly
+        semantics, lsh.py:481-487, without the per-query rebuild)."""
         if self.hash_index is not None:
             return self.hash_index
-        hi = LinearHashIndex()
-        keys = list(self.hash2uuids_kvstore.keys())
-        hi.build_index(
-            np.vstack([int_to_bit_vector_large(c, bits) for c in keys]))
-        return hi
+        if self._fallback_hi is None:
+            hi = LinearHashIndex()
+            keys = list(self.hash2uuids_kvstore.keys())
+            hi.build_index(
+                np.vstack([int_to_bit_vector_large(c, bits) for c in keys]))
+            self._fallback_hi = hi
+        return self._fallback_hi
 
     def _nn_many(self, ds: Sequence[DescriptorElement],
                  n: int = 1) -> List[NNResult]:

@@ -138,6 +138,11 @@ def hamming_topk(db: np.ndarray, valid: np.ndarray, q: np.ndarray,
         dd = np.take_along_axis(dists, order, axis=1).astype(np.int32)
         rr = order.astype(np.int32)
         rr[dd == np.iinfo(np.int32).max] = -1
+        if dd.shape[1] < k:  # fewer rows than k: pad like the native path
+            pad = k - dd.shape[1]
+            dd = np.pad(dd, ((0, 0), (0, pad)), constant_values=np.iinfo(
+                np.int32).max)
+            rr = np.pad(rr, ((0, 0), (0, pad)), constant_values=-1)
         return dd, rr
     out_d = np.empty((b, k), dtype=np.int32)
     out_r = np.empty((b, k), dtype=np.int32)

@@ -373,3 +373,34 @@ class TestFactoryString:
             index_from_factory_string("IVF100,PQ8")
         with pytest.raises(ValueError):
             index_from_factory_string("Flat", metric="hamming")
+
+
+def test_remove_then_re_add():
+    # Reference behavior (test_faiss.py:359): a removed UID can be re-added.
+    import numpy as np
+    from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+    from smqtk_indexing_tpu.models.nn_index.flat import (
+        FlatNearestNeighborsIndex,
+    )
+    elems = [DescriptorMemoryElement(j, np.asarray([j, j], np.float32))
+             for j in range(8)]
+    i = FlatNearestNeighborsIndex()
+    i.build_index(elems)
+    i.remove_from_index([3])
+    assert i.count() == 7
+    i.update_index([elems[3]])
+    assert i.count() == 8
+    r, d = i.nn(elems[3], 1)
+    assert r[0].uuid() == 3 and d[0] == 0.0
+
+
+def test_all_impl_configs_json_serializable():
+    import json
+    from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
+        NearestNeighborsIndex,
+    )
+    from smqtk_indexing_tpu.interfaces.hash_index import HashIndex
+    from smqtk_indexing_tpu.interfaces.lsh_functor import LshFunctor
+    for iface in (NearestNeighborsIndex, HashIndex, LshFunctor):
+        for impl in iface.get_impls():
+            json.dumps(impl.get_default_config())

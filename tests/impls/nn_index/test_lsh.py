@@ -221,3 +221,22 @@ class TestLshBatched:
         assert len(batch) == 4
         for j, (res, dists) in enumerate(batch):
             assert res[0].uuid() == j
+
+
+class TestFallbackCache:
+    def test_fallback_cached_and_invalidated(self):
+        i = _mk_index(distance_method="euclidean")
+        i.build_index([_elem(j, [j, j]) for j in range(10)])
+        i.nn(_elem("q", [3, 3]), 2)
+        first = i._fallback_hi
+        assert first is not None
+        i.nn(_elem("q", [4, 4]), 2)
+        assert i._fallback_hi is first  # reused
+        i.update_index([_elem(99, [99, 99])])
+        assert i._fallback_hi is None   # invalidated
+        res, _ = i.nn(_elem("q", [99, 99]), 1)
+        assert res[0].uuid() == 99
+        i.remove_from_index([99])
+        assert i._fallback_hi is None
+        res, _ = i.nn(_elem("q", [99, 99]), 1)
+        assert res[0].uuid() != 99
