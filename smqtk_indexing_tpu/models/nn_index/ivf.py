@@ -117,6 +117,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         random_seed: Optional[int] = None,
         dtype: str = "float32",
         read_only: bool = False,
+        n_devices: Optional[int] = None,
     ):
         super().__init__()
         if metric not in METRICS:
@@ -133,10 +134,20 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self.random_seed = random_seed
         self.dtype = dtype
         self.read_only = bool(read_only)
+        self.n_devices = n_devices
 
         self._model_lock = threading.RLock()
         self._reset_state()
         self._load_index()
+
+    def _make_mesh(self):
+        """Row-shard the list-sorted database over a device mesh (lists
+        split at shard boundaries become per-shard CSR views — see
+        parallel/sharded_ivf.py)."""
+        if self.n_devices is None or self.n_devices <= 1:
+            return None
+        from smqtk_indexing_tpu.parallel.mesh import make_mesh
+        return make_mesh(self.n_devices)
 
     def _reset_state(self) -> None:
         # Host source of truth (sorted-by-list order).
@@ -158,6 +169,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._dev_lens = None
         self._capacity = 0
         self._l_max = 0
+        self._mesh = None
 
     def get_config(self) -> Dict[str, Any]:
         c = self.get_default_config()
@@ -175,6 +187,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             "random_seed": self.random_seed,
             "dtype": self.dtype,
             "read_only": self.read_only,
+            "n_devices": self.n_devices,
         })
         return c
 
@@ -284,6 +297,24 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         offsets[1:] = np.cumsum(lens)[:-1]
         self._dev_offsets = jnp.asarray(offsets)
         self._dev_lens = jnp.asarray(lens)
+        self._mesh = self._make_mesh()
+        if self._mesh is not None:
+            from smqtk_indexing_tpu.parallel.mesh import (
+                replicate, shard_rows,
+            )
+            from smqtk_indexing_tpu.parallel.sharded_ivf import shard_csr
+            n_shards = self._mesh.devices.size
+            loc_off, loc_len = shard_csr(offsets, lens, self._capacity,
+                                         n_shards)
+            self._dev = shard_rows(self._mesh, self._dev)
+            self._dev_sq = shard_rows(self._mesh, self._dev_sq)
+            self._dev_norm = shard_rows(self._mesh, self._dev_norm)
+            self._dev_valid = shard_rows(self._mesh, self._dev_valid)
+            self._dev_centroids = replicate(self._mesh,
+                                            self._dev_centroids)
+            self._dev_offsets = shard_rows(self._mesh,
+                                           jnp.asarray(loc_off))
+            self._dev_lens = shard_rows(self._mesh, jnp.asarray(loc_len))
 
     # ------------------------------------------------------------------
     # persistence
@@ -451,11 +482,24 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             COUNTERS.add("ivf.probed_lists", b * nprobe)
             COUNTERS.add("ivf.candidates_scanned",
                          b * nprobe * self._l_max)
-            dists, rows = ivf_query(
-                self._dev, self._dev_sq, self._dev_norm, self._dev_valid,
-                self._dev_centroids, self._dev_offsets, self._dev_lens,
-                jnp.asarray(q_p), k=k_dev, nprobe=nprobe,
-                l_max=self._l_max, metric=self.metric)
+            if self._mesh is not None:
+                from smqtk_indexing_tpu.parallel.mesh import replicate
+                from smqtk_indexing_tpu.parallel.sharded_ivf import (
+                    sharded_ivf_query,
+                )
+                dists, rows = sharded_ivf_query(
+                    self._mesh, self._dev, self._dev_sq, self._dev_norm,
+                    self._dev_valid, self._dev_centroids,
+                    self._dev_offsets, self._dev_lens,
+                    replicate(self._mesh, jnp.asarray(q_p)), k=k_dev,
+                    nprobe=nprobe, l_max=self._l_max, metric=self.metric)
+            else:
+                dists, rows = ivf_query(
+                    self._dev, self._dev_sq, self._dev_norm,
+                    self._dev_valid, self._dev_centroids,
+                    self._dev_offsets, self._dev_lens,
+                    jnp.asarray(q_p), k=k_dev, nprobe=nprobe,
+                    l_max=self._l_max, metric=self.metric)
             dists = np.asarray(dists)[:b, :k_eff]
             rows = np.asarray(rows)[:b, :k_eff]
             out: List[NNResult] = []

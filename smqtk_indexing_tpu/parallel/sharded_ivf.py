@@ -1,0 +1,97 @@
+"""
+Row-sharded IVF query.
+
+The globally list-sorted database row-shards contiguously across the mesh;
+a shard's inverted-list view is the clipped intersection of the global CSR
+ranges with its row span, so every shard runs the unmodified single-chip
+list-scan kernel (ops/ivf.ivf_query) against replicated centroids and its
+local offsets/lengths. Each shard probes its own ``nprobe`` best non-empty
+lists (lists cut by a shard boundary are probed by both owners), results
+merge with the standard k-sized all-gather — communication O(devices*B*k).
+
+With nprobe == n_lists this is exhaustive-exact, matching the single-chip
+kernel; at partial nprobe per-shard probing can only widen coverage
+relative to single-chip probing of the same nprobe.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smqtk_indexing_tpu.ops.ivf import ivf_query
+from smqtk_indexing_tpu.parallel.mesh import SHARD_AXIS
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def shard_csr(offsets: np.ndarray, lens: np.ndarray, n_rows: int,
+              n_shards: int) -> Tuple[np.ndarray, np.ndarray]:
+    """
+    Clip global CSR (offsets, lens) into per-shard local views.
+
+    :param offsets: (C,) int32 global list start rows.
+    :param lens: (C,) int32 global list lengths.
+    :param n_rows: Total (padded) row count; must divide by n_shards.
+    :return: (local_offsets (S, C) int32 — relative to each shard's base —
+        and local_lens (S, C) int32).
+    """
+    per = n_rows // n_shards
+    out_off = np.zeros((n_shards, len(offsets)), dtype=np.int32)
+    out_len = np.zeros((n_shards, len(offsets)), dtype=np.int32)
+    starts = offsets.astype(np.int64)
+    ends = starts + lens.astype(np.int64)
+    for s in range(n_shards):
+        lo, hi = s * per, (s + 1) * per
+        c_start = np.clip(starts, lo, hi)
+        c_end = np.clip(ends, lo, hi)
+        out_off[s] = (c_start - lo).astype(np.int32)
+        out_len[s] = (c_end - c_start).astype(np.int32)
+    return out_off, out_len
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe", "l_max", "metric", "mesh"))
+def sharded_ivf_query(mesh: Mesh, db, db_sq, db_norm, valid, centroids,
+                      offsets, lens, q, *, k: int, nprobe: int, l_max: int,
+                      metric: str = "euclidean"):
+    """
+    :param db/db_sq/db_norm/valid: row-sharded over ``mesh`` (list-sorted
+        global order).
+    :param centroids: (C, d) replicated.
+    :param offsets/lens: (S, C) per-shard local CSR views, row-sharded on
+        their leading axis.
+    :param q: (B, d) replicated.
+    :return: (dists (B, k), global rows (B, k)), replicated.
+    """
+    def local(db_l, sq_l, nm_l, va_l, c, off_l, len_l, q_l):
+        k_loc = min(k, db_l.shape[0])
+        d, r = ivf_query(db_l, sq_l, nm_l, va_l, c, off_l[0], len_l[0],
+                         q_l, k=k_loc, nprobe=nprobe, l_max=l_max,
+                         metric=metric)
+        if k_loc < k:
+            b = q_l.shape[0]
+            d = jnp.concatenate(
+                [d, jnp.full((b, k - k_loc), jnp.inf, jnp.float32)], axis=1)
+            r = jnp.concatenate(
+                [r, jnp.full((b, k - k_loc), -1, jnp.int32)], axis=1)
+        offset = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) \
+            * db_l.shape[0]
+        r = jnp.where(r >= 0, r + offset, r)
+        d_all = jax.lax.all_gather(d, SHARD_AXIS)
+        r_all = jax.lax.all_gather(r, SHARD_AXIS)
+        s, b, kk = d_all.shape
+        d_flat = jnp.transpose(d_all, (1, 0, 2)).reshape(b, s * kk)
+        r_flat = jnp.transpose(r_all, (1, 0, 2)).reshape(b, s * kk)
+        neg, sel = jax.lax.top_k(-d_flat, k)
+        return -neg, jnp.take_along_axis(r_flat, sel, axis=1)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(SHARD_AXIS), P(None, None), P(SHARD_AXIS, None),
+                  P(SHARD_AXIS, None), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(db, db_sq, db_norm, valid, centroids, offsets, lens, q)

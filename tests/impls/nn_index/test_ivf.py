@@ -167,3 +167,39 @@ class TestIvfIndex:
         assert len(results) == 6
         for j, (res, dists) in enumerate(results):
             assert res[0].uuid() == elems[j].uuid()
+
+
+class TestShardedIvf:
+    def test_sharded_full_probe_matches_single(self):
+        elems = _clustered(n_clusters=8, per=40, d=16, seed=10)
+        single = IvfNearestNeighborsIndex(n_lists=8, nprobe=8,
+                                          kmeans_iterations=6,
+                                          random_seed=0)
+        multi = IvfNearestNeighborsIndex(n_lists=8, nprobe=8,
+                                         kmeans_iterations=6,
+                                         random_seed=0, n_devices=8)
+        single.build_index(elems)
+        multi.build_index(elems)
+        for j in (0, 111, 319):
+            r1, d1 = single.nn(elems[j], 5)
+            r8, d8 = multi.nn(elems[j], 5)
+            assert [e.uuid() for e in r8] == [e.uuid() for e in r1]
+            np.testing.assert_allclose(d8, d1, atol=1e-4)
+
+    def test_sharded_partial_probe_self_retrieval(self):
+        elems = _clustered(n_clusters=8, per=40, d=16, seed=11)
+        multi = IvfNearestNeighborsIndex(n_lists=8, nprobe=2,
+                                         kmeans_iterations=6,
+                                         random_seed=0, n_devices=8)
+        multi.build_index(elems)
+        hits = sum(multi.nn(elems[j], 1)[0][0].uuid() == elems[j].uuid()
+                   for j in range(0, 320, 40))
+        assert hits >= 7
+
+    def test_sharded_config_roundtrip(self):
+        from smqtk_indexing_tpu.core.configuration import (
+            configuration_test_helper,
+        )
+        i = IvfNearestNeighborsIndex(n_devices=8)
+        for inst in configuration_test_helper(i):
+            assert inst.n_devices == 8
