@@ -150,7 +150,10 @@ def flat_topk_fused(db: jnp.ndarray, db_sq: jnp.ndarray,
     b = q.shape[0]
     q = q.astype(jnp.float32)
     q_sq = jnp.sum(q * q, axis=-1)
-    s_keep = min(max(2 * k, 16), n // SEG)
+    # Exactness needs only k-1 segments (each segment-min < theta_k is
+    # itself a distinct score < theta_k); +8 absorbs ties at theta_k, where
+    # any tie choice is a valid top-k.
+    s_keep = min(max(k + 8, 16), n // SEG)
 
     if db_t is None:
         # One-off transpose (callers holding a persistent transposed copy
