@@ -25,6 +25,22 @@ def make_mesh(n_devices: Optional[int] = None,
     """
     if devices is None:
         devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            # Emulation convenience: fall back to the (virtual) CPU host
+            # platform when the default backend is too small — e.g. a
+            # single tunneled chip with
+            # XLA_FLAGS=--xla_force_host_platform_device_count=N set.
+            try:
+                cpu = jax.devices("cpu")
+            except Exception:  # pragma: no cover
+                cpu = []
+            if len(cpu) >= n_devices:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "Default backend has %d device(s); building the "
+                    "%d-device mesh on the CPU host platform instead.",
+                    len(devices), n_devices)
+                devices = cpu
     if n_devices is not None:
         if n_devices > len(devices):
             raise ValueError(
