@@ -169,6 +169,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._dev_lens = None
         self._capacity = 0
         self._l_max = 0
+        self._n_virtual = 0
         self._mesh = None
 
     def get_config(self) -> Dict[str, Any]:
@@ -267,7 +268,6 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                          if valid[i]}
         self._assign_host = assigns
         self._n_live = int(valid.sum())
-        self._l_max = _pow2_at_least(max(int(lens.max()), 1))
         self._upload()
 
     def _upload(self) -> None:
@@ -288,13 +288,40 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._dev_sq = jnp.asarray(sq)
         self._dev_norm = jnp.sqrt(self._dev_sq)
         self._dev_valid = jnp.asarray(valid)
-        self._dev_centroids = jnp.asarray(self._centroids_np,
-                                          dtype=dev_dtype)
         c_count = self._centroids_np.shape[0]
         lens = np.bincount(self._assign_host,
                            minlength=c_count).astype(np.int32)
         offsets = np.zeros(c_count, dtype=np.int32)
         offsets[1:] = np.cumsum(lens)[:-1]
+        # Balance the inverted lists: the query kernel pads every probe to
+        # the LONGEST list, so one skewed mega-list multiplies the whole
+        # gather. Lists longer than ~2x the mean split into contiguous
+        # virtual sublists sharing (duplicating) their centroid — duplicate
+        # centroid scores tie, so the probe selection naturally spends
+        # adjacent nprobe slots covering a big list (standard IVF bucket
+        # balancing; nprobe counts sublists).
+        cap = max(int(np.ceil(2.0 * max(n, 1) / c_count)), 32)
+        v_off, v_len, v_orig = [], [], []
+        for li in range(c_count):
+            length = int(lens[li])
+            start = int(offsets[li])
+            if length == 0:
+                v_off.append(start)
+                v_len.append(0)
+                v_orig.append(li)
+                continue
+            for lo in range(0, length, cap):
+                v_off.append(start + lo)
+                v_len.append(min(cap, length - lo))
+                v_orig.append(li)
+        v_off = np.asarray(v_off, dtype=np.int32)
+        v_len = np.asarray(v_len, dtype=np.int32)
+        v_orig = np.asarray(v_orig, dtype=np.int32)
+        self._n_virtual = len(v_off)
+        self._l_max = _pow2_at_least(max(int(v_len.max()), 1))
+        self._dev_centroids = jnp.asarray(self._centroids_np[v_orig],
+                                          dtype=dev_dtype)
+        offsets, lens = v_off, v_len
         self._dev_offsets = jnp.asarray(offsets)
         self._dev_lens = jnp.asarray(lens)
         self._mesh = self._make_mesh()
@@ -477,7 +504,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             q_p = pad_rows_np(q, b_pad, d_pad)
             k_eff = min(n, self._n_live)
             k_dev = min(_pow2_at_least(k_eff), self._capacity)
-            nprobe = min(self.nprobe, self._centroids_np.shape[0])
+            nprobe = min(self.nprobe, self._n_virtual)
             COUNTERS.add("ivf.queries", b)
             COUNTERS.add("ivf.probed_lists", b * nprobe)
             COUNTERS.add("ivf.candidates_scanned",
