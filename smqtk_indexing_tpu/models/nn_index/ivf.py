@@ -256,11 +256,6 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         else:
             valid = valid[order]
 
-        c_count = self._centroids_np.shape[0]
-        lens = np.bincount(assigns, minlength=c_count).astype(np.int32)
-        offsets = np.zeros(c_count, dtype=np.int32)
-        offsets[1:] = np.cumsum(lens)[:-1]
-
         self._host = np.ascontiguousarray(mat, dtype=np.float32)
         self._valid_host = valid
         self._row2uid = list(uids)
@@ -504,7 +499,17 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             q_p = pad_rows_np(q, b_pad, d_pad)
             k_eff = min(n, self._n_live)
             k_dev = min(_pow2_at_least(k_eff), self._capacity)
-            nprobe = min(self.nprobe, self._n_virtual)
+            # Translate the user's nprobe (counted in ORIGINAL lists) to
+            # virtual sublists: duplicated centroids tie and rank adjacent,
+            # so probing nprobe + (n_virtual - n_lists) virtual entries is
+            # guaranteed to cover the top-nprobe original lists in full —
+            # preserving both the nprobe == n_lists exhaustive-exact
+            # contract and low-nprobe whole-list recall. Rounded up to a
+            # power of two to bound jit recompiles across updates (l_max /
+            # capacity are static too, so updates already re-specialize).
+            extra = self._n_virtual - self._centroids_np.shape[0]
+            nprobe = min(_pow2_at_least(min(self.nprobe, self._n_virtual)
+                                        + extra), self._n_virtual)
             COUNTERS.add("ivf.queries", b)
             COUNTERS.add("ivf.probed_lists", b * nprobe)
             COUNTERS.add("ivf.candidates_scanned",

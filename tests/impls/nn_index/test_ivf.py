@@ -203,3 +203,58 @@ class TestShardedIvf:
         i = IvfNearestNeighborsIndex(n_devices=8)
         for inst in configuration_test_helper(i):
             assert inst.n_devices == 8
+
+
+class TestListBalancing:
+    def test_skewed_update_keeps_full_probe_exact(self):
+        # Regression (review finding): after an update skews one cell far
+        # past the balance cap (splitting it into virtual sublists),
+        # nprobe == n_lists must STILL equal the flat scan exactly.
+        from smqtk_indexing_tpu.models.nn_index.flat import (
+            FlatNearestNeighborsIndex,
+        )
+        rng = np.random.default_rng(42)
+        base = [_elem(f"b{j}", rng.normal(size=8) * 5 + c * 100)
+                for c in range(4) for j_, j in [(c, f"{c}-{j2}")
+                for j2 in range(50)]] if False else [
+            _elem(f"b{c}-{j}", rng.normal(size=8) + np.eye(4)[c].repeat(2) * 50)
+            for c in range(4) for j in range(50)]
+        idx = IvfNearestNeighborsIndex(n_lists=4, nprobe=4,
+                                       kmeans_iterations=6, random_seed=0)
+        idx.build_index(base)
+        # Skew: 800 more points into (roughly) one cell.
+        skew = [_elem(f"s{j}", rng.normal(size=8) * 0.1
+                      + np.eye(4)[0].repeat(2) * 50)
+                for j in range(800)]
+        idx.update_index(skew)
+        assert idx._n_virtual > 4  # the mega-list actually split
+
+        flat = FlatNearestNeighborsIndex()
+        flat.build_index(base + skew)
+        rng2 = np.random.default_rng(7)
+        for _ in range(5):
+            q = _elem("q", rng2.normal(size=8) * 30)
+            r_i, d_i = idx.nn(q, 25)
+            r_f, d_f = flat.nn(q, 25)
+            np.testing.assert_allclose(d_i, d_f, atol=1e-4)
+
+    def test_low_nprobe_covers_whole_split_list(self):
+        # nprobe=1 must still scan a split mega-list in FULL.
+        rng = np.random.default_rng(5)
+        # Build on balanced data, then skew one cell via update (no
+        # retrain) so the mega-list is guaranteed to split.
+        base = [_elem(f"base{c}{j}",
+                      rng.normal(size=8) + np.eye(4)[c].repeat(2) * 200)
+                for c in range(4) for j in range(10)]
+        idx = IvfNearestNeighborsIndex(n_lists=4, nprobe=1,
+                                       kmeans_iterations=8, random_seed=0)
+        idx.build_index(base)
+        big = [_elem(f"big{j}",
+                     rng.normal(size=8) * 0.5 + np.eye(4)[0].repeat(2) * 200)
+               for j in range(600)]
+        idx.update_index(big)
+        assert idx._n_virtual > 4  # the skewed cell split
+        # Every big-cluster point must find itself with a single probe.
+        for j in (0, 299, 599):
+            r, d = idx.nn(big[j], 1)
+            assert r[0].uuid() == f"big{j}"
