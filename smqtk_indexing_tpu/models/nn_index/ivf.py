@@ -500,16 +500,20 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             k_eff = min(n, self._n_live)
             k_dev = min(_pow2_at_least(k_eff), self._capacity)
             # Translate the user's nprobe (counted in ORIGINAL lists) to
-            # virtual sublists: duplicated centroids tie and rank adjacent,
-            # so probing nprobe + (n_virtual - n_lists) virtual entries is
-            # guaranteed to cover the top-nprobe original lists in full —
-            # preserving both the nprobe == n_lists exhaustive-exact
-            # contract and low-nprobe whole-list recall. Rounded up to a
-            # power of two to bound jit recompiles across updates (l_max /
-            # capacity are static too, so updates already re-specialize).
-            extra = self._n_virtual - self._centroids_np.shape[0]
-            nprobe = min(_pow2_at_least(min(self.nprobe, self._n_virtual)
-                                        + extra), self._n_virtual)
+            # virtual sublists. Duplicated centroids tie and rank adjacent,
+            # so extra virtual probe slots absorb splits among the selected
+            # lists. nprobe >= n_lists means exhaustive: probe every
+            # virtual list (exact, the contract tests rely on it). Partial
+            # nprobe gets +8 slack — full coverage of split lists up to a
+            # 9-way split (i.e. lists up to ~18x the mean; beyond that the
+            # split tail may be dropped), without the memory blowup a
+            # worst-case (n_virtual - n_lists) expansion causes at high
+            # nprobe. Pow2-rounded to bound jit recompiles across updates.
+            if self.nprobe >= self._centroids_np.shape[0]:
+                nprobe = self._n_virtual
+            else:
+                nprobe = min(_pow2_at_least(self.nprobe + 8),
+                             self._n_virtual)
             COUNTERS.add("ivf.queries", b)
             COUNTERS.add("ivf.probed_lists", b * nprobe)
             COUNTERS.add("ivf.candidates_scanned",
