@@ -196,7 +196,7 @@ class MemoryDescriptorSet (DescriptorSet):
         del self._table[uuid]
 
     def remove_many_descriptors(self, uuids: Iterable[Hashable]) -> None:
-        uuids = list(uuids)
+        uuids = list(dict.fromkeys(uuids))  # dedupe: no KeyError mid-delete
         for u in uuids:
             if u not in self._table:
                 raise KeyError(u)

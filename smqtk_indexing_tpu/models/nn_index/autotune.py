@@ -331,8 +331,9 @@ class AutotunedNearestNeighborsIndex (NearestNeighborsIndex):
                 elems = tuple(
                     self.descriptor_set.get_many_descriptors(uids))
                 out.append((elems, tuple(float(x) for x in dists[b])))
-        if out and len(out[0][0]) < n:
+        shortest = min(len(r[0]) for r in out)
+        if shortest < n:
             warnings.warn(
-                f"Requested {n} neighbors but only "
-                f"{len(out[0][0])} are indexed.")
+                f"Requested {n} neighbors but only {shortest} "
+                "are indexed.")
         return out

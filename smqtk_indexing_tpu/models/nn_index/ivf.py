@@ -368,6 +368,12 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             return
         payload = self.index_element.get_bytes()
         hlen = int.from_bytes(payload[:8], "big")
+        header = json.loads(payload[8:8 + hlen].decode())
+        if header.get("metric") != self.metric:
+            LOG.warning(
+                "Loaded IVF index was built with metric %r; instance is "
+                "configured with %r — centroids/layout may not suit the "
+                "configured metric.", header.get("metric"), self.metric)
         with np.load(io.BytesIO(payload[8 + hlen:]),
                      allow_pickle=True) as z:
             if "empty" in z:
@@ -449,7 +455,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
     def _remove_from_index(self, uids: Iterable[Hashable]) -> None:
         with self._model_lock:
             self._guard_read_only()
-            uids = list(uids)
+            uids = list(dict.fromkeys(uids))  # dedupe: see VectorStore
             rows = []
             for u in uids:
                 if u not in self._uid2row:
@@ -475,6 +481,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 valid = np.zeros(self._capacity, dtype=bool)
                 valid[:len(self._valid_host)] = self._valid_host
                 self._dev_valid = jnp.asarray(valid)
+                if self._mesh is not None:
+                    from smqtk_indexing_tpu.parallel.mesh import shard_rows
+                    self._dev_valid = shard_rows(self._mesh,
+                                                 self._dev_valid)
             self.descriptor_set.remove_many_descriptors(uids)
             self._save_index()
 
@@ -549,9 +559,15 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self.descriptor_set.get_many_descriptors(uid_list))
                 out.append((elems,
                             tuple(float(x) for x in dists[bi][good])))
-        if out and len(out[0][0]) < n:
-            warnings.warn(
-                f"Requested {n} neighbors but only {len(out[0][0])} "
-                "were found in the probed lists; increase nprobe for "
-                "better coverage.")
+        shortest = min(len(r[0]) for r in out)
+        if shortest < n:
+            if n > self._n_live:
+                warnings.warn(
+                    f"Requested {n} neighbors but only {self._n_live} "
+                    "are indexed.")
+            else:
+                warnings.warn(
+                    f"Requested {n} neighbors but some queries found only "
+                    f"{shortest} in the probed lists; increase nprobe for "
+                    "better coverage.")
         return out

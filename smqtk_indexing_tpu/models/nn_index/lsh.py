@@ -414,6 +414,10 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
 
             cand_elems = list(
                 self.descriptor_set.get_many_descriptors(cand_uids))
+            if not cand_elems:
+                # Configured hash index out of sync with the KV mapping
+                # (e.g. stale persisted cache): no candidates.
+                return ((), ())
             cand = np.vstack([e.vector() for e in cand_elems]) \
                 .astype(np.float32)
 

@@ -375,10 +375,16 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
                     self.descriptor_set.get_many_descriptors(uid_list))
                 out.append((elems,
                             tuple(float(x) for x in dists[bi][good])))
-        if out and len(out[0][0]) < n:
+        shortest = min(len(r[0]) for r in out)
+        if shortest < n:
             # Reference under-fill warning (mrpt.py:503-508).
-            warnings.warn(
-                f"Requested {n} neighbors but only {len(out[0][0])} "
-                "candidates were reached; increase num_trees or decrease "
-                "depth for more coverage.")
+            if n > self.count():
+                warnings.warn(
+                    f"Requested {n} neighbors but only {self.count()} "
+                    "are indexed.")
+            else:
+                warnings.warn(
+                    f"Requested {n} neighbors but some queries reached "
+                    f"only {shortest} candidates; increase num_trees or "
+                    "decrease depth for more coverage.")
         return out

@@ -399,10 +399,23 @@ class CodeStore:
         with self._lock:
             if self._host is None:
                 raise ValueError("Code store is empty.")
+            # ONE consistent snapshot: row indices computed against these
+            # device arrays must gather codes from the matching host
+            # mirror (a concurrent remove+compact between two separate
+            # lock acquisitions would desynchronize them).
             dev, dev_valid = self._dev, self._dev_valid
+            host, h_valid = self._host, self._valid_host
             n_live = self._n_live
             cap = self._capacity
             bits = self._bits
+            host_rows = host.shape[0]
+            use_mxu = self._mxu_eligible() and host_rows > HOST_SCAN_MAX \
+                and self._mesh is None
+            if use_mxu:
+                self._ensure_pm1()
+                pm1, pm1_t, pm1_sq = (self._dev_pm1, self._dev_pm1_t,
+                                      self._dev_pm1_sq)
+                mxu_valid = self._dev_valid
         q_bool = np.atleast_2d(np.asarray(q_bool)).astype(bool)
         if q_bool.shape[1] != bits:
             raise ValueError(
@@ -415,21 +428,6 @@ class CodeStore:
                 [q_packed,
                  np.zeros((b_pad - b, q_packed.shape[1]), dtype=np.uint32)])
         k_eff = min(k, n_live)
-        # One more consistent snapshot for the engine choice + the MXU
-        # mirror (the first snapshot above covers dev/dev_valid/cap/bits;
-        # mutations between the two acquisitions only swap references,
-        # never mutate the snapshotted arrays).
-        with self._lock:
-            host = self._host
-            h_valid = self._valid_host
-            host_rows = host.shape[0]
-            use_mxu = self._mxu_eligible()
-            if use_mxu and host_rows > HOST_SCAN_MAX \
-                    and self._mesh is None:
-                self._ensure_pm1()
-                pm1, pm1_t, pm1_sq = (self._dev_pm1, self._dev_pm1_t,
-                                      self._dev_pm1_sq)
-                mxu_valid = self._dev_valid
         if self._mesh is not None:
             from smqtk_indexing_tpu.parallel.mesh import replicate
             from smqtk_indexing_tpu.parallel.sharded_scan import (

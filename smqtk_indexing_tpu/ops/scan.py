@@ -82,10 +82,6 @@ def _finalize(metric: str, scores: jnp.ndarray,
     return scores
 
 
-#: Segment width for the two-stage exact scan (one VPU lane row).
-SEG = 128
-
-
 @partial(jax.jit, static_argnames=("k", "metric", "chunk"))
 def flat_topk(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
               valid: jnp.ndarray, q: jnp.ndarray, *, k: int,
@@ -146,33 +142,6 @@ def flat_topk(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
     (best_s, best_r), _ = jax.lax.scan(
         body, init, (db_c, sq_c, nm_c, va_c, base_rows))
     return _exact_selected(metric, db, q, q_sq, best_s, best_r)
-
-
-def _exact_metric(metric: str, q: jnp.ndarray, q_sq: jnp.ndarray,
-                  q_norm: jnp.ndarray, cand: jnp.ndarray,
-                  cand_sq: jnp.ndarray, cand_norm: jnp.ndarray
-                  ) -> jnp.ndarray:
-    """True distances from (B, d) queries to gathered (B, M, d) rows."""
-    if metric == "euclidean":
-        diff = cand - q[:, None, :]
-        return jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
-    if metric == "inner_product":
-        return -jnp.einsum("bmd,bd->bm", cand, q,
-                           precision=jax.lax.Precision.HIGHEST)
-    if metric == "cosine":
-        ip = jnp.einsum("bmd,bd->bm", cand, q,
-                        precision=jax.lax.Precision.HIGHEST)
-        denom = q_norm[:, None] * cand_norm
-        sim = jnp.clip(ip / jnp.where(denom == 0, 1.0, denom), -1.0, 1.0)
-        return 2.0 * jnp.arccos(sim) / math.pi
-    if metric == "hik":
-        return 1.0 - jnp.sum(jnp.minimum(q[:, None, :], cand), axis=-1)
-    if metric == "chi_square":
-        s = q[:, None, :] + cand
-        dlt = q[:, None, :] - cand
-        return jnp.sum(jnp.where(s > 0, dlt * dlt / jnp.where(s > 0, s, 1.0),
-                                 0.0), axis=-1)
-    raise ValueError(f"Unknown metric '{metric}'.")
 
 
 def _exact_selected(metric: str, db: jnp.ndarray, q: jnp.ndarray,

@@ -182,6 +182,9 @@ class VectorStore:
 
         :raises KeyError: any UID unknown; nothing is removed in that case.
         """
+        # Dedupe (preserving order): duplicated UIDs must not corrupt the
+        # bookkeeping or raise KeyError mid-mutation.
+        uids = list(dict.fromkeys(uids))
         with self._lock:
             rows = []
             for u in uids:
@@ -287,6 +290,15 @@ class VectorStore:
             n_live = self._n_live
             cap = self._capacity
             d = self._dim
+            # The fused kernel's transposed mirror must come from the SAME
+            # critical section as dev: a concurrent add() between lock
+            # acquisitions would otherwise mix two database versions
+            # (stage-1 selection on one, stage-2 re-rank on the other).
+            use_fused = self._fused_eligible(metric)
+            if use_fused:
+                if self._dev_t is None:
+                    self._dev_t = jnp.asarray(self._dev.T)
+                dev_t = self._dev_t
 
         q = np.atleast_2d(np.asarray(q, dtype=np.float32))
         if q.shape[1] != d:
@@ -310,12 +322,8 @@ class VectorStore:
                 self._mesh, dev, dev_sq, dev_norm, dev_valid,
                 replicate(self._mesh, jnp.asarray(q_pad)),
                 k=k_dev, metric=metric)
-        elif self._fused_eligible(metric):
+        elif use_fused:
             from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused
-            with self._lock:
-                if self._dev_t is None:
-                    self._dev_t = jnp.asarray(self._dev.T)
-                dev_t = self._dev_t
             dists, rows = flat_topk_fused(
                 dev, dev_sq, dev_valid, jnp.asarray(q_pad), k=k_dev,
                 db_t=dev_t)
