@@ -404,3 +404,26 @@ def test_all_impl_configs_json_serializable():
     for iface in (NearestNeighborsIndex, HashIndex, LshFunctor):
         for impl in iface.get_impls():
             json.dumps(impl.get_default_config())
+
+
+def test_remove_duplicate_uids_no_corruption():
+    # Review regression: [5, 5] must remove once, cleanly (no KeyError
+    # mid-mutation, no double-decrement of the live count).
+    import numpy as np
+    from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+    from smqtk_indexing_tpu.models.nn_index.flat import (
+        FlatNearestNeighborsIndex,
+    )
+    elems = [DescriptorMemoryElement(j, np.asarray([j, j], np.float32))
+             for j in range(8)]
+    i = FlatNearestNeighborsIndex()
+    i.build_index(elems)
+    i.remove_from_index([5, 5])
+    assert i.count() == 7
+    r, d = i.nn(elems[5], 1)
+    assert r[0].uuid() != 5
+    # Re-adding works and produces exactly one row.
+    i.update_index([elems[5]])
+    assert i.count() == 8
+    r, d = i.nn(elems[5], 2)
+    assert r[0].uuid() == 5 and d[0] == 0.0 and r[1].uuid() != 5

@@ -258,3 +258,15 @@ class TestListBalancing:
         for j in (0, 299, 599):
             r, d = idx.nn(big[j], 1)
             assert r[0].uuid() == f"big{j}"
+
+
+def test_ivf_remove_duplicate_uids_no_corruption():
+    elems = _clustered(n_clusters=2, per=8, seed=9)
+    i = IvfNearestNeighborsIndex(n_lists=2, nprobe=2, kmeans_iterations=4,
+                                 random_seed=0)
+    i.build_index(elems)
+    u = elems[3].uuid()
+    i.remove_from_index([u, u])
+    assert i.count() == len(elems) - 1
+    i.update_index([elems[3]])
+    assert i.count() == len(elems)

@@ -240,3 +240,18 @@ class TestFallbackCache:
         assert i._fallback_hi is None
         res, _ = i.nn(_elem("q", [99, 99]), 1)
         assert res[0].uuid() != 99
+
+
+def test_nn_with_stale_hash_index_returns_empty():
+    # Review regression: a hash index disjoint from the KV mapping must
+    # yield an empty result, not a ValueError from np.vstack([]).
+    from smqtk_indexing_tpu.utils.bits import int_to_bit_vector_large
+    hi = LinearHashIndex()
+    hi.build_index(np.vstack([int_to_bit_vector_large(c, 8)
+                              for c in (200, 201)]))
+    i = _mk_index(hash_index=hi, distance_method="euclidean")
+    # KV store maps different codes than the hash index contains.
+    i.descriptor_set.add_descriptor(_elem(0, [1, 1]))
+    i.hash2uuids_kvstore.add(2, {0})
+    res, dists = i.nn(_elem("q", [1, 1]), 3)
+    assert res == () and dists == ()
