@@ -25,6 +25,7 @@ import threading
 import warnings
 from typing import Any, Dict, Hashable, Iterable, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -139,6 +140,23 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._model_lock = threading.RLock()
         self._reset_state()
         self._load_index()
+
+    def _dma_eligible(self) -> bool:
+        """Use the Pallas DMA list-scan (ops/pallas_ivf.py): single real
+        TPU chip, euclidean metric, f32 storage, balanced lists within the
+        kernel's fixed DMA length."""
+        import os
+        if os.environ.get("SMQTK_TPU_NO_DMA_IVF"):
+            return False
+        from smqtk_indexing_tpu.ops.pallas_ivf import L_MAX
+        try:
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover
+            return False
+        return (backend == "tpu" and self._mesh is None
+                and self.metric == "euclidean" and self.dtype == "float32"
+                and 0 < self._l_max <= L_MAX
+                and self._capacity >= L_MAX)
 
     def _make_mesh(self):
         """Row-shard the list-sorted database over a device mesh (lists
@@ -539,6 +557,13 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev_offsets, self._dev_lens,
                     replicate(self._mesh, jnp.asarray(q_p)), k=k_dev,
                     nprobe=nprobe, l_max=self._l_max, metric=self.metric)
+            elif self._dma_eligible():
+                from smqtk_indexing_tpu.ops.pallas_ivf import ivf_query_dma
+                dists, rows = ivf_query_dma(
+                    self._dev, self._dev_sq, self._dev_valid,
+                    self._dev_centroids, self._dev_offsets,
+                    self._dev_lens, jnp.asarray(q_p), k=k_dev,
+                    n_probe=nprobe)
             else:
                 dists, rows = ivf_query(
                     self._dev, self._dev_sq, self._dev_norm,

@@ -1,0 +1,161 @@
+"""
+Pallas IVF list-scan kernel (TPU).
+
+The XLA IVF query (ops/ivf.ivf_query) fetches probed-list rows with a
+row-id gather — TPU gathers run far below HBM bandwidth. But inverted
+lists are CONTIGUOUS row ranges in the CSR layout, so this kernel instead
+DMAs each probed list as one (L_MAX, d) block straight from HBM into VMEM
+(one ~256KB descriptor per probe — ideal DMA granularity), scores it on the
+VPU against the resident query, and emits the masked score column; the
+(tiny) host program does one top-k over (B, P*L_MAX) and an exact re-rank
+of the k winners.
+
+Scalar-prefetch carries per-(query, probe) clamped list starts and local
+[lo, hi) windows (clamping keeps the fixed-size DMA in bounds when a list
+sits near the end of the padded database; the window masks the shift and
+the list length).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from smqtk_indexing_tpu.ops.scan import _exact_selected
+
+#: Fixed per-probe DMA length (rows). Must be >= the layout's l_max; the
+#: IVF list balancer (models/nn_index/ivf.py) bounds list lengths near
+#: 2x the mean, so 512 covers balanced layouts; callers fall back to the
+#: XLA path when l_max exceeds this.
+L_MAX = 512
+
+
+def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, db_ref, out_ref,
+                cand, sems, *, n_probe: int):
+    qi = pl.program_id(0)
+    pi = pl.program_id(1)
+    idx = qi * n_probe + pi
+    start = start_ref[idx]
+
+    dma_db = pltpu.make_async_copy(
+        db_ref.at[pl.ds(start, L_MAX), :], cand, sems.at[0])
+    dma_db.start()
+    dma_db.wait()
+
+    # VPU scoring: broadcast-multiply-reduce along lanes -> (L_MAX, 1)
+    # column (no transposes; per-probe GEMV gains nothing from the MXU).
+    # Squared norms are recomputed in-kernel — a (L_MAX, 1) norm slice
+    # cannot DMA (lane tiling requires 128-wide slices) and the extra VPU
+    # work is trivial.
+    ip = jnp.sum(cand[:] * q_ref[0], axis=1, keepdims=True)
+    sqv = jnp.sum(cand[:] * cand[:], axis=1, keepdims=True)
+    scores = sqv - 2.0 * ip
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (L_MAX, 1), 0)
+    ok = (rowid >= lo_ref[idx]) & (rowid < hi_ref[idx])
+    out_ref[:] = jnp.where(ok, scores, jnp.inf).reshape(1, L_MAX, 1)
+
+
+@partial(jax.jit, static_argnames=("n_probe", "interpret"))
+def ivf_list_scores(db: jnp.ndarray,
+                    q: jnp.ndarray, starts: jnp.ndarray, lo: jnp.ndarray,
+                    hi: jnp.ndarray, *, n_probe: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """
+    :param db: (N, d) float32 database (list-sorted CSR layout).
+    :param q: (B, d) float32 queries.
+    :param starts: (B * n_probe,) int32 clamped list start rows
+        (start + L_MAX <= N guaranteed by the caller).
+    :param lo/hi: (B * n_probe,) int32 local valid windows within each
+        DMA'd block ([lo, hi) relative to the clamped start).
+    :return: (B, n_probe * L_MAX) float32 masked L2 surrogate scores
+        (||q||^2 omitted), +inf outside the windows.
+    """
+    n, d = db.shape
+    b = q.shape[0]
+    q3 = q.reshape(b, 1, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, n_probe),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda qi, pi, *_: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),      # query
+            pl.BlockSpec(memory_space=pltpu.ANY),       # db (manual DMA)
+        ],
+        out_specs=pl.BlockSpec((1, L_MAX, 1),
+                               lambda qi, pi, *_: (qi * n_probe + pi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((L_MAX, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_ivf_kernel, n_probe=n_probe),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * n_probe, L_MAX, 1),
+                                       jnp.float32),
+        interpret=interpret,
+    )(starts, lo, hi, q3, db)
+    return out.reshape(b, n_probe * L_MAX)
+
+
+@partial(jax.jit, static_argnames=("k", "n_probe", "interpret"))
+def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
+                  centroids: jnp.ndarray, offsets: jnp.ndarray,
+                  lens: jnp.ndarray, q: jnp.ndarray, *, k: int,
+                  n_probe: int, interpret: bool = False
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Full IVF query with the DMA list-scan: same contract as
+    ops/ivf.ivf_query for metric='euclidean' (layouts must satisfy
+    max(lens) <= L_MAX and N >= L_MAX).
+    """
+    n, d = db.shape
+    b = q.shape[0]
+    q = q.astype(jnp.float32)
+    q_sq = jnp.sum(q * q, axis=-1)
+
+    # Probe selection (same surrogate as ops/ivf.ivf_query).
+    c = centroids.astype(jnp.float32)
+    c_sq = jnp.sum(c * c, axis=-1)
+    ip_c = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    c_scores = jnp.where(lens[None, :] > 0,
+                         c_sq[None, :] - 2.0 * ip_c, jnp.inf)
+    _, lists = jax.lax.top_k(-c_scores, n_probe)          # (B, P)
+
+    raw_start = offsets[lists]                            # (B, P)
+    ln = lens[lists]
+    c_start = jnp.minimum(raw_start, n - L_MAX)
+    ofs = raw_start - c_start
+    starts = c_start.reshape(-1).astype(jnp.int32)
+    lo = ofs.reshape(-1).astype(jnp.int32)
+    hi = (ofs + ln).reshape(-1).astype(jnp.int32)
+
+    scores = ivf_list_scores(db.astype(jnp.float32), q, starts, lo, hi,
+                             n_probe=n_probe, interpret=interpret)
+
+    # Row mapping: candidate m of probe p sits at c_start + local index.
+    local = jax.lax.broadcasted_iota(jnp.int32, (b, n_probe, L_MAX), 2)
+    rows = (c_start[..., None] + local).reshape(b, n_probe * L_MAX)
+    # Dead rows (masked by the store) must not win.
+    scores = jnp.where(jnp.take(valid, jnp.clip(rows, 0, n - 1), axis=0),
+                       scores, jnp.inf)
+
+    k_inner = min(k, n_probe * L_MAX)
+    neg, sel = jax.lax.top_k(-scores, k_inner)
+    top_rows = jnp.take_along_axis(rows, sel, axis=1).astype(jnp.int32)
+    top_scores = -neg
+    top_rows = jnp.where(jnp.isinf(top_scores), -1, top_rows)
+    if k_inner < k:
+        pad = k - k_inner
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1)
+        top_rows = jnp.concatenate(
+            [top_rows, jnp.full((b, pad), -1, jnp.int32)], axis=1)
+    return _exact_selected("euclidean", db, q, q_sq, top_scores, top_rows)
