@@ -13,6 +13,9 @@ produces the global result (the BASELINE.json v5e-8 Deep10M configuration).
 from smqtk_indexing_tpu.parallel.mesh import (  # noqa: F401
     SHARD_AXIS, make_mesh, shard_rows,
 )
+from smqtk_indexing_tpu.parallel.sharded_ivf import (  # noqa: F401
+    shard_csr, sharded_ivf_query,
+)
 from smqtk_indexing_tpu.parallel.sharded_scan import (  # noqa: F401
     sharded_flat_topk, sharded_hamming_topk, sharded_kmeans_step,
 )
