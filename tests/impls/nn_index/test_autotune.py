@@ -130,3 +130,22 @@ class TestAutotunedIndex:
         assert i2.count() == 32
         res, dists = i2.nn(elems[3], 1)
         assert res[0].uuid() == 3
+
+
+def test_autotune_retunes_after_mutation():
+    rng = np.random.default_rng(8)
+    centers = rng.normal(size=(64, 16)) * 10
+    elems = [_elem(f"{c}-{j}", centers[c] + rng.normal(size=16) * 0.3)
+             for c in range(64) for j in range(80)]
+    i = AutotunedNearestNeighborsIndex(
+        autotune=True, target_precision=0.9, sample_fraction=0.05,
+        random_seed=0)
+    i.build_index(elems)
+    assert i._ivf is not None
+    # Removing most of the data drops below the IVF threshold: the tuner
+    # must fall back to exact scans.
+    i.remove_from_index([e.uuid() for e in elems[640:]])
+    assert i.count() == 640
+    assert i._ivf is None
+    res, d = i.nn(elems[0], 1)
+    assert res[0].uuid() == elems[0].uuid()

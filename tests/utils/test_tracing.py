@@ -37,3 +37,19 @@ def test_query_counters_move():
     before = COUNTERS.get("flat.queries")
     i.nn(elems[0], 2)
     assert COUNTERS.get("flat.queries") == before + 1
+
+
+def test_progress_reporter_contract():
+    from smqtk_indexing_tpu.utils.progress_reporter import ProgressReporter
+    import pytest
+    calls = []
+    pr = ProgressReporter(lambda *a: calls.append(a), interval=0.0)
+    with pytest.raises(RuntimeError):
+        pr.increment_report()  # must start() first
+    pr.start()
+    for _ in range(3):
+        pr.increment_report()
+    pr.report()
+    assert calls  # rate lines were emitted
+    # Thread-safe variant shares the counter.
+    pr.increment_report_threadsafe()
