@@ -39,20 +39,36 @@ def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, db_ref, out_ref,
     qi = pl.program_id(0)
     pi = pl.program_id(1)
     idx = qi * n_probe + pi
-    start = start_ref[idx]
+    total = pl.num_programs(0) * n_probe
+    slot = jax.lax.rem(idx, 2)
+    nxt = jax.lax.rem(idx + 1, 2)
 
-    dma_db = pltpu.make_async_copy(
-        db_ref.at[pl.ds(start, L_MAX), :], cand, sems.at[0])
-    dma_db.start()
-    dma_db.wait()
+    def dma_for(i, s):
+        return pltpu.make_async_copy(
+            db_ref.at[pl.ds(start_ref[i], L_MAX), :], cand.at[s],
+            sems.at[s])
+
+    # Double buffering: the grid iterates probes sequentially, so the
+    # (qi, pi) -> flat idx mapping lets each step prefetch the NEXT probe's
+    # list while scoring the current one.
+    @pl.when(idx == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(idx + 1 < total)
+    def _():
+        dma_for(idx + 1, nxt).start()
+
+    dma_for(idx, slot).wait()
 
     # VPU scoring: broadcast-multiply-reduce along lanes -> (L_MAX, 1)
     # column (no transposes; per-probe GEMV gains nothing from the MXU).
     # Squared norms are recomputed in-kernel — a (L_MAX, 1) norm slice
     # cannot DMA (lane tiling requires 128-wide slices) and the extra VPU
     # work is trivial.
-    ip = jnp.sum(cand[:] * q_ref[0], axis=1, keepdims=True)
-    sqv = jnp.sum(cand[:] * cand[:], axis=1, keepdims=True)
+    block = cand[slot]
+    ip = jnp.sum(block * q_ref[0], axis=1, keepdims=True)
+    sqv = jnp.sum(block * block, axis=1, keepdims=True)
     scores = sqv - 2.0 * ip
     rowid = jax.lax.broadcasted_iota(jnp.int32, (L_MAX, 1), 0)
     ok = (rowid >= lo_ref[idx]) & (rowid < hi_ref[idx])
@@ -90,8 +106,8 @@ def ivf_list_scores(db: jnp.ndarray,
                                lambda qi, pi, *_: (qi * n_probe + pi, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((L_MAX, d), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, L_MAX, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
