@@ -133,23 +133,30 @@ def segment_minima(db_t: jnp.ndarray, db_sq: jnp.ndarray,
     return jnp.transpose(out, (1, 0, 2)).reshape(b, n // SEG)
 
 
-@partial(jax.jit, static_argnames=("k", "interpret", "use_highest"))
+@partial(jax.jit,
+         static_argnames=("k", "metric", "interpret", "use_highest"))
 def flat_topk_fused(db: jnp.ndarray, db_sq: jnp.ndarray,
                     valid: jnp.ndarray, q: jnp.ndarray, *, k: int,
+                    metric: str = "euclidean",
                     db_t: jnp.ndarray = None,
                     interpret: bool = False, use_highest: bool = True
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
-    Exact exhaustive Euclidean top-k via the fused Pallas stage 1 + XLA
-    gather/re-rank stage 2.
+    Exact exhaustive top-k via the fused Pallas stage 1 + XLA
+    gather/re-rank stage 2; metrics 'euclidean' and 'inner_product' (the
+    kernel's L2 surrogate sq - 2*ip degrades to the IP surrogate -2*ip by
+    feeding zeros for sq — identical segment-min selection math).
 
-    Same contract as ops/scan.flat_topk for metric='euclidean':
+    Same contract as ops/scan.flat_topk:
     (dists (B, k) ascending, rows (B, k) int32; +inf / -1 padding).
     """
+    assert metric in ("euclidean", "inner_product")
     n, d = db.shape
     b = q.shape[0]
     q = q.astype(jnp.float32)
     q_sq = jnp.sum(q * q, axis=-1)
+    if metric == "inner_product":
+        db_sq = jnp.zeros_like(db_sq)
     # Exactness needs only k-1 segments (each segment-min < theta_k is
     # itself a distinct score < theta_k); +8 absorbs ties at theta_k, where
     # any tie choice is a valid top-k.
@@ -179,8 +186,11 @@ def flat_topk_fused(db: jnp.ndarray, db_sq: jnp.ndarray,
     db_seg = db.reshape(n // SEG, SEG, d)
     cand = jnp.take(db_seg, jnp.maximum(sid, 0), axis=0) \
         .reshape(b, s_keep * SEG, d).astype(jnp.float32)
-    diff = cand - q[:, None, :]
-    exact = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    if metric == "inner_product":
+        exact = -jnp.sum(cand * q[:, None, :], axis=-1)
+    else:
+        diff = cand - q[:, None, :]
+        exact = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
     exact = jnp.where(alive, exact, jnp.inf)
     neg, sel = jax.lax.top_k(-exact, k)
     out_rows = jnp.take_along_axis(rows_flat, sel, axis=1).astype(jnp.int32)

@@ -69,7 +69,8 @@ class VectorStore:
             backend = jax.default_backend()
         except Exception:  # pragma: no cover
             return False
-        return (metric == "euclidean" and self._mesh is None
+        return (metric in ("euclidean", "inner_product")
+                and self._mesh is None
                 and backend == "tpu" and self._capacity >= TILE_N
                 and self._capacity % TILE_N == 0)
 
@@ -326,7 +327,7 @@ class VectorStore:
             from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused
             dists, rows = flat_topk_fused(
                 dev, dev_sq, dev_valid, jnp.asarray(q_pad), k=k_dev,
-                db_t=dev_t)
+                metric=metric, db_t=dev_t)
         else:
             dists, rows = scan.flat_topk(
                 dev, dev_sq, dev_norm, dev_valid, jnp.asarray(q_pad),

@@ -75,3 +75,18 @@ def test_fused_duplicate_heavy_data():
         jnp.asarray(db), jnp.asarray(sq), jnp.asarray(np.ones(n, bool)),
         jnp.asarray(q), k=k, interpret=True)
     assert np.allclose(np.asarray(d_fused)[1:, :], 0.0, atol=1e-5)
+
+
+def test_fused_inner_product_matches_reference():
+    n, d, b, k = MIN_N, 64, 8, 6
+    db, sq, q = _mk(n, d, b, seed=4)
+    valid = np.ones(n, dtype=bool)
+    d_ref, r_ref = flat_topk(jnp.asarray(db), jnp.asarray(sq),
+                             jnp.asarray(np.sqrt(sq)), jnp.asarray(valid),
+                             jnp.asarray(q), k=k, metric="inner_product")
+    d_f, r_f = flat_topk_fused(jnp.asarray(db), jnp.asarray(sq),
+                               jnp.asarray(valid), jnp.asarray(q), k=k,
+                               metric="inner_product", interpret=True)
+    assert np.array_equal(np.asarray(r_f), np.asarray(r_ref))
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref),
+                               atol=1e-4)
