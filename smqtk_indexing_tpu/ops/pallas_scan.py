@@ -139,24 +139,36 @@ def flat_topk_fused(db: jnp.ndarray, db_sq: jnp.ndarray,
                     valid: jnp.ndarray, q: jnp.ndarray, *, k: int,
                     metric: str = "euclidean",
                     db_t: jnp.ndarray = None,
+                    db_norm: jnp.ndarray = None,
                     interpret: bool = False, use_highest: bool = True
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Exact exhaustive top-k via the fused Pallas stage 1 + XLA
-    gather/re-rank stage 2; metrics 'euclidean' and 'inner_product' (the
-    kernel's L2 surrogate sq - 2*ip degrades to the IP surrogate -2*ip by
-    feeding zeros for sq — identical segment-min selection math).
+    gather/re-rank stage 2. Metrics:
+
+    - 'euclidean': the kernel's native sq - 2*ip surrogate;
+    - 'inner_product': zeros for sq degrade the surrogate to -2*ip;
+    - 'cosine': callers pass ``db_t`` as the TRANSPOSED ROW-NORMALIZED
+      database and ``db_norm``; the query normalizes for stage 1 (so the
+      surrogate is -2*cos, exactly monotone in angular distance) and
+      stage 2 computes the exact angular distance from the raw rows.
 
     Same contract as ops/scan.flat_topk:
     (dists (B, k) ascending, rows (B, k) int32; +inf / -1 padding).
     """
-    assert metric in ("euclidean", "inner_product")
+    assert metric in ("euclidean", "inner_product", "cosine")
     n, d = db.shape
     b = q.shape[0]
     q = q.astype(jnp.float32)
     q_sq = jnp.sum(q * q, axis=-1)
+    q_norm = jnp.sqrt(q_sq)
+    q_stage1 = q
     if metric == "inner_product":
         db_sq = jnp.zeros_like(db_sq)
+    elif metric == "cosine":
+        assert db_norm is not None, "cosine needs db_norm (and a "             "normalized db_t)"
+        db_sq = jnp.zeros_like(db_sq)
+        q_stage1 = q / jnp.where(q_norm == 0, 1.0, q_norm)[:, None]
     # Exactness needs only k-1 segments (each segment-min < theta_k is
     # itself a distinct score < theta_k); +8 absorbs ties at theta_k, where
     # any tie choice is a valid top-k.
@@ -168,7 +180,7 @@ def flat_topk_fused(db: jnp.ndarray, db_sq: jnp.ndarray,
         db_t = db.T
     penalty = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32) \
         .reshape(1, n)
-    minima = segment_minima(db_t, db_sq.reshape(1, n), penalty, q,
+    minima = segment_minima(db_t, db_sq.reshape(1, n), penalty, q_stage1,
                             interpret=interpret, use_highest=use_highest)
     neg, sid = jax.lax.top_k(-minima, s_keep)
     sid = jnp.where(jnp.isinf(neg), -1, sid.astype(jnp.int32))
@@ -188,6 +200,13 @@ def flat_topk_fused(db: jnp.ndarray, db_sq: jnp.ndarray,
         .reshape(b, s_keep * SEG, d).astype(jnp.float32)
     if metric == "inner_product":
         exact = -jnp.sum(cand * q[:, None, :], axis=-1)
+    elif metric == "cosine":
+        import math
+        ip = jnp.sum(cand * q[:, None, :], axis=-1)
+        cn = jnp.take(db_norm, rows_flat, axis=0)
+        denom = q_norm[:, None] * cn
+        sim = jnp.clip(ip / jnp.where(denom == 0, 1.0, denom), -1.0, 1.0)
+        exact = 2.0 * jnp.arccos(sim) / math.pi
     else:
         diff = cand - q[:, None, :]
         exact = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))

@@ -69,7 +69,7 @@ class VectorStore:
             backend = jax.default_backend()
         except Exception:  # pragma: no cover
             return False
-        return (metric in ("euclidean", "inner_product")
+        return (metric in ("euclidean", "inner_product", "cosine")
                 and self._mesh is None
                 and backend == "tpu" and self._capacity >= TILE_N
                 and self._capacity % TILE_N == 0)
@@ -298,7 +298,15 @@ class VectorStore:
             use_fused = self._fused_eligible(metric)
             if use_fused:
                 if self._dev_t is None:
-                    self._dev_t = jnp.asarray(self._dev.T)
+                    if metric == "cosine":
+                        # Row-normalized transposed mirror: the kernel's
+                        # surrogate becomes -2*cosine similarity.
+                        norm = jnp.where(self._dev_norm == 0, 1.0,
+                                         self._dev_norm)
+                        self._dev_t = jnp.asarray(
+                            (self._dev / norm[:, None]).T)
+                    else:
+                        self._dev_t = jnp.asarray(self._dev.T)
                 dev_t = self._dev_t
 
         q = np.atleast_2d(np.asarray(q, dtype=np.float32))
@@ -327,7 +335,7 @@ class VectorStore:
             from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused
             dists, rows = flat_topk_fused(
                 dev, dev_sq, dev_valid, jnp.asarray(q_pad), k=k_dev,
-                metric=metric, db_t=dev_t)
+                metric=metric, db_t=dev_t, db_norm=dev_norm)
         else:
             dists, rows = scan.flat_topk(
                 dev, dev_sq, dev_norm, dev_valid, jnp.asarray(q_pad),

@@ -90,3 +90,22 @@ def test_fused_inner_product_matches_reference():
     assert np.array_equal(np.asarray(r_f), np.asarray(r_ref))
     np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref),
                                atol=1e-4)
+
+
+def test_fused_cosine_matches_reference():
+    n, d, b, k = MIN_N, 64, 8, 6
+    db, sq, q = _mk(n, d, b, seed=5)
+    valid = np.ones(n, dtype=bool)
+    norm = np.sqrt(sq)
+    d_ref, r_ref = flat_topk(jnp.asarray(db), jnp.asarray(sq),
+                             jnp.asarray(norm), jnp.asarray(valid),
+                             jnp.asarray(q), k=k, metric="cosine")
+    db_n_t = (db / np.where(norm[:, None] == 0, 1.0, norm[:, None])).T
+    d_f, r_f = flat_topk_fused(jnp.asarray(db), jnp.asarray(sq),
+                               jnp.asarray(valid), jnp.asarray(q), k=k,
+                               metric="cosine",
+                               db_t=jnp.asarray(np.ascontiguousarray(db_n_t)),
+                               db_norm=jnp.asarray(norm), interpret=True)
+    assert np.array_equal(np.asarray(r_f), np.asarray(r_ref))
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref),
+                               atol=1e-4)
