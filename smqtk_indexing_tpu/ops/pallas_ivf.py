@@ -100,7 +100,7 @@ def ivf_list_scores(db: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, d), lambda qi, pi, *_: (qi, 0, 0),
                          memory_space=pltpu.VMEM),      # query
-            pl.BlockSpec(memory_space=pltpu.ANY),       # db (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),          # db (manual DMA)
         ],
         out_specs=pl.BlockSpec((1, L_MAX, 1),
                                lambda qi, pi, *_: (qi * n_probe + pi, 0, 0),
