@@ -154,8 +154,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         except Exception:  # pragma: no cover
             return False
         return (backend == "tpu" and self._mesh is None
-                and self.metric == "euclidean" and self.dtype == "float32"
-                and 0 < self._l_max <= L_MAX
+                and self.metric == "euclidean"
+                and 0 < self._l_max_raw <= L_MAX - 16
                 and self._capacity >= L_MAX)
 
     def _make_mesh(self):
@@ -187,6 +187,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._dev_lens = None
         self._capacity = 0
         self._l_max = 0
+        self._l_max_raw = 0
         self._n_virtual = 0
         self._mesh = None
 
@@ -313,7 +314,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         # centroid scores tie, so the probe selection naturally spends
         # adjacent nprobe slots covering a big list (standard IVF bucket
         # balancing; nprobe counts sublists).
-        cap = max(int(np.ceil(2.0 * max(n, 1) / c_count)), 32)
+        from smqtk_indexing_tpu.ops.pallas_ivf import L_MAX as _DMA_L
+        # Cap also at the DMA kernel's fixed block length (minus sublane
+        # alignment slack) so balanced layouts always qualify for it.
+        cap = min(max(int(np.ceil(2.0 * max(n, 1) / c_count)), 32),
+                  _DMA_L - 16)
         v_off, v_len, v_orig = [], [], []
         for li in range(c_count):
             length = int(lens[li])
@@ -331,7 +336,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         v_len = np.asarray(v_len, dtype=np.int32)
         v_orig = np.asarray(v_orig, dtype=np.int32)
         self._n_virtual = len(v_off)
-        self._l_max = _pow2_at_least(max(int(v_len.max()), 1))
+        self._l_max_raw = max(int(v_len.max()), 1)
+        self._l_max = _pow2_at_least(self._l_max_raw)
         self._dev_centroids = jnp.asarray(self._centroids_np[v_orig],
                                           dtype=dev_dtype)
         offsets, lens = v_off, v_len

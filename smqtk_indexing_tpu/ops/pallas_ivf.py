@@ -44,8 +44,11 @@ def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, db_ref, out_ref,
     nxt = jax.lax.rem(idx + 1, 2)
 
     def dma_for(i, s):
+        # Starts are 16-aligned by the caller; the multiple_of hint lets
+        # Mosaic prove sublane-tile divisibility for the dynamic DMA.
+        start = pl.multiple_of(start_ref[i], 16)
         return pltpu.make_async_copy(
-            db_ref.at[pl.ds(start_ref[i], L_MAX), :], cand.at[s],
+            db_ref.at[pl.ds(start, L_MAX), :], cand.at[s],
             sems.at[s])
 
     # Double buffering: the grid iterates probes sequentially, so the
@@ -66,8 +69,9 @@ def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, db_ref, out_ref,
     # Squared norms are recomputed in-kernel — a (L_MAX, 1) norm slice
     # cannot DMA (lane tiling requires 128-wide slices) and the extra VPU
     # work is trivial.
-    block = cand[slot]
-    ip = jnp.sum(block * q_ref[0], axis=1, keepdims=True)
+    block = cand[slot].astype(jnp.float32)  # bf16 dbs cast in VMEM
+    ip = jnp.sum(block * q_ref[0].astype(jnp.float32), axis=1,
+                 keepdims=True)
     sqv = jnp.sum(block * block, axis=1, keepdims=True)
     scores = sqv - 2.0 * ip
     rowid = jax.lax.broadcasted_iota(jnp.int32, (L_MAX, 1), 0)
@@ -81,7 +85,8 @@ def ivf_list_scores(db: jnp.ndarray,
                     hi: jnp.ndarray, *, n_probe: int,
                     interpret: bool = False) -> jnp.ndarray:
     """
-    :param db: (N, d) float32 database (list-sorted CSR layout).
+    :param db: (N, d) float32 or bfloat16 database (list-sorted CSR
+        layout; bf16 halves the per-probe DMA traffic).
     :param q: (B, d) float32 queries.
     :param starts: (B * n_probe,) int32 clamped list start rows
         (start + L_MAX <= N guaranteed by the caller).
@@ -106,7 +111,7 @@ def ivf_list_scores(db: jnp.ndarray,
                                lambda qi, pi, *_: (qi * n_probe + pi, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, L_MAX, d), jnp.float32),
+            pltpu.VMEM((2, L_MAX, d), db.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -129,7 +134,8 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     """
     Full IVF query with the DMA list-scan: same contract as
     ops/ivf.ivf_query for metric='euclidean' (layouts must satisfy
-    max(lens) <= L_MAX and N >= L_MAX).
+    max(lens) <= L_MAX - 16 — the slack absorbs sublane alignment of the
+    DMA start — and N >= L_MAX).
     """
     n, d = db.shape
     b = q.shape[0]
@@ -148,12 +154,15 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     raw_start = offsets[lists]                            # (B, P)
     ln = lens[lists]
     c_start = jnp.minimum(raw_start, n - L_MAX)
+    # Sublane-align the DMA start (bf16 tiles are 16 rows; Mosaic rejects
+    # unaligned dynamic DMA starts) — the local window absorbs the shift.
+    c_start = (c_start // 16) * 16
     ofs = raw_start - c_start
     starts = c_start.reshape(-1).astype(jnp.int32)
     lo = ofs.reshape(-1).astype(jnp.int32)
     hi = (ofs + ln).reshape(-1).astype(jnp.int32)
 
-    scores = ivf_list_scores(db.astype(jnp.float32), q, starts, lo, hi,
+    scores = ivf_list_scores(db, q, starts, lo, hi,
                              n_probe=n_probe, interpret=interpret)
 
     # Row mapping: candidate m of probe p sits at c_start + local index.

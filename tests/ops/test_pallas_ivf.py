@@ -69,3 +69,22 @@ def test_dma_respects_valid_mask_and_end_clamp():
     d2 = ((q[:1].astype(np.float64) - db.astype(np.float64)) ** 2).sum(1)
     d2[7] = np.inf
     assert int(r[0, 0]) == int(np.argmin(d2))
+
+
+def test_dma_bf16_database():
+    n, d, c, k, b = 2048, 128, 8, 8, 8
+    db, sq, cents, offsets, lens = _layout(n, d, c, seed=5)
+    rng = np.random.default_rng(6)
+    q = rng.normal(size=(b, d)).astype(np.float32) * 3
+    valid = np.ones(n, dtype=bool)
+    db16 = jnp.asarray(db, dtype=jnp.bfloat16)
+    d_p, r_p = ivf_query_dma(db16, jnp.asarray(sq), jnp.asarray(valid),
+                             jnp.asarray(cents), jnp.asarray(offsets),
+                             jnp.asarray(lens), jnp.asarray(q), k=k,
+                             n_probe=c, interpret=True)
+    # Exact reference on the QUANTIZED (bf16) data.
+    dbq = np.asarray(db16.astype(jnp.float32))
+    d2 = ((q[:, None, :].astype(np.float64)
+           - dbq[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    ref_rows = np.argsort(d2, axis=1)[:, :k]
+    assert np.array_equal(np.asarray(r_p), ref_rows)
