@@ -108,9 +108,11 @@ def main() -> None:
     rr0 = np.asarray(rr)[:, 0]
     assert np.array_equal(rr0, np.arange(BATCH)), "self-query recall failed"
 
-    # Host baseline is load-sensitive: take the best of three runs.
+    # Host baseline is load-sensitive (this box runs other work): take
+    # the best of five runs — the least-contended sample is the fairest
+    # stand-in for a dedicated CPU-FAISS box.
     host_qps_sub = max(_host_scan_qps(db[:HOST_SUBSAMPLE], q)
-                       for _ in range(3))
+                       for _ in range(5))
     host_qps = host_qps_sub * HOST_SUBSAMPLE / N
 
     print(json.dumps({
