@@ -20,7 +20,8 @@ from smqtk_indexing_tpu.utils.bits import pack_bit_vectors_u32
 
 @pytest.fixture(scope="module")
 def mesh():
-    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    # make_mesh falls back to the 8-virtual-CPU host platform when the
+    # default backend is smaller (e.g. SMQTK_TPU_TESTS=1 on one chip).
     return make_mesh(8)
 
 
