@@ -143,17 +143,13 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
 
     def _dma_eligible(self) -> bool:
         """Use the Pallas DMA list-scan (ops/pallas_ivf.py): single real
-        TPU chip, euclidean metric, f32 storage, balanced lists within the
-        kernel's fixed DMA length."""
-        import os
-        if os.environ.get("SMQTK_TPU_NO_DMA_IVF"):
-            return False
+        TPU chip, euclidean metric, float32 or bfloat16 storage, balanced
+        lists within the kernel's fixed DMA length (minus alignment
+        slack)."""
+        from smqtk_indexing_tpu.ops.device import tpu_kernel_enabled
         from smqtk_indexing_tpu.ops.pallas_ivf import L_MAX
-        try:
-            backend = jax.default_backend()
-        except Exception:  # pragma: no cover
-            return False
-        return (backend == "tpu" and self._mesh is None
+        return (tpu_kernel_enabled("SMQTK_TPU_NO_DMA_IVF")
+                and self._mesh is None
                 and self.metric == "euclidean"
                 and 0 < self._l_max_raw <= L_MAX - 16
                 and self._capacity >= L_MAX)
@@ -189,6 +185,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._l_max = 0
         self._l_max_raw = 0
         self._n_virtual = 0
+        self._max_split = 1
         self._mesh = None
 
     def get_config(self) -> Dict[str, Any]:
@@ -336,6 +333,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         v_len = np.asarray(v_len, dtype=np.int32)
         v_orig = np.asarray(v_orig, dtype=np.int32)
         self._n_virtual = len(v_off)
+        # Worst-case sublists of a single original list: the query-side
+        # nprobe translation scales by this so probing n original lists
+        # always has enough virtual slots regardless of how finely the
+        # balancer split them.
+        self._max_split = int(np.bincount(v_orig).max())
         self._l_max_raw = max(int(v_len.max()), 1)
         self._l_max = _pow2_at_least(self._l_max_raw)
         self._dev_centroids = jnp.asarray(self._centroids_np[v_orig],

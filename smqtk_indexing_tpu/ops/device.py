@@ -40,3 +40,16 @@ def pad_rows_np(mat: np.ndarray, rows: int, cols: int,
     out = np.zeros((rows, cols), dtype=dtype)
     out[:n, :d] = mat
     return out
+
+
+def tpu_kernel_enabled(env_flag: str) -> bool:
+    """Shared gate for optional TPU-only kernels: not disabled by the given
+    env var, and the default jax backend is a real TPU."""
+    import os
+    if os.environ.get(env_flag):
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False

@@ -335,15 +335,10 @@ class CodeStore:
     # MXU (±1 matmul) mirror
     # ------------------------------------------------------------------
     def _mxu_eligible(self) -> bool:
-        import os
-        if os.environ.get("SMQTK_TPU_NO_MXU_HAMMING"):
-            return False
-        try:
-            backend = jax.default_backend()
-        except Exception:  # pragma: no cover
-            return False
+        from smqtk_indexing_tpu.ops.device import tpu_kernel_enabled
         from smqtk_indexing_tpu.ops.pallas_scan import TILE_N
-        return (backend == "tpu" and self._mesh is None
+        return (tpu_kernel_enabled("SMQTK_TPU_NO_MXU_HAMMING")
+                and self._mesh is None
                 and self._capacity >= MXU_SCAN_MIN
                 and self._capacity % TILE_N == 0)
 

@@ -176,8 +176,14 @@ def flat_topk_fused(db: jnp.ndarray, db_sq: jnp.ndarray,
 
     if db_t is None:
         # One-off transpose (callers holding a persistent transposed copy
-        # pass db_t to avoid this per-call traffic).
-        db_t = db.T
+        # pass db_t to avoid this per-call traffic). For cosine the mirror
+        # must be row-NORMALIZED — falling back to the raw transpose would
+        # silently rank stage-1 selection by inner product.
+        if metric == "cosine":
+            nrm = jnp.where(db_norm == 0, 1.0, db_norm)
+            db_t = (db.astype(jnp.float32) / nrm[:, None]).T
+        else:
+            db_t = db.T
     penalty = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32) \
         .reshape(1, n)
     minima = segment_minima(db_t, db_sq.reshape(1, n), penalty, q_stage1,

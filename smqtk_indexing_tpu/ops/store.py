@@ -59,19 +59,13 @@ class VectorStore:
 
     def _fused_eligible(self, metric: str) -> bool:
         """Use the Pallas fused kernel (ops/pallas_scan.py): single real
-        TPU chip, euclidean metric, capacity tiled for the kernel. Costs a
-        persistent transposed copy of the database in HBM."""
-        import os
-        if os.environ.get("SMQTK_TPU_NO_FUSED"):
-            return False
+        TPU chip, matmul-form metric, capacity tiled for the kernel. Costs
+        a persistent transposed copy of the database in HBM."""
+        from smqtk_indexing_tpu.ops.device import tpu_kernel_enabled
         from smqtk_indexing_tpu.ops.pallas_scan import TILE_N
-        try:
-            backend = jax.default_backend()
-        except Exception:  # pragma: no cover
-            return False
-        return (metric in ("euclidean", "inner_product", "cosine")
-                and self._mesh is None
-                and backend == "tpu" and self._capacity >= TILE_N
+        return (tpu_kernel_enabled("SMQTK_TPU_NO_FUSED")
+                and metric in ("euclidean", "inner_product", "cosine")
+                and self._mesh is None and self._capacity >= TILE_N
                 and self._capacity % TILE_N == 0)
 
     # ------------------------------------------------------------------
@@ -87,6 +81,7 @@ class VectorStore:
         # device side
         self._dev = None
         self._dev_t = None   # transposed copy for the fused TPU kernel
+        self._dev_t_metric = None  # metric the mirror was built for
         self._dev_sq = None
         self._dev_norm = None
         self._dev_valid = None
@@ -297,16 +292,21 @@ class VectorStore:
             # (stage-1 selection on one, stage-2 re-rank on the other).
             use_fused = self._fused_eligible(metric)
             if use_fused:
-                if self._dev_t is None:
-                    if metric == "cosine":
-                        # Row-normalized transposed mirror: the kernel's
-                        # surrogate becomes -2*cosine similarity.
+                # The mirror's CONTENT depends on the metric (cosine uses
+                # row-normalized vectors): key the cache by metric so a
+                # store queried with different metrics never reuses the
+                # wrong mirror.
+                mirror_kind = "cosine" if metric == "cosine" else "raw"
+                if self._dev_t is None \
+                        or self._dev_t_metric != mirror_kind:
+                    if mirror_kind == "cosine":
                         norm = jnp.where(self._dev_norm == 0, 1.0,
                                          self._dev_norm)
                         self._dev_t = jnp.asarray(
                             (self._dev / norm[:, None]).T)
                     else:
                         self._dev_t = jnp.asarray(self._dev.T)
+                    self._dev_t_metric = mirror_kind
                 dev_t = self._dev_t
 
         q = np.atleast_2d(np.asarray(q, dtype=np.float32))

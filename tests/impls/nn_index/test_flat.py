@@ -427,3 +427,37 @@ def test_remove_duplicate_uids_no_corruption():
     assert i.count() == 8
     r, d = i.nn(elems[5], 2)
     assert r[0].uuid() == 5 and d[0] == 0.0 and r[1].uuid() != 5
+
+
+def test_fused_mirror_is_metric_keyed(monkeypatch):
+    # Review regression: the cached transposed mirror's CONTENT depends on
+    # the metric (cosine normalizes); querying a store with two metrics
+    # must rebuild the mirror, never reuse the wrong one.
+    import jax.numpy as jnp
+    import numpy as np
+    import smqtk_indexing_tpu.ops.pallas_scan as ps
+    from smqtk_indexing_tpu.ops.store import VectorStore
+
+    captured = []
+
+    def fake_fused(dev, dev_sq, dev_valid, q, *, k, metric, db_t, db_norm,
+                   **kw):
+        captured.append((metric, np.asarray(db_t)))
+        b = q.shape[0]
+        return (jnp.zeros((b, k), jnp.float32),
+                jnp.zeros((b, k), jnp.int32))
+
+    monkeypatch.setattr(ps, "flat_topk_fused", fake_fused)
+    monkeypatch.setattr(VectorStore, "_fused_eligible",
+                        lambda self, metric: True)
+    rng = np.random.default_rng(0)
+    mat = rng.normal(size=(64, 8)).astype(np.float32) * 3
+    vs = VectorStore()
+    vs.build(mat, list(range(64)))
+    vs.knn(mat[:2], 1, metric="euclidean")
+    vs.knn(mat[:2], 1, metric="cosine")
+    vs.knn(mat[:2], 1, metric="euclidean")
+    assert [m for m, _ in captured] == ["euclidean", "cosine", "euclidean"]
+    raw_t, cos_t, raw_t2 = (t for _, t in captured)
+    assert not np.allclose(raw_t, cos_t)       # normalized differs
+    assert np.allclose(raw_t, raw_t2)          # raw mirror rebuilt right

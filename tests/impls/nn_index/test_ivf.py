@@ -270,3 +270,22 @@ def test_ivf_remove_duplicate_uids_no_corruption():
     assert i.count() == len(elems) - 1
     i.update_index([elems[3]])
     assert i.count() == len(elems)
+
+
+def test_heavily_split_lists_keep_nprobe_coverage():
+    # Review regression: when mean list length exceeds the balancer cap,
+    # EVERY list splits many-way; nprobe translation must scale by the
+    # split factor so nprobe=1 still covers the full nearest original
+    # list (not just a fixed +8 sublists).
+    rng = np.random.default_rng(21)
+    d, per = 8, 5000
+    centers = np.eye(4).repeat(2, axis=1) * 100
+    elems = [_elem(f"{c}-{j}", centers[c] + rng.normal(size=d))
+             for c in range(4) for j in range(per)]
+    idx = IvfNearestNeighborsIndex(n_lists=4, nprobe=1,
+                                   kmeans_iterations=6, random_seed=0)
+    idx.build_index(elems)
+    assert idx._max_split > 9  # the old fixed +8 slack would under-probe
+    for j in (0, per // 2, per - 1):
+        r, dd = idx.nn(elems[j], 1)
+        assert r[0].uuid() == elems[j].uuid()
