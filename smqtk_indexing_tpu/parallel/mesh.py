@@ -1,10 +1,15 @@
 """
 Mesh construction and row-sharding helpers.
 
-One logical axis ("shard") covers the whole slice: flat/Hamming/IVF scans
-are embarrassingly row-parallel, so a 1-D mesh maximizes the ICI bandwidth
-available to the single k-sized all-gather each query performs. Multi-slice
-(DCN) deployments would add an outer axis with the same per-shard program.
+Single-slice deployments use one logical axis ("shard") over the whole
+slice: flat/Hamming/IVF scans are embarrassingly row-parallel, so a 1-D
+mesh maximizes the ICI bandwidth available to the single k-sized
+all-gather each query performs. Multi-slice deployments add an outer
+"dcn" axis (``make_mesh(dcn=...)``): rows shard over BOTH axes and the
+query merge is hierarchical — intra-slice all-gather over ICI first (the
+fat interconnect carries the per-chip results), then one tiny inter-slice
+merge over DCN (k values per slice, the only traffic crossing the slow
+data-center network).
 """
 from __future__ import annotations
 
@@ -15,13 +20,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 SHARD_AXIS = "shard"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              devices: Optional[Sequence] = None) -> Mesh:
+              devices: Optional[Sequence] = None,
+              dcn: int = 1) -> Mesh:
     """
-    Build a 1-D mesh over the first ``n_devices`` available devices (all by
-    default).
+    Build a mesh over the first ``n_devices`` available devices (all by
+    default): 1-D ``("shard",)`` when ``dcn == 1``, else 2-D
+    ``("dcn", "shard")`` with ``dcn`` slices of ``n_devices // dcn`` chips
+    (devices are assigned slice-major so each slice's chips are contiguous,
+    matching multi-slice device enumeration).
     """
     if devices is None:
         devices = jax.devices()
@@ -51,21 +61,34 @@ def make_mesh(n_devices: Optional[int] = None,
                 f"n_devices must be a power of two (got {n_devices}): "
                 "store capacities are 1024*2^m and must shard evenly.")
         devices = devices[:n_devices]
-    return Mesh(np.array(devices), (SHARD_AXIS,))
+    devices = np.array(devices)
+    if dcn > 1:
+        if devices.size % dcn:
+            raise ValueError(
+                f"dcn={dcn} does not divide device count {devices.size}.")
+        return Mesh(devices.reshape(dcn, devices.size // dcn),
+                    (DCN_AXIS, SHARD_AXIS))
+    return Mesh(devices, (SHARD_AXIS,))
+
+
+def row_axes(mesh: Mesh) -> tuple:
+    """Mesh axis names that the row dimension shards over (all of them)."""
+    return tuple(mesh.axis_names)
 
 
 def shard_rows(mesh: Mesh, arr: jax.Array) -> jax.Array:
     """
-    Place an array row-sharded over the mesh (first axis split across
-    ``shard``). Row count must divide evenly (ops/device.capacity_for
-    capacities are powers of two, so any power-of-two mesh divides them).
+    Place an array row-sharded over the mesh (first axis split across every
+    mesh axis — "shard" alone on 1-D meshes, ("dcn", "shard") on 2-D).
+    Row count must divide evenly (ops/device.capacity_for capacities are
+    powers of two, so any power-of-two mesh divides them).
     """
     n_dev = mesh.devices.size
     if arr.shape[0] % n_dev:
         raise ValueError(
             f"Leading dim {arr.shape[0]} not divisible by mesh size "
             f"{n_dev}.")
-    spec = P(SHARD_AXIS, *([None] * (arr.ndim - 1)))
+    spec = P(row_axes(mesh), *([None] * (arr.ndim - 1)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from smqtk_indexing_tpu.ops import hamming, scan
 from smqtk_indexing_tpu.ops.kmeans import _assign_block
-from smqtk_indexing_tpu.parallel.mesh import SHARD_AXIS
+from smqtk_indexing_tpu.parallel.mesh import DCN_AXIS, SHARD_AXIS, row_axes
 
 
 def _merge_topk(d_all: jnp.ndarray, r_all: jnp.ndarray, k: int
@@ -37,16 +37,42 @@ def _merge_topk(d_all: jnp.ndarray, r_all: jnp.ndarray, k: int
     return -neg, jnp.take_along_axis(r_flat, sel, axis=1)
 
 
+def _global_shard_index(mesh: Mesh) -> jnp.ndarray:
+    """Row-major global shard index inside shard_map (slice-major on 2-D
+    meshes, matching shard_rows' row layout)."""
+    idx = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+    if DCN_AXIS in mesh.axis_names:
+        idx = (jax.lax.axis_index(DCN_AXIS).astype(jnp.int32)
+               * mesh.shape[SHARD_AXIS] + idx)
+    return idx
+
+
+def _hier_merge(mesh: Mesh, d: jnp.ndarray, r: jnp.ndarray, k: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hierarchical top-k merge: all-gather + merge over ICI ("shard"),
+    then — on 2-D meshes — a second k-sized merge over DCN, so the slow
+    inter-slice network carries only k results per slice."""
+    dm, rm = _merge_topk(jax.lax.all_gather(d, SHARD_AXIS),
+                         jax.lax.all_gather(r, SHARD_AXIS), k)
+    if DCN_AXIS in mesh.axis_names:
+        dm, rm = _merge_topk(jax.lax.all_gather(dm, DCN_AXIS),
+                             jax.lax.all_gather(rm, DCN_AXIS), k)
+    return dm, rm
+
+
 @partial(jax.jit, static_argnames=("k", "metric", "mesh"))
 def sharded_flat_topk(mesh: Mesh, db, db_sq, db_norm, valid, q, *,
                       k: int, metric: str = "euclidean"):
     """
     Exhaustive top-k over a row-sharded database.
 
-    :param mesh: 1-D device mesh (axis "shard"). All array args must already
-        be placed: db/db_sq/db_norm/valid row-sharded, q replicated.
+    :param mesh: 1-D ("shard") or 2-D ("dcn", "shard") device mesh. All
+        array args must already be placed: db/db_sq/db_norm/valid
+        row-sharded (over every mesh axis), q replicated.
     :return: (dists (B, k) ascending, global rows (B, k) int32), replicated.
     """
+    rows_spec = row_axes(mesh)
+
     def local(db_l, sq_l, nm_l, va_l, q_l):
         # A shard may hold fewer than k rows; select what exists and pad.
         k_loc = min(k, db_l.shape[0])
@@ -58,17 +84,14 @@ def sharded_flat_topk(mesh: Mesh, db, db_sq, db_norm, valid, q, *,
                 [d, jnp.full((b, k - k_loc), jnp.inf, jnp.float32)], axis=1)
             r = jnp.concatenate(
                 [r, jnp.full((b, k - k_loc), -1, jnp.int32)], axis=1)
-        offset = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) \
-            * db_l.shape[0]
+        offset = _global_shard_index(mesh) * db_l.shape[0]
         r = jnp.where(r >= 0, r + offset, r)
-        d_all = jax.lax.all_gather(d, SHARD_AXIS)       # (S, B, k)
-        r_all = jax.lax.all_gather(r, SHARD_AXIS)
-        return _merge_topk(d_all, r_all, k)
+        return _hier_merge(mesh, d, r, k)
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
-                  P(SHARD_AXIS), P(None, None)),
+        in_specs=(P(rows_spec, None), P(rows_spec), P(rows_spec),
+                  P(rows_spec), P(None, None)),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )(db, db_sq, db_norm, valid, q)
@@ -77,6 +100,8 @@ def sharded_flat_topk(mesh: Mesh, db, db_sq, db_norm, valid, q, *,
 @partial(jax.jit, static_argnames=("k", "mesh"))
 def sharded_hamming_topk(mesh: Mesh, db, valid, q, *, k: int):
     """Row-sharded packed-code Hamming top-k (same merge pattern)."""
+    rows_spec = row_axes(mesh)
+
     def local(db_l, va_l, q_l):
         k_loc = min(k, db_l.shape[0])
         d, r = hamming.hamming_topk(db_l, va_l, q_l, k=k_loc)
@@ -86,17 +111,14 @@ def sharded_hamming_topk(mesh: Mesh, db, valid, q, *, k: int):
                 [d, jnp.full((b, k - k_loc), 2 ** 30, jnp.int32)], axis=1)
             r = jnp.concatenate(
                 [r, jnp.full((b, k - k_loc), -1, jnp.int32)], axis=1)
-        offset = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) \
-            * db_l.shape[0]
+        offset = _global_shard_index(mesh) * db_l.shape[0]
         r = jnp.where(r >= 0, r + offset, r)
-        d_all = jax.lax.all_gather(d.astype(jnp.float32), SHARD_AXIS)
-        r_all = jax.lax.all_gather(r, SHARD_AXIS)
-        dm, rm = _merge_topk(d_all, r_all, k)
+        dm, rm = _hier_merge(mesh, d.astype(jnp.float32), r, k)
         return dm.astype(jnp.int32), rm
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(None, None)),
+        in_specs=(P(rows_spec, None), P(rows_spec), P(None, None)),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )(db, valid, q)
@@ -113,6 +135,7 @@ def sharded_kmeans_step(mesh: Mesh, db, valid, centroids):
               local assignments (N,) int32 row-sharded).
     """
     c_count = centroids.shape[0]
+    rows_spec = row_axes(mesh)
 
     def local(db_l, va_l, c):
         x = db_l.astype(jnp.float32)
@@ -123,8 +146,8 @@ def sharded_kmeans_step(mesh: Mesh, db, valid, centroids):
         sums = jax.ops.segment_sum(x * w[:, None], a,
                                    num_segments=c_count)
         counts = jax.ops.segment_sum(w, a, num_segments=c_count)
-        sums = jax.lax.psum(sums, SHARD_AXIS)
-        counts = jax.lax.psum(counts, SHARD_AXIS)
+        sums = jax.lax.psum(sums, rows_spec)
+        counts = jax.lax.psum(counts, rows_spec)
         new_c = jnp.where(counts[:, None] > 0,
                           sums / jnp.maximum(counts[:, None], 1.0),
                           c.astype(jnp.float32))
@@ -132,7 +155,7 @@ def sharded_kmeans_step(mesh: Mesh, db, valid, centroids):
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(None, None)),
-        out_specs=(P(None, None), P(SHARD_AXIS)),
+        in_specs=(P(rows_spec, None), P(rows_spec), P(None, None)),
+        out_specs=(P(None, None), P(rows_spec)),
         check_vma=False,
     )(db, valid, centroids)
