@@ -252,8 +252,9 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
                 elems = tuple(
                     self.descriptor_set.get_many_descriptors(uids))
                 out.append((elems, tuple(float(x) for x in dists[b])))
-        if out and len(out[0][0]) < n:
+        # Per-query minimum (not just query 0), matching ivf.py/mrpt.py.
+        shortest = min((len(o[0]) for o in out), default=n)
+        if shortest < n:
             warnings.warn(
-                f"Requested {n} neighbors but only "
-                f"{len(out[0][0])} are indexed.")
+                f"Requested {n} neighbors but only {shortest} are indexed.")
         return out

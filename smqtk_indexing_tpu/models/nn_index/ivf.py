@@ -540,16 +540,20 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             # so extra virtual probe slots absorb splits among the selected
             # lists. nprobe >= n_lists means exhaustive: probe every
             # virtual list (exact, the contract tests rely on it). Partial
-            # nprobe gets +8 slack — full coverage of split lists up to a
-            # 9-way split (i.e. lists up to ~18x the mean; beyond that the
-            # split tail may be dropped), without the memory blowup a
-            # worst-case (n_virtual - n_lists) expansion causes at high
-            # nprobe. Pow2-rounded to bound jit recompiles across updates.
+            # nprobe scales by the measured worst-case split factor of any
+            # single original list (_max_split, set by the balancer at
+            # build): probing n original lists can need up to n * max_split
+            # virtual slots, and any slot strictly nearer than the n-th
+            # centroid belongs to one of those lists, so this bound always
+            # covers the full tail of the nearest lists. +8 absorbs exact
+            # centroid-score ties across distinct lists. Pow2-rounded to
+            # bound jit recompiles across updates.
             if self.nprobe >= self._centroids_np.shape[0]:
                 nprobe = self._n_virtual
             else:
-                nprobe = min(_pow2_at_least(self.nprobe + 8),
-                             self._n_virtual)
+                nprobe = min(
+                    _pow2_at_least(self.nprobe * self._max_split + 8),
+                    self._n_virtual)
             COUNTERS.add("ivf.queries", b)
             COUNTERS.add("ivf.probed_lists", b * nprobe)
             COUNTERS.add("ivf.candidates_scanned",

@@ -297,12 +297,16 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
             if self._host is not None:
                 fresh = [u for u in by_uid if u not in self._uid2row]
                 old_uids = list(self._row2uid)
+                # Always copy — never alias self._host: in-place
+                # replacement of re-sent UIDs below must not touch the
+                # live index (or an array shared with prior persistence)
+                # before _rebuild validates and completes.
                 mat = np.vstack(
                     [self._host]
                     + [np.asarray(by_uid[u].vector(), dtype=np.float32)
                        .reshape(1, -1) for u in fresh]) \
-                    if fresh else self._host
-                # Replace vectors for re-sent UIDs in place.
+                    if fresh else self._host.copy()
+                # Replace vectors for re-sent UIDs in the copy.
                 for u in by_uid:
                     if u in self._uid2row:
                         mat[self._uid2row[u]] = by_uid[u].vector()

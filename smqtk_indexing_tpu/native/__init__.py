@@ -174,8 +174,14 @@ def read_vecs(path: str, max_n: int, dim: int) -> np.ndarray:
     if is_b:
         row_bytes = 4 + dim
         rows = min(len(raw) // row_bytes, max_n)
-        mat = raw[:rows * row_bytes].reshape(rows, row_bytes)[:, 4:]
-        return mat.astype(np.float32)
+        mat = raw[:rows * row_bytes].reshape(rows, row_bytes)
+        # Per-row dim header check, mirroring the fvecs fallback (and the
+        # native reader's -2 contract): a malformed .bvecs must raise, not
+        # silently misparse.
+        dims = np.ascontiguousarray(mat[:, :4]).view(np.int32).ravel()
+        if rows and not np.all(dims == dim):
+            raise ValueError(f"Malformed vec file {path} (dim != {dim})")
+        return mat[:, 4:].astype(np.float32)
     row_words = 1 + dim
     rows = min(len(raw) // row_words, max_n)
     mat = raw[:rows * row_words].reshape(rows, row_words)

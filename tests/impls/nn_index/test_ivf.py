@@ -278,14 +278,20 @@ def test_heavily_split_lists_keep_nprobe_coverage():
     # split factor so nprobe=1 still covers the full nearest original
     # list (not just a fixed +8 sublists).
     rng = np.random.default_rng(21)
-    d, per = 8, 5000
+    d, per = 8, 9000
     centers = np.eye(4).repeat(2, axis=1) * 100
     elems = [_elem(f"{c}-{j}", centers[c] + rng.normal(size=d))
              for c in range(4) for j in range(per)]
     idx = IvfNearestNeighborsIndex(n_lists=4, nprobe=1,
                                    kmeans_iterations=6, random_seed=0)
     idx.build_index(elems)
-    assert idx._max_split > 9  # the old fixed +8 slack would under-probe
-    for j in (0, per // 2, per - 1):
-        r, dd = idx.nn(elems[j], 1)
-        assert r[0].uuid() == elems[j].uuid()
+    # >16-way split: a fixed "+8" slack (pow2-rounded to 16) could never
+    # cover this; only the max_split-scaled translation can.
+    assert idx._max_split > 16
+    # Self-lookups sampled across every cluster and across list positions
+    # (head / middle / tail of each original list's split chain).
+    for c in range(4):
+        for j in (0, per // 3, per // 2, per - 1):
+            e = elems[c * per + j]
+            r, dd = idx.nn(e, 1)
+            assert r[0].uuid() == e.uuid()
