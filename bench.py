@@ -76,7 +76,10 @@ def main() -> None:
     valid = jnp.asarray(valid_np)
     qd = jnp.asarray(q)
 
-    # Flagship path: the fused Pallas stage-1 kernel when on real TPU.
+    # Flagship path: the fused Pallas stage-1 kernel when on real TPU
+    # (split3 stage 1 + segment-gather f32 stage 2 — the VectorStore
+    # production configuration; row-identical to precision='highest' and
+    # recall 1.0 vs float64 at this scale, tools/profile_full.py).
     use_fused = jax.default_backend() == "tpu"
     if use_fused:
         from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused

@@ -3,16 +3,24 @@ Full benchmark table for the BASELINE.md configurations. Prints one JSON
 line per measurement (bench.py remains the single-line headline the driver
 consumes).
 
+Methodology (round-2 rework): queries are HELD OUT — drawn from the same
+distribution as the database but never inserted (or read from the TexMex
+``*_query.fvecs`` file when present) — and ground truth is the chunked
+float64 exact scan. Recall curves are therefore real tradeoff curves: the
+cheap end of each sweep sits well below 1.0 and rises monotonically with
+probe effort.
+
 Configs (synthetic data at the published shapes; drop real .fvecs files in
 $SMQTK_TPU_DATA to use them via native.read_vecs — column `dataset` says
 which was used):
 
 1. Exhaustive flat L2, SIFT1M-shaped (1M x 128): exact QPS (see bench.py).
-2. ItqFunctor 256-bit + LinearHashIndex, SIFT1M-shaped: ITQ fit wall time
-   (target < 60s), batched hash throughput, Hamming lookup p50, end-to-end
-   LSH recall@10 vs exact.
+2. ItqFunctor 128-bit + Hamming engines, SIFT1M-shaped: ITQ fit wall time,
+   batched hash throughput, Hamming lookup p50, and LSH-style recall@10 vs
+   candidate-pool size.
 3. IVF (4096 lists), Deep1M-shaped (1M x 96): nprobe sweep recall@10 + QPS.
-4. MRPT, GIST1M-shaped (256K x 960): build time, recall@10 + QPS.
+4. MRPT, GIST1M-shaped (256K x 960): build time, trees/depth sweep
+   recall@10 + QPS.
 5. Sharded flat over an 8-device mesh: exercised functionally by
    __graft_entry__.dryrun_multichip (no multi-chip hardware here).
 """
@@ -24,26 +32,44 @@ import time
 
 import numpy as np
 
+N_QUERIES = 128
+
 
 def emit(**kw) -> None:
     print(json.dumps(kw), flush=True)
 
 
-def _load_or_make(name: str, n: int, d: int, scale: float,
-                  seed: int) -> np.ndarray:
+def _load_or_make(name: str, n: int, d: int, scale: float, seed: int,
+                  nq: int = N_QUERIES):
+    """
+    :return: (db (n, d) float32, queries (nq, d) float32, dataset label).
+        Queries are held out: the TexMex query file when available, else
+        fresh draws from the same synthetic mixture (never indexed).
+    """
     data_dir = os.environ.get("SMQTK_TPU_DATA", "")
     path = os.path.join(data_dir, name) if data_dir else ""
     if path and os.path.isfile(path):
         from smqtk_indexing_tpu import native
-        return native.read_vecs(path, n, d)
+        db = native.read_vecs(path, n, d)
+        qpath = path.replace("_base.", "_query.").replace("base.", "query.")
+        if os.path.isfile(qpath) and qpath != path:
+            q = native.read_vecs(qpath, nq, d)
+        else:  # hold out the tail of the base file
+            q, db = db[-nq:], db[:-nq]
+        return db, q[:nq], name
     rng = np.random.default_rng(seed)
-    # Clustered synthetic data (ANN recall on pure-uniform data is
-    # degenerate; clusters make recall@10 meaningful).
+    # Clustered synthetic mixture (recall on pure-uniform data is
+    # degenerate); queries are INDEPENDENT draws from the same mixture —
+    # never copies of database points — so partial-probe recall < 1.
     n_clusters = 1024
     centers = rng.random((n_clusters, d), dtype=np.float32) * scale
-    pts = centers[rng.integers(0, n_clusters, size=n)]
-    pts += rng.normal(size=(n, d)).astype(np.float32) * (scale / 12)
-    return np.clip(pts, 0, scale).astype(np.float32)
+    total = n + nq
+    pts = centers[rng.integers(0, n_clusters, size=total)]
+    pts += rng.normal(size=(total, d)).astype(np.float32) * (scale / 12)
+    pts = np.clip(pts, 0, scale).astype(np.float32)
+    perm = rng.permutation(total)
+    pts = pts[perm]
+    return pts[:n], pts[n:], "synthetic"
 
 
 def _recall_at_10(got_ids, true_ids) -> float:
@@ -81,7 +107,9 @@ def bench_itq_linear() -> None:
     from smqtk_indexing_tpu.utils.bits import pack_bit_vectors_u32
 
     n, d, bits = 1_000_000, 128, 128  # ITQ requires bits <= d; SIFT is 128-d
-    db = _load_or_make("sift_base.fvecs", n, d, 218.0, seed=0)
+    db, queries, dataset = _load_or_make("sift_base.fvecs", n, d, 218.0,
+                                         seed=0)
+    n = db.shape[0]
     fit_sample = db[np.random.default_rng(0).choice(n, 100_000,
                                                     replace=False)]
 
@@ -99,7 +127,7 @@ def bench_itq_linear() -> None:
     np.asarray(mean_vec)
     fit_s = time.perf_counter() - t0
     emit(metric="itq128_fit_100k_wall", value=round(fit_s, 2), unit="s",
-         cold_incl_compile_s=round(cold_s, 2),
+         cold_incl_compile_s=round(cold_s, 2), dataset=dataset,
          note="target < 60s (BASELINE.md)")
 
     # Batched hashing throughput (1M codes; warm-timed).
@@ -109,7 +137,7 @@ def bench_itq_linear() -> None:
     codes = np.asarray(hash_batch(dev_db, mean_vec, rotation))
     hash_s = time.perf_counter() - t0
     emit(metric="itq128_hash_1m_throughput",
-         value=round(n / hash_s, 0), unit="vectors/s")
+         value=round(n / hash_s, 0), unit="vectors/s", dataset=dataset)
 
     # Hamming lookup over 1M codes: the MXU (±1 bf16 matmul) engine —
     # exact (d^2 between ±1 vectors = 4 * hamming); see ops/hamming.py.
@@ -142,7 +170,7 @@ def bench_itq_linear() -> None:
     p50 = sorted(lat)[len(lat) // 2]
     emit(metric="hamming128_1m_lookup_p50_b1024",
          value=round(p50 * 1e3, 2), unit="ms",
-         qps=round(b / p50, 0), engine="mxu_pm1")
+         qps=round(b / p50, 0), engine="mxu_pm1", dataset=dataset)
     assert int(np.asarray(rr)[0, 0]) == 0  # self-code found
 
     # Reference engine comparison: XOR + popcount path.
@@ -158,45 +186,53 @@ def bench_itq_linear() -> None:
     np.asarray(dd2)
     xor_ms = (time.perf_counter() - t0) * 1e3
     emit(metric="hamming128_1m_lookup_xor_engine_b1024",
-         value=round(xor_ms, 2), unit="ms", qps=round(b / xor_ms * 1e3, 0))
+         value=round(xor_ms, 2), unit="ms", qps=round(b / xor_ms * 1e3, 0),
+         dataset=dataset)
     # Both engines agree exactly.
     assert np.array_equal(
         np.asarray(dd2),
         np.round((np.asarray(dd) ** 2) / 4.0).astype(np.int32))
 
-    # End-to-end recall@10 of hash-then-rerank vs exact (128 queries).
-    nq = 128
-    queries = db[:nq] + np.random.default_rng(1).normal(
-        size=(nq, d)).astype(np.float32) * 2.0
+    # LSH-style recall@10 of hash-then-exact-rerank vs float64 truth,
+    # swept over the candidate-pool size (held-out queries).
+    nq = queries.shape[0]
     truth = _exact_ground_truth(db, queries)
     q_codes = np.asarray(hash_batch(jnp.asarray(queries), mean_vec,
                                     rotation))
-    q_pm1_r = np.zeros((nq, bits_pad), dtype=np.float32)
-    q_pm1_r[:] = q_codes * 2.0 - 1.0
-    dd, rr = flat_topk_fused(dev_pm1, dev_sqv, dev_valid,
-                             jnp.asarray(q_pm1_r), k=512, db_t=dev_pm1_t)
-    cand = np.asarray(rr)
-    got = []
-    for qi in range(nq):
-        c = cand[qi][cand[qi] >= 0]
-        vecs = db[c]
-        dist = ((vecs - queries[qi]) ** 2).sum(1)
-        got.append(c[np.argsort(dist)][:10])
-    emit(metric="itq128_hamming512_rerank_recall_at_10",
-         value=round(_recall_at_10(got, truth), 4), unit="recall",
-         note="full 1M index, candidate pool 512")
+    q_pm1_r = (q_codes * 2.0 - 1.0).astype(np.float32)
+    for pool in (64, 256, 512, 2048):
+        dd, rr = flat_topk_fused(dev_pm1, dev_sqv, dev_valid,
+                                 jnp.asarray(q_pm1_r), k=pool,
+                                 db_t=dev_pm1_t)
+        np.asarray(dd)
+        t0 = time.perf_counter()
+        dd, rr = flat_topk_fused(dev_pm1, dev_sqv, dev_valid,
+                                 jnp.asarray(q_pm1_r), k=pool,
+                                 db_t=dev_pm1_t)
+        cand = np.asarray(rr)
+        ham_s = time.perf_counter() - t0
+        got = []
+        for qi in range(nq):
+            c = cand[qi][cand[qi] >= 0]
+            vecs = db[c]
+            dist = ((vecs - queries[qi]) ** 2).sum(1)
+            got.append(c[np.argsort(dist)][:10])
+        emit(metric=f"itq128_hamming_rerank_pool{pool}_recall_at_10",
+             value=round(_recall_at_10(got, truth), 4), unit="recall",
+             hamming_qps=round(nq / ham_s, 0), dataset=dataset,
+             note="held-out queries; exact re-rank of the pool")
 
 
 def bench_ivf() -> None:
-    import jax
-
     from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
     from smqtk_indexing_tpu.models.nn_index.ivf import (
         IvfNearestNeighborsIndex,
     )
 
     n, d = 1_000_000, 96
-    db = _load_or_make("deep_base.fvecs", n, d, 1.0, seed=2)
+    db, queries, dataset = _load_or_make("deep_base.fvecs", n, d, 1.0,
+                                         seed=2)
+    n = db.shape[0]
     elems = [DescriptorMemoryElement(i, db[i]) for i in range(n)]
     idx = IvfNearestNeighborsIndex(n_lists=4096, kmeans_iterations=10,
                                    max_points_per_centroid=64,
@@ -204,15 +240,14 @@ def bench_ivf() -> None:
     t0 = time.perf_counter()
     idx.build_index(elems)
     emit(metric="ivf4096_deep1m_build_wall",
-         value=round(time.perf_counter() - t0, 1), unit="s")
+         value=round(time.perf_counter() - t0, 1), unit="s",
+         dataset=dataset)
 
-    nq = 128
-    queries = db[:nq] + np.random.default_rng(3).normal(
-        size=(nq, d)).astype(np.float32) * 0.02
+    nq = queries.shape[0]
     truth = _exact_ground_truth(db, queries)
     q_elems = [DescriptorMemoryElement(f"q{i}", queries[i])
                for i in range(nq)]
-    for nprobe in (1, 4, 16, 64):
+    for nprobe in (1, 2, 4, 8, 16, 32, 64, 128):
         idx.nprobe = nprobe
         res = idx.nn_many(q_elems, 10)          # compile + warm
         t0 = time.perf_counter()
@@ -221,7 +256,7 @@ def bench_ivf() -> None:
         dt = (time.perf_counter() - t0) / 3
         got = [[e.uuid() for e in r] for r, _ in res]
         emit(metric=f"ivf4096_deep1m_nprobe{nprobe}",
-             value=round(nq / dt, 0), unit="queries/s",
+             value=round(nq / dt, 0), unit="queries/s", dataset=dataset,
              recall_at_10=round(_recall_at_10(got, truth), 4))
 
 
@@ -232,30 +267,71 @@ def bench_mrpt() -> None:
     )
 
     n, d = 262_144, 960
-    db = _load_or_make("gist_base.fvecs", n, d, 1.0, seed=4)
+    db, queries, dataset = _load_or_make("gist_base.fvecs", n, d, 1.0,
+                                         seed=4)
+    n = db.shape[0]
     elems = [DescriptorMemoryElement(i, db[i]) for i in range(n)]
-    idx = MRPTNearestNeighborsIndex(num_trees=16, depth=7, random_seed=0)
-    t0 = time.perf_counter()
-    idx.build_index(elems)
-    emit(metric="mrpt_gist256k_build_wall",
-         value=round(time.perf_counter() - t0, 1), unit="s",
-         note="16 trees depth 7: examines ~= 16*N/128 = N/8 points/query")
-
-    nq = 64
-    queries = db[:nq] + np.random.default_rng(5).normal(
-        size=(nq, d)).astype(np.float32) * 0.005
+    nq = min(64, queries.shape[0])
+    queries = queries[:nq]
     truth = _exact_ground_truth(db, queries)
     q_elems = [DescriptorMemoryElement(f"q{i}", queries[i])
                for i in range(nq)]
-    res = idx.nn_many(q_elems, 10)
+    for trees, depth in ((8, 9), (16, 7), (32, 6)):
+        idx = MRPTNearestNeighborsIndex(num_trees=trees, depth=depth,
+                                        random_seed=0)
+        t0 = time.perf_counter()
+        idx.build_index(elems)
+        build_s = time.perf_counter() - t0
+        res = idx.nn_many(q_elems, 10)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            res = idx.nn_many(q_elems, 10)
+        dt = (time.perf_counter() - t0) / 3
+        got = [[e.uuid() for e in r] for r, _ in res]
+        emit(metric=f"mrpt_gist256k_t{trees}_d{depth}",
+             value=round(nq / dt, 0), unit="queries/s", dataset=dataset,
+             build_wall_s=round(build_s, 1),
+             recall_at_10=round(_recall_at_10(got, truth), 4))
+
+
+def bench_sq8() -> None:
+    """SQ8 capacity tier at the SIFT1M shape: recall + QPS vs the exact
+    f32 engine on identical held-out queries."""
+    import jax.numpy as jnp
+
+    from smqtk_indexing_tpu.ops import sq8
+    from smqtk_indexing_tpu.ops.device import capacity_for, pad_rows_np
+
+    n, d = 1_000_000, 128
+    db, queries, dataset = _load_or_make("sift_base.fvecs", n, d, 218.0,
+                                         seed=6)
+    n = db.shape[0]
+    truth = _exact_ground_truth(db, queries)
+    cap = capacity_for(n)
+    a, b = sq8.sq8_train(db)
+    codes_np = np.zeros((cap, d), dtype=np.int8)
+    codes_np[:n] = sq8.sq8_encode_np(db, a, b)
+    codes = jnp.asarray(codes_np)
+    a_j, b_j = jnp.asarray(a), jnp.asarray(b)
+    s2, nrm = sq8.sq8_row_stats(codes, a_j, b_j)
+    valid = np.zeros(cap, dtype=bool)
+    valid[:n] = True
+    valid = jnp.asarray(valid)
+    nq = queries.shape[0]
+    qb = jnp.asarray(pad_rows_np(queries, max(nq, 128), d))
+    dd, rr = sq8.sq8_topk(codes, a_j, b_j, s2, nrm, valid, qb, k=16)
+    np.asarray(dd)
     t0 = time.perf_counter()
     for _ in range(3):
-        res = idx.nn_many(q_elems, 10)
+        dd, rr = sq8.sq8_topk(codes, a_j, b_j, s2, nrm, valid, qb, k=16)
+    np.asarray(dd)
     dt = (time.perf_counter() - t0) / 3
-    got = [[e.uuid() for e in r] for r, _ in res]
-    emit(metric="mrpt_gist256k_t16_d7", value=round(nq / dt, 0),
-         unit="queries/s",
-         recall_at_10=round(_recall_at_10(got, truth), 4))
+    got = np.asarray(rr)[:nq, :10]
+    emit(metric="sq8_sift1m_scan_b128", value=round(nq / dt, 0),
+         unit="queries/s", dataset=dataset,
+         recall_at_10=round(_recall_at_10(got, truth), 4),
+         note="int8 codes, 4x capacity vs f32; exact re-rank on "
+              "dequantized winners")
 
 
 if __name__ == "__main__":
@@ -263,4 +339,5 @@ if __name__ == "__main__":
     bench_itq_linear()
     bench_ivf()
     bench_mrpt()
+    bench_sq8()
     emit(metric="bench_all_done", value=time.time(), unit="epoch_s")

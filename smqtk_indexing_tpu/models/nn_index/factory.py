@@ -11,10 +11,15 @@ Supported grammar (comma-separated, 'IDMap' prefix ignored — UID mapping is
 always on here):
 
 - ``Flat``                      -> FlatNearestNeighborsIndex
+- ``SQ8``                       -> FlatNearestNeighborsIndex(dtype='sq8')
+  (int8 scalar quantization, 4x capacity — the FAISS ``SQ8`` codec)
 - ``IVF<nlist>,Flat``           -> IvfNearestNeighborsIndex(n_lists=nlist)
+- ``IVF<nlist>,SQ8``            -> IvfNearestNeighborsIndex(n_lists=nlist,
+  dtype='sq8')
 
-Anything else raises ValueError (quantization codecs like PQ are not yet
-implemented).
+``PQ<x>`` raises ValueError pointing at SQ8: on TPU, product-quantization
+ADC tables are a poor fit for the MXU (PARITY.md "Known gaps") while SQ8
+serves the same capacity axis in matmul form.
 """
 from __future__ import annotations
 
@@ -53,12 +58,23 @@ def index_from_factory_string(factory_string: str,
     m = _METRIC_MAP[metric.lower()]
     parts = [p.strip() for p in factory_string.split(",")
              if p.strip() and p.strip().lower() != "idmap"]
-    if len(parts) == 1 and parts[0].lower() == "flat":
-        return FlatNearestNeighborsIndex(metric=m, **kwargs)
+    codecs = {"flat": "float32", "sq8": "sq8"}
+    if len(parts) == 1 and parts[0].lower() in codecs:
+        return FlatNearestNeighborsIndex(
+            metric=m, dtype=codecs[parts[0].lower()], **kwargs)
     ivf = re.fullmatch(r"IVF(\d+)", parts[0], flags=re.IGNORECASE)
-    if ivf and len(parts) == 2 and parts[1].lower() == "flat":
+    if ivf and len(parts) == 2 and parts[1].lower() in codecs:
         return IvfNearestNeighborsIndex(
-            metric=m, n_lists=int(ivf.group(1)), **kwargs)
+            metric=m, n_lists=int(ivf.group(1)),
+            dtype=codecs[parts[1].lower()], **kwargs)
+    if any(re.fullmatch(r"PQ\d+x?\d*", p, flags=re.IGNORECASE)
+           for p in parts):
+        raise ValueError(
+            f"Product quantization ({factory_string!r}) is not provided: "
+            "PQ ADC lookup tables are a poor fit for the TPU MXU. Use the "
+            "'SQ8' codec for the same 4x-capacity axis in matmul form "
+            "(e.g. 'SQ8', 'IVF4096,SQ8').")
     raise ValueError(
         f"Unsupported factory string {factory_string!r}; supported: "
-        "'Flat', 'IDMap,Flat', 'IVF<nlist>,Flat'.")
+        "'Flat', 'IDMap,Flat', 'SQ8', 'IDMap,SQ8', 'IVF<nlist>,Flat', "
+        "'IVF<nlist>,SQ8'.")

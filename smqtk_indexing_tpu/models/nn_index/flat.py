@@ -49,8 +49,10 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         (overwritten on every mutation; auto-loaded at construction).
     :param metric: Distance metric label; one of
         'euclidean' | 'inner_product' | 'cosine' | 'hik'.
-    :param dtype: Device storage dtype: 'float32' (exact) or 'bfloat16'
-        (half HBM traffic; ~2x scan throughput; tiny recall cost).
+    :param dtype: Device storage codec: 'float32' (exact), 'bfloat16'
+        (half HBM traffic; ~2x scan throughput; tiny recall cost), or
+        'sq8' (int8 scalar quantization, 4x capacity — the reference's
+        FAISS 'SQ8' factory codec, faiss.py:190; see ops/sq8.py).
     :param read_only: Refuse mutations when True.
     """
 

@@ -70,7 +70,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
     :param max_points_per_centroid: Training subsample cap (n_lists * this),
         mirroring the FAISS clustering parameter of the same name.
     :param random_seed: Seed for k-means init / training subsample.
-    :param dtype: Device storage dtype ('float32' | 'bfloat16').
+    :param dtype: Device storage codec ('float32' | 'bfloat16' | 'sq8' —
+        int8 scalar quantization, 4x capacity; the reference's 'IVFn,SQ8'
+        factory codec, faiss.py:190).
     :param read_only: Refuse mutations when True.
     """
 
@@ -133,6 +135,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self.kmeans_iterations = int(kmeans_iterations)
         self.max_points_per_centroid = int(max_points_per_centroid)
         self.random_seed = random_seed
+        if dtype not in ("float32", "bfloat16", "sq8"):
+            raise ValueError(
+                "dtype must be 'float32' | 'bfloat16' | 'sq8', got "
+                f"{dtype!r}")
         self.dtype = dtype
         self.read_only = bool(read_only)
         self.n_devices = n_devices
@@ -150,6 +156,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         from smqtk_indexing_tpu.ops.pallas_ivf import L_MAX
         return (tpu_kernel_enabled("SMQTK_TPU_NO_DMA_IVF")
                 and self._mesh is None
+                and self.dtype != "sq8"
                 and self.metric == "euclidean"
                 and 0 < self._l_max_raw <= L_MAX - 16
                 and self._capacity >= L_MAX)
@@ -187,6 +194,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._n_virtual = 0
         self._max_split = 1
         self._mesh = None
+        # sq8 codec (trained per build over the live rows)
+        self._sq8_a = None
+        self._sq8_b = None
 
     def get_config(self) -> Dict[str, Any]:
         c = self.get_default_config()
@@ -285,20 +295,45 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         n = self._host.shape[0]
         self._capacity = capacity_for(n)
         d_pad = self._centroids_np.shape[1]
-        dev_dtype = jnp.bfloat16 if self.dtype == "bfloat16" \
-            else jnp.float32
-        # Host matrix is raw vectors; device matrix matches the metric space
-        # used for exact scoring (raw for all metrics — cosine normalizes in
-        # the kernel via db_norm).
-        padded = pad_rows_np(self._host, self._capacity, d_pad)
-        sq = np.zeros(self._capacity, dtype=np.float32)
-        sq[:n] = np.einsum("ij,ij->i", self._host, self._host)
         valid = np.zeros(self._capacity, dtype=bool)
         valid[:n] = self._valid_host
-        self._dev = jnp.asarray(padded, dtype=dev_dtype)
-        self._dev_sq = jnp.asarray(sq)
-        self._dev_norm = jnp.sqrt(self._dev_sq)
-        self._dev_valid = jnp.asarray(valid)
+        if self.dtype == "sq8":
+            # int8 code storage (the reference's 'IVFn,SQ8' codec axis,
+            # faiss.py:190): scoring stats come from the DEQUANTIZED rows
+            # so surrogate + exact re-rank agree (ops/sq8.py).
+            from smqtk_indexing_tpu.ops import sq8 as sq8_ops
+            live = self._host[self._valid_host] \
+                if not self._valid_host.all() else self._host
+            a, b = sq8_ops.sq8_train(live)
+            a_p = np.full(d_pad, 1e-12, dtype=np.float32)
+            b_p = np.zeros(d_pad, dtype=np.float32)
+            a_p[:self._dim] = a
+            b_p[:self._dim] = b
+            codes = np.zeros((self._capacity, d_pad), dtype=np.int8)
+            codes[:n, :self._dim] = sq8_ops.sq8_encode_np(self._host, a, b)
+            self._sq8_a = jnp.asarray(a_p)
+            self._sq8_b = jnp.asarray(b_p)
+            self._dev = jnp.asarray(codes)
+            s2, nrm = sq8_ops.sq8_row_stats(self._dev, self._sq8_a,
+                                            self._sq8_b)
+            # ||x_hat||^2 = s2 + 2<a*u, b> + ||b||^2 == nrm^2; use the
+            # dequantized stats directly.
+            self._dev_sq = nrm * nrm
+            self._dev_norm = nrm
+            self._dev_valid = jnp.asarray(valid)
+        else:
+            dev_dtype = jnp.bfloat16 if self.dtype == "bfloat16" \
+                else jnp.float32
+            # Host matrix is raw vectors; device matrix matches the metric
+            # space used for exact scoring (raw for all metrics — cosine
+            # normalizes in the kernel via db_norm).
+            padded = pad_rows_np(self._host, self._capacity, d_pad)
+            sq = np.zeros(self._capacity, dtype=np.float32)
+            sq[:n] = np.einsum("ij,ij->i", self._host, self._host)
+            self._dev = jnp.asarray(padded, dtype=dev_dtype)
+            self._dev_sq = jnp.asarray(sq)
+            self._dev_norm = jnp.sqrt(self._dev_sq)
+            self._dev_valid = jnp.asarray(valid)
         c_count = self._centroids_np.shape[0]
         lens = np.bincount(self._assign_host,
                            minlength=c_count).astype(np.int32)
@@ -340,8 +375,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._max_split = int(np.bincount(v_orig).max())
         self._l_max_raw = max(int(v_len.max()), 1)
         self._l_max = _pow2_at_least(self._l_max_raw)
+        # Centroids stay float even over int8 code storage.
+        cent_dtype = jnp.bfloat16 if self.dtype == "bfloat16" \
+            else jnp.float32
         self._dev_centroids = jnp.asarray(self._centroids_np[v_orig],
-                                          dtype=dev_dtype)
+                                          dtype=cent_dtype)
         offsets, lens = v_off, v_len
         self._dev_offsets = jnp.asarray(offsets)
         self._dev_lens = jnp.asarray(lens)
@@ -563,12 +601,17 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 from smqtk_indexing_tpu.parallel.sharded_ivf import (
                     sharded_ivf_query,
                 )
+                dq = None
+                if self.dtype == "sq8":
+                    dq = (replicate(self._mesh, self._sq8_a),
+                          replicate(self._mesh, self._sq8_b))
                 dists, rows = sharded_ivf_query(
                     self._mesh, self._dev, self._dev_sq, self._dev_norm,
                     self._dev_valid, self._dev_centroids,
                     self._dev_offsets, self._dev_lens,
                     replicate(self._mesh, jnp.asarray(q_p)), k=k_dev,
-                    nprobe=nprobe, l_max=self._l_max, metric=self.metric)
+                    nprobe=nprobe, l_max=self._l_max, metric=self.metric,
+                    dq=dq)
             elif self._dma_eligible():
                 from smqtk_indexing_tpu.ops.pallas_ivf import ivf_query_dma
                 dists, rows = ivf_query_dma(
@@ -577,12 +620,14 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev_lens, jnp.asarray(q_p), k=k_dev,
                     n_probe=nprobe)
             else:
+                dq = (self._sq8_a, self._sq8_b) \
+                    if self.dtype == "sq8" else None
                 dists, rows = ivf_query(
                     self._dev, self._dev_sq, self._dev_norm,
                     self._dev_valid, self._dev_centroids,
                     self._dev_offsets, self._dev_lens,
                     jnp.asarray(q_p), k=k_dev, nprobe=nprobe,
-                    l_max=self._l_max, metric=self.metric)
+                    l_max=self._l_max, metric=self.metric, dq=dq)
             dists = np.asarray(dists)[:b, :k_eff]
             rows = np.asarray(rows)[:b, :k_eff]
             out: List[NNResult] = []

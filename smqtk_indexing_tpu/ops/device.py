@@ -42,6 +42,17 @@ def pad_rows_np(mat: np.ndarray, rows: int, cols: int,
     return out
 
 
+def stage1_precision() -> str:
+    """Stage-1 dot mode for the fused flat scan (ops/pallas_scan.PRECISIONS):
+    'split3' by default (3-pass split-bf16, ~1e-5 relative score noise vs
+    a k+8 segment margin); SMQTK_TPU_STAGE1=highest|split3|native
+    overrides ('highest' = provably exact Mosaic f32 lowering, ~5x the
+    cost; 'native' = raw bf16 pass, only safe for bf16-stored data)."""
+    import os
+    v = os.environ.get("SMQTK_TPU_STAGE1", "split3")
+    return v if v in ("native", "split3", "highest") else "split3"
+
+
 def tpu_kernel_enabled(env_flag: str) -> bool:
     """Shared gate for optional TPU-only kernels: not disabled by the given
     env var, and the default jax backend is a real TPU."""

@@ -368,6 +368,8 @@ class CodeStore:
         qp = np.zeros((b_pad, bits_pad), dtype=np.float32)
         qp[:b, :self._bits] = q_bool * 2.0 - 1.0
         # Interpret mode off-TPU lets tests exercise this path on CPU.
+        # pm1 is bf16, so the f32 stage 2 gathers bf16-sized segments and
+        # casts in-register — exact for ±1 values, no mirror needed.
         interpret = jax.default_backend() != "tpu"
         d, rows = flat_topk_fused(pm1, pm1_sq, dev_valid,
                                   jnp.asarray(qp), k=k_dev, db_t=pm1_t,

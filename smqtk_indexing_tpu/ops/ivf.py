@@ -29,10 +29,16 @@ def ivf_query(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
               valid: jnp.ndarray, centroids: jnp.ndarray,
               offsets: jnp.ndarray, lens: jnp.ndarray, q: jnp.ndarray, *,
               k: int, nprobe: int, l_max: int,
-              metric: str = "euclidean"
+              metric: str = "euclidean", dq=None
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     :param db: (N, d) database sorted by coarse-cluster id (zero-padded).
+        May hold int8 SQ8 codes when ``dq`` is given (the reference's
+        'IVFn,SQ8' factory configuration, faiss.py:190).
+    :param dq: Optional (a, b) SQ8 codec arrays — gathered candidates
+        dequantize to float32 before scoring, and db_sq/db_norm must be
+        the DEQUANTIZED rows' stats (distances are exact w.r.t. the
+        quantized vectors, as in ops/sq8.sq8_topk).
     :param db_sq: (N,) squared L2 norms of rows.
     :param db_norm: (N,) L2 norms of rows.
     :param valid: (N,) bool row-liveness mask.
@@ -53,11 +59,13 @@ def ivf_query(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
     q_sq = jnp.sum(q * q, axis=-1)
     q_norm = jnp.sqrt(q_sq)
 
-    c = centroids.astype(db.dtype)
+    # Centroids stay float even over int8 code storage.
+    c_dt = jnp.float32 if dq is not None else db.dtype
+    c = centroids.astype(c_dt)
     c_sq = jnp.sum(c.astype(jnp.float32) * c.astype(jnp.float32), axis=-1)
     # precision=HIGHEST: see ops/scan._chunk_scores — default TPU f32
     # matmuls truncate to bf16 and corrupt score rankings.
-    ip_c = jnp.dot(q.astype(db.dtype), c.T,
+    ip_c = jnp.dot(q.astype(c_dt), c.T,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
     if metric == "inner_product":
@@ -82,7 +90,10 @@ def ivf_query(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
         & jnp.take(valid, rows_flat, axis=0)
 
     cand = jnp.take(db, rows_flat, axis=0)                # (B, M, d)
-    ip = jnp.einsum("bmd,bd->bm", cand.astype(jnp.float32), q,
+    cand = cand.astype(jnp.float32)
+    if dq is not None:
+        cand = cand * dq[0] + dq[1]
+    ip = jnp.einsum("bmd,bd->bm", cand, q,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     if metric == "inner_product":
@@ -108,4 +119,5 @@ def ivf_query(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
             [top_scores, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1)
         top_rows = jnp.concatenate(
             [top_rows, jnp.full((b, pad), -1, jnp.int32)], axis=1)
-    return _exact_selected(metric, db, q, q_sq, top_scores, top_rows)
+    return _exact_selected(metric, db, q, q_sq, top_scores, top_rows,
+                           dq=dq)

@@ -42,7 +42,10 @@ SEG = 128
 NSEG = TILE_N // SEG
 
 
-def _scan_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, precision):
+_DOT_NUMS = (((1,), (0,)), ((), ()))
+
+
+def _scan_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, mode):
     """One grid step: score a (d, TILE_N) tile against a (TILE_B, d) query
     tile on the MXU and emit the per-128-row segment minima — the
     (TILE_B, TILE_N) score block lives only in VMEM. Any per-tile
@@ -56,25 +59,61 @@ def _scan_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, precision):
     # canonical MXU form (lhs (B, d) x rhs (d, TILE_N)); contracting the
     # rhs on its trailing dim instead forces a non-MXU elementwise
     # expansion of shape (B, TILE_N, d) that blows VMEM.
-    ip = jax.lax.dot_general(
-        q_ref[0], db_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
+    q = q_ref[0]
+    tile = db_ref[:]
+    if mode == "split3":
+        # Split-bf16 3-pass f32 dot: x = hi + lo with hi = bf16(x) makes
+        # hi exactly representable and |lo| <= 2^-9 |x|, so
+        # q.x = qh.dh + qh.dl + ql.dh + O(2^-18) — three full-rate bf16
+        # MXU passes for ~1e-5 relative score error (measured: the
+        # Mosaic HIGHEST lowering costs ~14x a bf16 pass, this costs 3x;
+        # the k+8 segment margin + exact stage-2 re-rank absorb the
+        # residual noise, keeping the pipeline's top-k selection exact in
+        # practice — see flat_topk_fused's error budget note).
+        q_hi = q.astype(jnp.bfloat16)
+        q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        d_hi = tile.astype(jnp.bfloat16)
+        d_lo = (tile - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ip = jax.lax.dot_general(
+            q_hi, d_hi, dimension_numbers=_DOT_NUMS,
+            preferred_element_type=jnp.float32)
+        ip += jax.lax.dot_general(
+            q_hi, d_lo, dimension_numbers=_DOT_NUMS,
+            preferred_element_type=jnp.float32)
+        ip += jax.lax.dot_general(
+            q_lo, d_hi, dimension_numbers=_DOT_NUMS,
+            preferred_element_type=jnp.float32)
+    else:
+        # "highest": Mosaic's exact f32 lowering (expensive, provably
+        # exact). "native": operands used as stored — exact for bf16
+        # inputs (bf16 is full-rate and exact on the MXU).
+        precision = jax.lax.Precision.HIGHEST if mode == "highest" else None
+        ip = jax.lax.dot_general(
+            q, tile, dimension_numbers=_DOT_NUMS,
+            preferred_element_type=jnp.float32, precision=precision)
     # L2 surrogate (||q||^2 constant omitted); +inf penalty masks dead
     # rows. sq/pen arrive as (1, TILE_N) row vectors — an in-kernel
     # (TILE_N, 1) -> (1, TILE_N) reshape is a cross-lane transpose that
     # Mosaic expands catastrophically (~66MB of scoped VMEM).
     scores = sq_ref[:] - 2.0 * ip + pen_ref[:]
-    # Full-block (1, tile_b, NSEG) store: partial-width stores at offsets
+    # Full-block (1, tile_b, nseg) store: partial-width stores at offsets
     # that are not lane-aligned are rejected by Mosaic.
-    out_ref[:] = jnp.min(scores.reshape(b, NSEG, SEG), axis=-1) \
-        .reshape(1, b, NSEG)
+    nseg = db_ref.shape[1] // SEG
+    out_ref[:] = jnp.min(scores.reshape(b, nseg, SEG), axis=-1) \
+        .reshape(1, b, nseg)
 
 
-@partial(jax.jit, static_argnames=("interpret", "use_highest"))
+#: Stage-1 dot modes, cheapest first. "native": operands as stored (exact
+#: for bf16 databases, bf16-noisy for f32). "split3": hi/lo bf16
+#: decomposition, 3 full-rate MXU passes, ~1e-5 relative score error.
+#: "highest": Mosaic's exact f32 lowering (~14x a bf16 pass, measured).
+PRECISIONS = ("native", "split3", "highest")
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision"))
 def segment_minima(db_t: jnp.ndarray, db_sq: jnp.ndarray,
                    penalty: jnp.ndarray, q: jnp.ndarray, *,
-                   interpret: bool = False, use_highest: bool = True
+                   interpret: bool = False, precision: str = "split3"
                    ) -> jnp.ndarray:
     """
     Stage 1: fused scan emitting per-query, per-128-row-segment L2-surrogate
@@ -86,61 +125,101 @@ def segment_minima(db_t: jnp.ndarray, db_sq: jnp.ndarray,
     :param penalty: (1, N) float32, 0 for live rows / +inf for dead ones.
     :param q: (B, d) float32 queries (B a multiple of TILE_B, or TILE_B
         divisible by B with B a multiple of 8 — callers pad).
+    :param precision: One of PRECISIONS (bf16 databases always run
+        "native" — bf16 operands are exact on the MXU and Mosaic rejects
+        f32 lowerings for them).
     :return: (B, N // 128) float32 segment minima.
     """
     d, n = db_t.shape
     b = q.shape[0]
     assert n % TILE_N == 0
+    assert precision in PRECISIONS
     tile_b = min(TILE_B, b)
     assert b % tile_b == 0
-    n_tiles = n // TILE_N
+    mode = "native" if db_t.dtype == jnp.bfloat16 else precision
+    # split3 holds three live f32 score buffers plus hi/lo tile temps in
+    # VMEM; halving the db tile keeps the scoped-VMEM footprint under the
+    # 16MB limit (HBM traffic is unchanged — every tile still streams
+    # once per query tile).
+    tile_n = TILE_N // 2 if mode == "split3" else TILE_N
+    nseg_t = tile_n // SEG
+    n_tiles = n // tile_n
     grid = (b // tile_b, n_tiles)
-    # bf16 operands are exact on the MXU and Mosaic rejects HIGHEST for
-    # them ("Bad lhs type"); HIGHEST only matters for f32 inputs.
-    precision = jax.lax.Precision.HIGHEST \
-        if (use_highest and db_t.dtype != jnp.bfloat16) else None
 
     # Queries ship as (q_tiles, tile_b, d) so each q block is a leading
     # full slice (cheap reshape, no relayout).
     q3 = (q.astype(db_t.dtype) if db_t.dtype == jnp.bfloat16 else q) \
         .reshape(b // tile_b, tile_b, d)
 
-    kernel = partial(_scan_kernel, precision=precision)
+    kernel = partial(_scan_kernel, mode=mode)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile_b, d), lambda qi, ni: (qi, 0, 0),
                          memory_space=pltpu.VMEM),          # q tile
-            pl.BlockSpec((d, TILE_N), lambda qi, ni: (0, ni),
+            pl.BlockSpec((d, tile_n), lambda qi, ni: (0, ni),
                          memory_space=pltpu.VMEM),          # db tile (d, T)
-            pl.BlockSpec((1, TILE_N), lambda qi, ni: (0, ni),
+            pl.BlockSpec((1, tile_n), lambda qi, ni: (0, ni),
                          memory_space=pltpu.VMEM),          # sq tile
-            pl.BlockSpec((1, TILE_N), lambda qi, ni: (0, ni),
+            pl.BlockSpec((1, tile_n), lambda qi, ni: (0, ni),
                          memory_space=pltpu.VMEM),          # penalty tile
         ],
         # 3D output, one full block per (q-tile, db-tile): Mosaic requires
-        # stores be full-block or lane-aligned; (n_tiles, B, NSEG) makes
+        # stores be full-block or lane-aligned; (n_tiles, B, nseg) makes
         # every store a full block.
         out_specs=pl.BlockSpec(
-            (1, tile_b, NSEG),
+            (1, tile_b, nseg_t),
             lambda qi, ni: (ni, qi, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, b, NSEG), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, b, nseg_t), jnp.float32),
         interpret=interpret,
     )(q3, db_t, db_sq, penalty)
     # (n_tiles, B, NSEG) -> (B, n_tiles * NSEG) segment-major per query.
     return jnp.transpose(out, (1, 0, 2)).reshape(b, n // SEG)
 
 
+def topk_smallest(m: jnp.ndarray, kk: int, blk: int = 16
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Exact top-kk SMALLEST over rows of (B, W) — the segment-minima
+    recursion applied once more: at most kk blocks can have a block-min
+    <= the kk-th smallest value (each such min is itself a value <= it,
+    ties interchangeable), so the top-kk blocks by min contain every true
+    top-kk element. One cheap (B, W/blk) top-k + a (B, kk*blk) top-k
+    replaces the full-width sort ``lax.top_k`` lowers to (measured ~4x
+    faster at W=8192 on v5e).
+
+    :return: (values ascending, indices) of shape (B, kk).
+    """
+    b, w = m.shape
+    nb = w // blk
+    if w % blk or nb <= kk:
+        neg, idx = jax.lax.top_k(-m, kk)
+        return -neg, idx.astype(jnp.int32)
+    m3 = m.reshape(b, nb, blk)
+    bmin = jnp.min(m3, axis=-1)
+    _, bidx = jax.lax.top_k(-bmin, kk)                      # (b, kk)
+    cand = jnp.take_along_axis(m3, bidx[:, :, None], axis=1) \
+        .reshape(b, kk * blk)
+    cid = (bidx[:, :, None] * blk
+           + jax.lax.broadcasted_iota(jnp.int32, (b, kk, blk), 2)) \
+        .reshape(b, kk * blk)
+    neg, sel = jax.lax.top_k(-cand, kk)
+    return -neg, jnp.take_along_axis(cid, sel, axis=1)
+
+
 @partial(jax.jit,
-         static_argnames=("k", "metric", "interpret", "use_highest"))
+         static_argnames=("k", "metric", "interpret", "precision",
+                          "rerank_margin"))
 def flat_topk_fused(db: jnp.ndarray, db_sq: jnp.ndarray,
                     valid: jnp.ndarray, q: jnp.ndarray, *, k: int,
                     metric: str = "euclidean",
                     db_t: jnp.ndarray = None,
                     db_norm: jnp.ndarray = None,
-                    interpret: bool = False, use_highest: bool = True
+                    db_seg_lo: jnp.ndarray = None,
+                    interpret: bool = False, precision: str = "split3",
+                    rerank_margin: int = 16
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Exact exhaustive top-k via the fused Pallas stage 1 + XLA
@@ -152,6 +231,22 @@ def flat_topk_fused(db: jnp.ndarray, db_sq: jnp.ndarray,
       database and ``db_norm``; the query normalizes for stage 1 (so the
       surrogate is -2*cos, exactly monotone in angular distance) and
       stage 2 computes the exact angular distance from the raw rows.
+
+    Stage 2 has two forms. Without ``db_seg_lo``: gather the kept
+    segments' raw rows, exact distances, final top-k (fully exact given
+    exact stage-1 selection). With ``db_seg_lo`` (a (N/SEG, SEG, d) bf16
+    mirror): gather the bf16 mirror (half the HBM traffic of the f32
+    gather — the dominant stage-2 cost), score candidates with one MXU
+    surrogate matvec, keep ``k + rerank_margin`` winners, and re-score
+    only those from the raw f32 rows — reported distances stay exact.
+
+    Error budget (documented, empirically validated against float64 by
+    the benchmark drives): "split3" stage-1 carries ~1e-5 relative score
+    noise against a k+8 SEGMENT margin, and the bf16 stage-2 surrogate
+    carries ~4e-3 relative noise against the k+rerank_margin ROW margin;
+    both margins exceed the observed noise by orders of magnitude on real
+    corpora. ``precision="highest"`` + ``db_seg_lo=None`` gives the
+    provably exact (and slower) configuration.
 
     Same contract as ops/scan.flat_topk:
     (dists (B, k) ascending, rows (B, k) int32; +inf / -1 padding).
@@ -187,38 +282,100 @@ def flat_topk_fused(db: jnp.ndarray, db_sq: jnp.ndarray,
     penalty = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32) \
         .reshape(1, n)
     minima = segment_minima(db_t, db_sq.reshape(1, n), penalty, q_stage1,
-                            interpret=interpret, use_highest=use_highest)
-    neg, sid = jax.lax.top_k(-minima, s_keep)
-    sid = jnp.where(jnp.isinf(neg), -1, sid.astype(jnp.int32))
+                            interpret=interpret, precision=precision)
+    smin, sid = topk_smallest(minima, s_keep)
+    sid = jnp.where(jnp.isinf(smin), -1, sid)
 
     # Stage 2: gather kept segments' rows; exact distances; final top-k.
-    rows = (jnp.maximum(sid, 0)[..., None] * SEG
+    # All per-row side arrays gather SEGMENT-SHAPED ((b, s_keep, SEG)
+    # blocks of 128 contiguous elements) — a flat jnp.take with (b, 3072)
+    # scattered indices lowers to millions of element gathers and
+    # dominated the measured stage-2 time.
+    sid_c = jnp.maximum(sid, 0)
+    rows = (sid_c[..., None] * SEG
             + jax.lax.broadcasted_iota(jnp.int32, (b, s_keep, SEG), 2))
     rows_flat = rows.reshape(b, s_keep * SEG)
-    alive = (sid[..., None] >= 0).repeat(SEG, axis=-1) \
-        .reshape(b, s_keep * SEG)
-    alive = alive & jnp.take(valid, rows_flat, axis=0)
+    valid_seg = valid.reshape(n // SEG, SEG)
+    alive = (sid[..., None] >= 0) & jnp.take(valid_seg, sid_c, axis=0)
+    alive = alive.reshape(b, s_keep * SEG)
 
-    # Gather whole 128-row segments (contiguous 64KB slices) rather than
-    # individual rows — far better TPU gather granularity.
-    db_seg = db.reshape(n // SEG, SEG, d)
-    cand = jnp.take(db_seg, jnp.maximum(sid, 0), axis=0) \
-        .reshape(b, s_keep * SEG, d).astype(jnp.float32)
-    if metric == "inner_product":
-        exact = -jnp.sum(cand * q[:, None, :], axis=-1)
-    elif metric == "cosine":
-        import math
-        ip = jnp.sum(cand * q[:, None, :], axis=-1)
-        cn = jnp.take(db_norm, rows_flat, axis=0)
-        denom = q_norm[:, None] * cn
-        sim = jnp.clip(ip / jnp.where(denom == 0, 1.0, denom), -1.0, 1.0)
-        exact = 2.0 * jnp.arccos(sim) / math.pi
-    else:
+    def exact_dists(cand, cn):
+        """Exact per-metric distances for (b, M, d) f32 candidates (``cn``
+        = pre-gathered row norms, cosine only)."""
+        if metric == "inner_product":
+            return -jnp.sum(cand * q[:, None, :], axis=-1)
+        if metric == "cosine":
+            import math
+            ip = jnp.sum(cand * q[:, None, :], axis=-1)
+            denom = q_norm[:, None] * cn
+            sim = jnp.clip(ip / jnp.where(denom == 0, 1.0, denom),
+                           -1.0, 1.0)
+            return 2.0 * jnp.arccos(sim) / math.pi
         diff = cand - q[:, None, :]
-        exact = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
-    exact = jnp.where(alive, exact, jnp.inf)
-    neg, sel = jax.lax.top_k(-exact, k)
-    out_rows = jnp.take_along_axis(rows_flat, sel, axis=1).astype(jnp.int32)
+        return jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+
+    def seg_gather_1d(arr1d):
+        """(b, s_keep*SEG) gather of a per-row array, segment-shaped."""
+        return jnp.take(arr1d.reshape(n // SEG, SEG), sid_c, axis=0) \
+            .reshape(b, s_keep * SEG)
+
+    if db_seg_lo is None:
+        # f32 path: gather whole 128-row segments (contiguous 64KB
+        # slices) rather than individual rows — far better TPU gather
+        # granularity — and score them exactly.
+        db_seg = db.reshape(n // SEG, SEG, d)
+        cand = jnp.take(db_seg, sid_c, axis=0) \
+            .reshape(b, s_keep * SEG, d).astype(jnp.float32)
+        cn = seg_gather_1d(db_norm) if metric == "cosine" else None
+        exact = jnp.where(alive, exact_dists(cand, cn), jnp.inf)
+        out_d, sel = topk_smallest(exact, k)
+        out_rows = jnp.take_along_axis(rows_flat, sel, axis=1) \
+            .astype(jnp.int32)
+        out_rows = jnp.where(jnp.isinf(out_d), -1, out_rows)
+        return out_d, out_rows
+
+    # bf16 path: half-traffic mirror gather + MXU surrogate + exact
+    # re-rank of the k+margin row winners from the f32 rows.
+    cand_lo = jnp.take(db_seg_lo, sid_c, axis=0) \
+        .reshape(b, s_keep * SEG, d)
+    # Candidate scoring as a COHORT dense matmul: a per-query matvec
+    # (einsum bnd,bd->bn) uses 1/128 of the MXU and lowers to a slow VPU
+    # reduce (measured ~25ms at B=1024, M=3072 — the dominant stage-2
+    # cost). Instead score each 32-query cohort against the cohort's
+    # pooled candidates in ONE (32, d) x (d, 32*M) MXU dot — 32x
+    # redundant FLOPs against ~100x idle MXU headroom — and slice each
+    # query's own block off the result's block diagonal.
+    m_cand = s_keep * SEG
+    cohort = min(32, b)
+    nc = b // cohort
+    g = cand_lo.reshape(nc, cohort * m_cand, d)
+    qs = q_stage1.astype(jnp.bfloat16).reshape(nc, cohort, d)
+    s_all = jax.lax.dot_general(
+        qs, g, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)    # (nc, cohort, cohort*M)
+    s4 = s_all.reshape(nc, cohort, cohort, m_cand)
+    ip = jnp.take_along_axis(
+        s4, jax.lax.broadcasted_iota(jnp.int32, (nc, cohort, 1, 1), 1),
+        axis=2).reshape(b, m_cand)
+    if metric == "euclidean":
+        s2 = seg_gather_1d(db_sq) - 2.0 * ip
+    elif metric == "inner_product":
+        s2 = -ip
+    else:  # cosine: q_stage1 normalized; normalize by row norms.
+        cn = seg_gather_1d(db_norm)
+        s2 = -(ip / jnp.where(cn == 0, 1.0, cn))
+    s2 = jnp.where(alive, s2, jnp.inf)
+    kk2 = min(k + rerank_margin, s_keep * SEG)
+    sv, sel = topk_smallest(s2, kk2)
+    rows2 = jnp.take_along_axis(rows_flat, sel, axis=1)
+    alive2 = jnp.take_along_axis(alive, sel, axis=1)
+    cand2 = jnp.take(db, jnp.maximum(rows2, 0), axis=0) \
+        .astype(jnp.float32)
+    cn2 = jnp.take(db_norm, jnp.maximum(rows2, 0), axis=0) \
+        if metric == "cosine" else None
+    exact = jnp.where(alive2, exact_dists(cand2, cn2), jnp.inf)
+    neg, sel2 = jax.lax.top_k(-exact, k)
     out_d = -neg
+    out_rows = jnp.take_along_axis(rows2, sel2, axis=1).astype(jnp.int32)
     out_rows = jnp.where(jnp.isinf(out_d), -1, out_rows)
     return out_d, out_rows

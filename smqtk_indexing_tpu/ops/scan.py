@@ -146,7 +146,7 @@ def flat_topk(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
 
 def _exact_selected(metric: str, db: jnp.ndarray, q: jnp.ndarray,
                     q_sq: jnp.ndarray, scores: jnp.ndarray,
-                    rows: jnp.ndarray):
+                    rows: jnp.ndarray, dq=None):
     """
     Reconstruct true distances for the selected (B, k) rows, re-sorted
     ascending. For L2 the surrogate (x_sq - 2ip) suffers catastrophic
@@ -155,10 +155,15 @@ def _exact_selected(metric: str, db: jnp.ndarray, q: jnp.ndarray,
     host-side exact re-rank
     (/root/reference/smqtk_indexing/impls/nn_index/faiss.py:818-827). Other
     metrics' surrogates finalize without cancellation.
+
+    :param dq: Optional (a, b) SQ8 codec arrays when ``db`` holds int8
+        codes — gathered rows dequantize before the exact distance.
     """
     if metric != "euclidean":
         return _finalize(metric, scores, q_sq), rows
     sel = jnp.take(db, jnp.maximum(rows, 0), axis=0).astype(jnp.float32)
+    if dq is not None:
+        sel = sel * dq[0] + dq[1]
     diff = sel - q[:, None, :]
     exact = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
     # Rows never filled (index -1 / +inf surrogate) stay +inf.

@@ -23,7 +23,11 @@ import numpy as np
 from smqtk_indexing_tpu.ops import scan
 from smqtk_indexing_tpu.ops.device import capacity_for, pad_dim, pad_rows_np
 
-_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+#: Device storage codecs: float32 (exact), bfloat16 (half traffic, tiny
+#: recall cost), sq8 (int8 scalar quantization, 4x capacity — the
+#: reference's FAISS 'SQ8' codec axis, faiss.py:190; see ops/sq8.py).
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+           "sq8": jnp.int8}
 
 
 def _pow2_at_least(x: int, lo: int = 8) -> int:
@@ -65,6 +69,7 @@ class VectorStore:
         from smqtk_indexing_tpu.ops.pallas_scan import TILE_N
         return (tpu_kernel_enabled("SMQTK_TPU_NO_FUSED")
                 and metric in ("euclidean", "inner_product", "cosine")
+                and self._dtype_name != "sq8"
                 and self._mesh is None and self._capacity >= TILE_N
                 and self._capacity % TILE_N == 0)
 
@@ -86,6 +91,10 @@ class VectorStore:
         self._dev_norm = None
         self._dev_valid = None
         self._capacity = 0
+        # sq8 codec (trained at build, fixed across incremental adds —
+        # the FAISS scalar-quantizer train-once contract)
+        self._sq8_a = None
+        self._sq8_b = None
 
     @property
     def dim(self) -> Optional[int]:
@@ -219,11 +228,40 @@ class VectorStore:
         self._capacity = capacity_for(n)
         d_pad = pad_dim(self._dim)
         dev_dtype = _DTYPES[self._dtype_name]
+        valid = np.zeros(self._capacity, dtype=bool)
+        valid[:n] = self._valid_host
+        if self._dtype_name == "sq8":
+            from smqtk_indexing_tpu.ops import sq8
+            live = self._host[self._valid_host] if not \
+                self._valid_host.all() else self._host
+            a, b = sq8.sq8_train(live)
+            # Padding dims: scale epsilon / offset 0 so zero-padded codes
+            # and queries contribute nothing to any score term.
+            a_p = np.full(d_pad, 1e-12, dtype=np.float32)
+            b_p = np.zeros(d_pad, dtype=np.float32)
+            a_p[:self._dim] = a
+            b_p[:self._dim] = b
+            codes = np.zeros((self._capacity, d_pad), dtype=np.int8)
+            codes[:n, :self._dim] = sq8.sq8_encode_np(self._host, a, b)
+            self._sq8_a = jnp.asarray(a_p)
+            self._sq8_b = jnp.asarray(b_p)
+            self._dev = jnp.asarray(codes)
+            s2, nrm = sq8.sq8_row_stats(self._dev, self._sq8_a,
+                                        self._sq8_b)
+            self._dev_sq = s2
+            self._dev_norm = nrm
+            self._dev_valid = jnp.asarray(valid)
+            self._dev_t = None
+            if self._mesh is not None:
+                from smqtk_indexing_tpu.parallel.mesh import shard_rows
+                self._dev = shard_rows(self._mesh, self._dev)
+                self._dev_sq = shard_rows(self._mesh, self._dev_sq)
+                self._dev_norm = shard_rows(self._mesh, self._dev_norm)
+                self._dev_valid = shard_rows(self._mesh, self._dev_valid)
+            return
         padded = pad_rows_np(self._host, self._capacity, d_pad)
         sq = np.zeros(self._capacity, dtype=np.float32)
         sq[:n] = np.einsum("ij,ij->i", self._host, self._host)
-        valid = np.zeros(self._capacity, dtype=bool)
-        valid[:n] = self._valid_host
         self._dev = jnp.asarray(padded, dtype=dev_dtype)
         self._dev_sq = jnp.asarray(sq)
         self._dev_norm = jnp.sqrt(self._dev_sq)
@@ -245,6 +283,27 @@ class VectorStore:
             return
         d_pad = pad_dim(self._dim)  # type: ignore[arg-type]
         self._dev_t = None  # transposed mirror is stale after row writes
+        if self._dtype_name == "sq8":
+            # Encode with the codec trained at build (out-of-range values
+            # clip — the FAISS scalar-quantizer add-after-train contract).
+            from smqtk_indexing_tpu.ops import sq8
+            a = np.asarray(self._sq8_a)[:self._dim]
+            b = np.asarray(self._sq8_b)[:self._dim]
+            codes = np.zeros((mat.shape[0], d_pad), dtype=np.int8)
+            codes[:, :self._dim] = sq8.sq8_encode_np(mat, a, b)
+            block_dev = jnp.asarray(codes)
+            self._dev = jax.lax.dynamic_update_slice(
+                self._dev, block_dev, (start, 0))
+            s2, nrm = sq8.sq8_row_stats(block_dev, self._sq8_a,
+                                        self._sq8_b)
+            self._dev_sq = jax.lax.dynamic_update_slice(
+                self._dev_sq, s2, (start,))
+            self._dev_norm = jax.lax.dynamic_update_slice(
+                self._dev_norm, nrm, (start,))
+            self._dev_valid = jax.lax.dynamic_update_slice(
+                self._dev_valid, jnp.ones(mat.shape[0], dtype=bool),
+                (start,))
+            return
         block = pad_rows_np(mat, mat.shape[0], d_pad)
         dev_dtype = _DTYPES[self._dtype_name]
         self._dev = jax.lax.dynamic_update_slice(
@@ -282,6 +341,7 @@ class VectorStore:
                 raise ValueError("Store is empty.")
             dev, dev_sq, dev_norm, dev_valid = (
                 self._dev, self._dev_sq, self._dev_norm, self._dev_valid)
+            sq8_a, sq8_b = self._sq8_a, self._sq8_b
             row2uid = list(self._row2uid)
             n_live = self._n_live
             cap = self._capacity
@@ -322,7 +382,23 @@ class VectorStore:
         # distinct user n values reuse compiled programs; trim host-side.
         k_dev = min(_pow2_at_least(k_eff, 1), cap)
 
-        if self._mesh is not None:
+        if self._dtype_name == "sq8" and self._mesh is None:
+            from smqtk_indexing_tpu.ops.sq8 import sq8_topk
+            dists, rows = sq8_topk(
+                dev, sq8_a, sq8_b, dev_sq, dev_norm,
+                dev_valid, jnp.asarray(q_pad), k=k_dev, metric=metric)
+        elif self._dtype_name == "sq8":
+            from smqtk_indexing_tpu.parallel.mesh import replicate
+            from smqtk_indexing_tpu.parallel.sharded_scan import (
+                sharded_sq8_topk,
+            )
+            dists, rows = sharded_sq8_topk(
+                self._mesh, dev, replicate(self._mesh, sq8_a),
+                replicate(self._mesh, sq8_b), dev_sq,
+                dev_norm, dev_valid,
+                replicate(self._mesh, jnp.asarray(q_pad)),
+                k=k_dev, metric=metric)
+        elif self._mesh is not None:
             from smqtk_indexing_tpu.parallel.mesh import replicate
             from smqtk_indexing_tpu.parallel.sharded_scan import (
                 sharded_flat_topk,
@@ -332,10 +408,12 @@ class VectorStore:
                 replicate(self._mesh, jnp.asarray(q_pad)),
                 k=k_dev, metric=metric)
         elif use_fused:
+            from smqtk_indexing_tpu.ops.device import stage1_precision
             from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused
             dists, rows = flat_topk_fused(
                 dev, dev_sq, dev_valid, jnp.asarray(q_pad), k=k_dev,
-                metric=metric, db_t=dev_t, db_norm=dev_norm)
+                metric=metric, db_t=dev_t, db_norm=dev_norm,
+                precision=stage1_precision())
         else:
             dists, rows = scan.flat_topk(
                 dev, dev_sq, dev_norm, dev_valid, jnp.asarray(q_pad),

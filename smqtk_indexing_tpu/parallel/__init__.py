@@ -18,4 +18,5 @@ from smqtk_indexing_tpu.parallel.sharded_ivf import (  # noqa: F401
 )
 from smqtk_indexing_tpu.parallel.sharded_scan import (  # noqa: F401
     sharded_flat_topk, sharded_hamming_topk, sharded_kmeans_step,
+    sharded_sq8_topk,
 )

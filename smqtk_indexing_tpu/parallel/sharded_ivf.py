@@ -55,7 +55,7 @@ def shard_csr(offsets: np.ndarray, lens: np.ndarray, n_rows: int,
 @partial(jax.jit, static_argnames=("k", "nprobe", "l_max", "metric", "mesh"))
 def sharded_ivf_query(mesh: Mesh, db, db_sq, db_norm, valid, centroids,
                       offsets, lens, q, *, k: int, nprobe: int, l_max: int,
-                      metric: str = "euclidean"):
+                      metric: str = "euclidean", dq=None):
     """
     :param db/db_sq/db_norm/valid: row-sharded over ``mesh`` (list-sorted
         global order).
@@ -63,13 +63,14 @@ def sharded_ivf_query(mesh: Mesh, db, db_sq, db_norm, valid, centroids,
     :param offsets/lens: (S, C) per-shard local CSR views, row-sharded on
         their leading axis.
     :param q: (B, d) replicated.
+    :param dq: Optional replicated (a, b) SQ8 codec arrays (int8 ``db``).
     :return: (dists (B, k), global rows (B, k)), replicated.
     """
-    def local(db_l, sq_l, nm_l, va_l, c, off_l, len_l, q_l):
+    def local(db_l, sq_l, nm_l, va_l, c, off_l, len_l, q_l, *dq_l):
         k_loc = min(k, db_l.shape[0])
         d, r = ivf_query(db_l, sq_l, nm_l, va_l, c, off_l[0], len_l[0],
                          q_l, k=k_loc, nprobe=nprobe, l_max=l_max,
-                         metric=metric)
+                         metric=metric, dq=dq_l if dq_l else None)
         if k_loc < k:
             b = q_l.shape[0]
             d = jnp.concatenate(
@@ -87,11 +88,14 @@ def sharded_ivf_query(mesh: Mesh, db, db_sq, db_norm, valid, centroids,
         neg, sel = jax.lax.top_k(-d_flat, k)
         return -neg, jnp.take_along_axis(r_flat, sel, axis=1)
 
+    extra = tuple(dq) if dq is not None else ()
+    in_specs = (P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
+                P(SHARD_AXIS), P(None, None), P(SHARD_AXIS, None),
+                P(SHARD_AXIS, None), P(None, None)) \
+        + tuple(P(None) for _ in extra)
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
-                  P(SHARD_AXIS), P(None, None), P(SHARD_AXIS, None),
-                  P(SHARD_AXIS, None), P(None, None)),
+        in_specs=in_specs,
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
-    )(db, db_sq, db_norm, valid, centroids, offsets, lens, q)
+    )(db, db_sq, db_norm, valid, centroids, offsets, lens, q, *extra)

@@ -124,6 +124,40 @@ def sharded_hamming_topk(mesh: Mesh, db, valid, q, *, k: int):
     )(db, valid, q)
 
 
+@partial(jax.jit, static_argnames=("k", "metric", "mesh"))
+def sharded_sq8_topk(mesh: Mesh, codes, a, b, s2, nrm, valid, q, *,
+                     k: int, metric: str = "euclidean"):
+    """Row-sharded SQ8 scan (ops/sq8.sq8_topk per shard, same hierarchical
+    merge as the float paths). codes/s2/nrm/valid row-sharded; a/b/q
+    replicated."""
+    from smqtk_indexing_tpu.ops.sq8 import sq8_topk
+
+    rows_spec = row_axes(mesh)
+
+    def local(codes_l, a_l, b_l, s2_l, nm_l, va_l, q_l):
+        k_loc = min(k, codes_l.shape[0])
+        d, r = sq8_topk(codes_l, a_l, b_l, s2_l, nm_l, va_l, q_l,
+                        k=k_loc, metric=metric)
+        if k_loc < k:
+            bq = q_l.shape[0]
+            d = jnp.concatenate(
+                [d, jnp.full((bq, k - k_loc), jnp.inf, jnp.float32)],
+                axis=1)
+            r = jnp.concatenate(
+                [r, jnp.full((bq, k - k_loc), -1, jnp.int32)], axis=1)
+        offset = _global_shard_index(mesh) * codes_l.shape[0]
+        r = jnp.where(r >= 0, r + offset, r)
+        return _hier_merge(mesh, d, r, k)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(rows_spec, None), P(None), P(None), P(rows_spec),
+                  P(rows_spec), P(rows_spec), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(codes, a, b, s2, nrm, valid, q)
+
+
 @partial(jax.jit, static_argnames=("mesh",))
 def sharded_kmeans_step(mesh: Mesh, db, valid, centroids):
     """

@@ -461,3 +461,49 @@ def test_fused_mirror_is_metric_keyed(monkeypatch):
     raw_t, cos_t, raw_t2 = (t for _, t in captured)
     assert not np.allclose(raw_t, cos_t)       # normalized differs
     assert np.allclose(raw_t, raw_t2)          # raw mirror rebuilt right
+
+
+class TestSq8Storage:
+    def test_sq8_self_retrieval_and_persistence(self):
+        import numpy as np
+        import pytest
+        from smqtk_indexing_tpu.data.data_element import DataMemoryElement
+        from smqtk_indexing_tpu.data.descriptor import (
+            DescriptorMemoryElement,
+        )
+        from smqtk_indexing_tpu.models.nn_index.flat import (
+            FlatNearestNeighborsIndex,
+        )
+        rng = np.random.default_rng(0)
+        elems = [DescriptorMemoryElement(
+                     j, rng.normal(size=32).astype(np.float32))
+                 for j in range(256)]
+        ie = DataMemoryElement()
+        i = FlatNearestNeighborsIndex(dtype="sq8", index_element=ie)
+        i.build_index(elems)
+        res, dists = i.nn(elems[7], 5)
+        assert res[0].uuid() == 7
+        # sq8 quantizes coordinates; self-distance small, not 0.
+        assert dists[0] == pytest.approx(0.0, abs=0.2)
+        assert list(dists) == sorted(dists)
+        # update + remove keep working on the quantized store
+        i.update_index([DescriptorMemoryElement(
+            999, rng.normal(size=32).astype(np.float32))])
+        i.remove_from_index([0])
+        assert i.count() == 256
+        # reload via persisted payload
+        j = FlatNearestNeighborsIndex(dtype="sq8", index_element=ie)
+        assert j.count() == 256
+        res2, _ = j.nn(elems[7], 1)
+        assert res2[0].uuid() == 7
+
+    def test_sq8_config_roundtrip(self):
+        from smqtk_indexing_tpu.core.configuration import (
+            configuration_test_helper,
+        )
+        from smqtk_indexing_tpu.models.nn_index.flat import (
+            FlatNearestNeighborsIndex,
+        )
+        i = FlatNearestNeighborsIndex(dtype="sq8")
+        for inst in configuration_test_helper(i):
+            assert inst.dtype == "sq8"

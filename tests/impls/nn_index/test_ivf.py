@@ -295,3 +295,46 @@ def test_heavily_split_lists_keep_nprobe_coverage():
             e = elems[c * per + j]
             r, dd = idx.nn(e, 1)
             assert r[0].uuid() == e.uuid()
+
+
+def test_ivf_sq8_storage_and_factory():
+    from smqtk_indexing_tpu.models.nn_index.factory import (
+        index_from_factory_string,
+    )
+    rng = np.random.default_rng(30)
+    centers = rng.normal(size=(8, 16)).astype(np.float32) * 10
+    elems = [_elem(f"{c}-{j}", centers[c] + rng.normal(size=16))
+             for c in range(8) for j in range(40)]
+    idx = index_from_factory_string("IVF8,SQ8", nprobe=8,
+                                    kmeans_iterations=5, random_seed=0)
+    assert idx.dtype == "sq8"
+    idx.build_index(elems)
+    # exhaustive nprobe: every self-lookup must hit (sq8 quantization noise
+    # is far below the cluster separation)
+    for probe in (0, 100, 319):
+        r, d = idx.nn(elems[probe], 1)
+        assert r[0].uuid() == elems[probe].uuid()
+        assert d[0] < 0.5
+    # mutation path
+    idx.remove_from_index([elems[0].uuid()])
+    assert idx.count() == len(elems) - 1
+    idx.update_index([elems[0]])
+    assert idx.count() == len(elems)
+
+
+def test_ivf_sq8_sharded_matches_single():
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(4, 16)).astype(np.float32) * 10
+    elems = [_elem(f"{c}-{j}", centers[c] + rng.normal(size=16))
+             for c in range(4) for j in range(64)]
+    kw = dict(n_lists=4, nprobe=4, kmeans_iterations=5, random_seed=0,
+              dtype="sq8")
+    i1 = IvfNearestNeighborsIndex(**kw)
+    i1.build_index(elems)
+    i8 = IvfNearestNeighborsIndex(n_devices=8, **kw)
+    i8.build_index(elems)
+    for probe in (3, 130, 255):
+        r1, d1 = i1.nn(elems[probe], 4)
+        r8, d8 = i8.nn(elems[probe], 4)
+        assert [e.uuid() for e in r1] == [e.uuid() for e in r8]
+        np.testing.assert_allclose(d1, d8, atol=1e-5)

@@ -109,3 +109,59 @@ def test_fused_cosine_matches_reference():
     assert np.array_equal(np.asarray(r_f), np.asarray(r_ref))
     np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref),
                                atol=1e-4)
+
+
+def test_topk_smallest_matches_lax_topk():
+    from smqtk_indexing_tpu.ops.pallas_scan import topk_smallest
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(16, 1024)).astype(np.float32)
+    # inject inf padding and duplicate values (tie handling)
+    m[:, 100:110] = np.inf
+    m[:, 3] = m[:, 5]
+    for kk in (1, 8, 24, 60):
+        v, i = topk_smallest(jnp.asarray(m), kk)
+        neg, idx = jnp.sort(jnp.asarray(m), axis=1)[:, :kk], None
+        np.testing.assert_allclose(np.asarray(v), np.asarray(neg), rtol=0)
+        # indices must address the returned values
+        got = np.take_along_axis(m, np.asarray(i), axis=1)
+        np.testing.assert_allclose(got, np.asarray(v), rtol=0)
+
+
+@pytest.mark.parametrize("precision", ["split3", "highest", "native"])
+def test_fused_precision_modes(precision):
+    n, d, b, k = MIN_N, 64, 8, 5
+    db, sq, q = _mk(n, d, b, seed=3)
+    valid = np.ones(n, dtype=bool)
+    d_f, r_f = flat_topk_fused(
+        jnp.asarray(db), jnp.asarray(sq), jnp.asarray(valid),
+        jnp.asarray(q), k=k, interpret=True, precision=precision)
+    d2 = ((q.astype(np.float64)[:, None, :]
+           - db.astype(np.float64)[None, :, :]) ** 2).sum(-1)
+    ref_rows = np.argsort(d2, axis=1)[:, :k]
+    assert np.array_equal(np.asarray(r_f), ref_rows), precision
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "inner_product", "cosine"])
+def test_fused_bf16_stage2_matches_f32(metric):
+    from smqtk_indexing_tpu.ops.pallas_scan import SEG
+    n, d, b, k = 2 * MIN_N, 128, 8, 10
+    db, sq, q = _mk(n, d, b, seed=4)
+    valid = np.ones(n, dtype=bool)
+    valid[50:200] = False
+    norm = np.sqrt(sq)
+    kw = {}
+    if metric == "cosine":
+        db_t = (db / np.where(norm == 0, 1, norm)[:, None]).T
+        kw = dict(db_t=jnp.asarray(np.ascontiguousarray(db_t)),
+                  db_norm=jnp.asarray(norm))
+    d_ref, r_ref = flat_topk_fused(
+        jnp.asarray(db), jnp.asarray(sq), jnp.asarray(valid),
+        jnp.asarray(q), k=k, metric=metric, interpret=True, **kw)
+    seg_lo = jnp.asarray(db.reshape(n // SEG, SEG, d), dtype=jnp.bfloat16)
+    d_lo, r_lo = flat_topk_fused(
+        jnp.asarray(db), jnp.asarray(sq), jnp.asarray(valid),
+        jnp.asarray(q), k=k, metric=metric, interpret=True,
+        db_seg_lo=seg_lo, **kw)
+    assert np.array_equal(np.asarray(r_lo), np.asarray(r_ref)), metric
+    np.testing.assert_allclose(np.asarray(d_lo), np.asarray(d_ref),
+                               atol=1e-5)
