@@ -188,6 +188,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._dev_centroids = None
         self._dev_offsets = None
         self._dev_lens = None
+        self._dev_first_virt = None
         self._capacity = 0
         self._l_max = 0
         self._l_max_raw = 0
@@ -368,6 +369,12 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         v_len = np.asarray(v_len, dtype=np.int32)
         v_orig = np.asarray(v_orig, dtype=np.int32)
         self._n_virtual = len(v_off)
+        # One representative virtual slot per original list (v_orig is
+        # ascending by construction) — drives the FAISS-faithful
+        # original-list probe eligibility (ops/ivf.probe_eligibility).
+        first_virt = np.searchsorted(v_orig,
+                                     np.arange(c_count)).astype(np.int32)
+        self._dev_first_virt = jnp.asarray(first_virt)
         # Worst-case sublists of a single original list: the query-side
         # nprobe translation scales by this so probing n original lists
         # always has enough virtual slots regardless of how finely the
@@ -401,6 +408,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             self._dev_offsets = shard_rows(self._mesh,
                                            jnp.asarray(loc_off))
             self._dev_lens = shard_rows(self._mesh, jnp.asarray(loc_len))
+            self._dev_first_virt = replicate(self._mesh,
+                                             self._dev_first_virt)
 
     # ------------------------------------------------------------------
     # persistence
@@ -573,22 +582,26 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             q_p = pad_rows_np(q, b_pad, d_pad)
             k_eff = min(n, self._n_live)
             k_dev = min(_pow2_at_least(k_eff), self._capacity)
-            # Translate the user's nprobe (counted in ORIGINAL lists) to
-            # virtual sublists. Duplicated centroids tie and rank adjacent,
-            # so extra virtual probe slots absorb splits among the selected
-            # lists. nprobe >= n_lists means exhaustive: probe every
-            # virtual list (exact, the contract tests rely on it). Partial
-            # nprobe scales by the measured worst-case split factor of any
-            # single original list (_max_split, set by the balancer at
-            # build): probing n original lists can need up to n * max_split
-            # virtual slots, and any slot strictly nearer than the n-th
-            # centroid belongs to one of those lists, so this bound always
-            # covers the full tail of the nearest lists. +8 absorbs exact
-            # centroid-score ties across distinct lists. Pow2-rounded to
-            # bound jit recompiles across updates.
+            # FAISS-faithful nprobe (faiss.py:715-749): nprobe counts
+            # ORIGINAL lists ranked by centroid distance, and exactly
+            # those lists' contents are scanned. The kernels get (a) a
+            # virtual probe-slot BUDGET sized for the worst case — n
+            # original lists can split into up to n * _max_split sublists
+            # (+8 absorbs exact centroid-score ties, pow2-rounded to bound
+            # jit recompiles) — and (b) nprobe_orig + a representative
+            # slot per original, from which they derive the n-th-best
+            # original score and zero out every budget slot beyond the
+            # eligible lists (ops/ivf.probe_eligibility; the DMA kernel
+            # skips those slots' transfers entirely). nprobe >= n_lists is
+            # exhaustive: probe every virtual list (exact, the contract
+            # tests rely on it).
             if self.nprobe >= self._centroids_np.shape[0]:
                 nprobe = self._n_virtual
+                nprobe_orig = None
+                first_virt = None
             else:
+                nprobe_orig = self.nprobe
+                first_virt = self._dev_first_virt
                 nprobe = min(
                     _pow2_at_least(self.nprobe * self._max_split + 8),
                     self._n_virtual)
@@ -611,14 +624,15 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev_offsets, self._dev_lens,
                     replicate(self._mesh, jnp.asarray(q_p)), k=k_dev,
                     nprobe=nprobe, l_max=self._l_max, metric=self.metric,
-                    dq=dq)
+                    dq=dq, first_virt=first_virt, nprobe_orig=nprobe_orig)
             elif self._dma_eligible():
                 from smqtk_indexing_tpu.ops.pallas_ivf import ivf_query_dma
                 dists, rows = ivf_query_dma(
                     self._dev, self._dev_sq, self._dev_valid,
                     self._dev_centroids, self._dev_offsets,
                     self._dev_lens, jnp.asarray(q_p), k=k_dev,
-                    n_probe=nprobe)
+                    n_probe=nprobe, first_virt=first_virt,
+                    nprobe_orig=nprobe_orig)
             else:
                 dq = (self._sq8_a, self._sq8_b) \
                     if self.dtype == "sq8" else None
@@ -627,7 +641,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev_valid, self._dev_centroids,
                     self._dev_offsets, self._dev_lens,
                     jnp.asarray(q_p), k=k_dev, nprobe=nprobe,
-                    l_max=self._l_max, metric=self.metric, dq=dq)
+                    l_max=self._l_max, metric=self.metric, dq=dq,
+                    first_virt=first_virt, nprobe_orig=nprobe_orig)
             dists = np.asarray(dists)[:b, :k_eff]
             rows = np.asarray(rows)[:b, :k_eff]
             out: List[NNResult] = []

@@ -45,6 +45,7 @@ from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
     NearestNeighborsIndex, NNResult,
 )
 from smqtk_indexing_tpu.models.hash_index.linear import LinearHashIndex
+from smqtk_indexing_tpu.ops.metrics import candidate_distances
 from smqtk_indexing_tpu.utils.bits import (
     bit_matrix_to_ints, bit_vector_to_int_large, int_to_bit_vector_large,
 )
@@ -63,21 +64,7 @@ def _rerank(q: jnp.ndarray, cand: jnp.ndarray, valid: jnp.ndarray,
     ascending with invalid rows pushed to +inf. The on-device analog of the
     reference's fetch-and-re-rank (lsh.py:507-518).
     """
-    qb = q[None, :].astype(jnp.float32)
-    cand = cand.astype(jnp.float32)
-    if metric == "euclidean":
-        diff = cand - qb
-        d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
-    elif metric == "cosine":
-        qn = jnp.linalg.norm(qb, axis=-1)
-        cn = jnp.linalg.norm(cand, axis=-1)
-        denom = jnp.where(qn * cn == 0, 1.0, qn * cn)
-        sim = jnp.clip(jnp.sum(cand * qb, axis=-1) / denom, -1.0, 1.0)
-        d = 2.0 * jnp.arccos(sim) / jnp.pi
-    elif metric == "hik":
-        d = 1.0 - jnp.sum(jnp.minimum(qb, cand), axis=-1)
-    else:
-        raise ValueError(f"Unknown distance method '{metric}'.")
+    d = candidate_distances(q[None, :], cand[None, :, :], metric)[0]
     d = jnp.where(valid, d, jnp.inf)
     order = jnp.argsort(d)
     return d[order], order
@@ -86,9 +73,12 @@ def _rerank(q: jnp.ndarray, cand: jnp.ndarray, valid: jnp.ndarray,
 @partial(jax.jit, static_argnames=("metric",))
 def _rerank_batch(q: jnp.ndarray, cand: jnp.ndarray, valid: jnp.ndarray,
                   metric: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched exact re-rank: vmap of :func:`_rerank` over the queries."""
-    return jax.vmap(lambda a, b, c: _rerank(a, b, c, metric))(q, cand,
-                                                              valid)
+    """Batched exact re-rank: (B, d) queries vs per-query (B, M, d)
+    candidates, each row sorted ascending with invalid slots at +inf."""
+    d = candidate_distances(q, cand, metric)
+    d = jnp.where(valid, d, jnp.inf)
+    order = jnp.argsort(d, axis=1)
+    return jnp.take_along_axis(d, order, axis=1), order
 
 
 def _pow2_at_least(x: int, lo: int = 8) -> int:
@@ -112,6 +102,11 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
     :param distance_method: Candidate re-rank distance:
         'euclidean' | 'cosine' | 'hik'.
     :param read_only: Refuse mutations when True.
+    :param n_devices: Ride a device mesh (power of two): the on-the-fly
+        fallback LinearHashIndex row-shards its packed codes, and the
+        batched candidate re-rank splits its candidate axis, across the
+        mesh (parallel/sharded_scan.sharded_rerank_topk). A configured
+        ``hash_index`` shards via its own config.
     """
 
     @classmethod
@@ -166,7 +161,8 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
                  hash2uuids_kvstore: Optional[KeyValueStore] = None,
                  hash_index: Optional[HashIndex] = None,
                  distance_method: str = "cosine",
-                 read_only: bool = False):
+                 read_only: bool = False,
+                 n_devices: Optional[int] = None):
         super().__init__()
         if distance_method not in VALID_DISTANCES:
             raise ValueError(
@@ -180,6 +176,7 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
         self.hash_index = hash_index
         self.distance_method = distance_method
         self.read_only = bool(read_only)
+        self.n_devices = n_devices
         self._model_lock = threading.RLock()
         # Cached on-the-fly fallback hash index (the reference rebuilds it
         # on EVERY query, lsh.py:481-487 — an O(N) host pass per lookup;
@@ -202,7 +199,14 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
             c["hash_index"]["type"] = None
         c["distance_method"] = self.distance_method
         c["read_only"] = self.read_only
+        c["n_devices"] = self.n_devices
         return c
+
+    def _make_mesh(self):
+        if self.n_devices is None or self.n_devices <= 1:
+            return None
+        from smqtk_indexing_tpu.parallel.mesh import make_mesh
+        return make_mesh(self.n_devices)
 
     # ------------------------------------------------------------------
     # helpers
@@ -328,7 +332,7 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
         if self.hash_index is not None:
             return self.hash_index
         if self._fallback_hi is None:
-            hi = LinearHashIndex()
+            hi = LinearHashIndex(n_devices=self.n_devices)
             keys = list(self.hash2uuids_kvstore.keys())
             hi.build_index(
                 np.vstack([int_to_bit_vector_large(c, bits) for c in keys]))
@@ -370,7 +374,10 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
                          sum(len(c) for c in cand_elems_per_q))
 
             d_dim = q_mat.shape[1]
-            m_pad = _pow2_at_least(max(len(c) for c in cand_elems_per_q))
+            mesh = self._make_mesh()
+            m_pad = _pow2_at_least(
+                max(len(c) for c in cand_elems_per_q),
+                lo=max(8, mesh.devices.size if mesh is not None else 8))
             cand = np.zeros((len(ds), m_pad, d_dim), dtype=np.float32)
             valid = np.zeros((len(ds), m_pad), dtype=bool)
             for i, elems in enumerate(cand_elems_per_q):
@@ -378,9 +385,28 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
                     cand[i, :len(elems)] = np.vstack(
                         [e.vector() for e in elems])
                     valid[i, :len(elems)] = True
-            dists, order = _rerank_batch(
-                jnp.asarray(q_mat), jnp.asarray(cand), jnp.asarray(valid),
-                self.distance_method)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from smqtk_indexing_tpu.parallel.mesh import replicate
+                from smqtk_indexing_tpu.parallel.sharded_scan import (
+                    sharded_rerank_topk,
+                )
+                k_req = min(_pow2_at_least(n, lo=1), m_pad)
+                axes = tuple(mesh.axis_names)
+                dists, order = sharded_rerank_topk(
+                    mesh, replicate(mesh, jnp.asarray(q_mat)),
+                    jax.device_put(
+                        jnp.asarray(cand),
+                        NamedSharding(mesh, P(None, axes, None))),
+                    jax.device_put(
+                        jnp.asarray(valid),
+                        NamedSharding(mesh, P(None, axes))),
+                    k=k_req, metric=self.distance_method)
+            else:
+                dists, order = _rerank_batch(
+                    jnp.asarray(q_mat), jnp.asarray(cand),
+                    jnp.asarray(valid), self.distance_method)
             dists = np.asarray(dists)
             order = np.asarray(order)
 

@@ -62,6 +62,9 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
         points. Clamped (with a warning) so leaves are non-empty.
     :param random_seed: Seed for the Gaussian projection bases.
     :param read_only: Refuse mutations when True.
+    :param n_devices: Row-shard the database and leaf tables across this
+        many mesh devices (power of two); queries run the per-shard leaf
+        scan + hierarchical top-k merge (parallel/sharded_mrpt.py).
     """
 
     @classmethod
@@ -104,6 +107,7 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
         depth: int = 1,
         random_seed: Optional[int] = None,
         read_only: bool = False,
+        n_devices: Optional[int] = None,
     ):
         super().__init__()
         self.descriptor_set = descriptor_set if descriptor_set is not None \
@@ -113,6 +117,7 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
         self.depth = int(depth)
         self.random_seed = random_seed
         self.read_only = bool(read_only)
+        self.n_devices = n_devices
 
         self._model_lock = threading.RLock()
         self._reset_state()
@@ -138,6 +143,11 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
         self._dev_leaf = None
         self._dev_offsets = None
         self._capacity = 0
+        self._mesh = None
+        # sharded-mesh state (n_devices > 1)
+        self._dev_leaf_local = None
+        self._dev_off_local = None
+        self._leaf_max_sh = 0
 
     def get_config(self) -> Dict[str, Any]:
         c = self.get_default_config()
@@ -151,8 +161,17 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
             "depth": self.depth,
             "random_seed": self.random_seed,
             "read_only": self.read_only,
+            "n_devices": self.n_devices,
         })
         return c
+
+    def _make_mesh(self):
+        """Row-shard across a device mesh when multi-device is requested
+        (same semantics as FlatNearestNeighborsIndex.n_devices)."""
+        if self.n_devices is None or self.n_devices <= 1:
+            return None
+        from smqtk_indexing_tpu.parallel.mesh import make_mesh
+        return make_mesh(self.n_devices)
 
     # ------------------------------------------------------------------
     # build
@@ -204,6 +223,28 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
         sq[:n] = np.einsum("ij,ij->i", self._host, self._host)
         valid = np.zeros(self._capacity, dtype=bool)
         valid[:n] = True
+        mesh = self._make_mesh()
+        if mesh is not None:
+            from smqtk_indexing_tpu.parallel.mesh import (
+                replicate, shard_rows,
+            )
+            from smqtk_indexing_tpu.parallel.sharded_mrpt import (
+                shard_leaf_tables,
+            )
+            leaf_loc, off_loc, lmax = shard_leaf_tables(
+                self._leaf_np, self._offsets_np, mesh.devices.size,
+                self._capacity)
+            self._leaf_max_sh = _pow2_at_least(max(lmax, 1))
+            self._dev = shard_rows(mesh, jnp.asarray(mat_p))
+            self._dev_sq = shard_rows(mesh, jnp.asarray(sq))
+            self._dev_valid = shard_rows(mesh, jnp.asarray(valid))
+            self._dev_bases = replicate(mesh, jnp.asarray(self._bases_np))
+            self._dev_splits = replicate(mesh, jnp.asarray(self._splits_np))
+            self._dev_leaf_local = shard_rows(mesh, jnp.asarray(leaf_loc))
+            self._dev_off_local = shard_rows(mesh, jnp.asarray(off_loc))
+            self._mesh = mesh
+            return
+        self._mesh = None
         # leaf_table indexes real rows only; pad with clamped zeros.
         leaf_pad = np.zeros((self.num_trees, self._capacity), dtype=np.int32)
         leaf_pad[:, :n] = self._leaf_np
@@ -363,11 +404,23 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
             COUNTERS.add("mrpt.queries", b)
             COUNTERS.add("mrpt.candidates_examined",
                          b * self.num_trees * self._leaf_max)
-            dists, rows = mrpt_query(
-                self._dev, self._dev_sq, self._dev_valid, self._dev_bases,
-                self._dev_splits, self._dev_leaf, self._dev_offsets,
-                jnp.asarray(q_p), k=k_dev, depth=self._depth_eff,
-                leaf_max=self._leaf_max)
+            if self._mesh is not None:
+                from smqtk_indexing_tpu.parallel.mesh import replicate
+                from smqtk_indexing_tpu.parallel.sharded_mrpt import (
+                    sharded_mrpt_query,
+                )
+                dists, rows = sharded_mrpt_query(
+                    self._mesh, self._dev, self._dev_sq, self._dev_valid,
+                    self._dev_bases, self._dev_splits,
+                    self._dev_leaf_local, self._dev_off_local,
+                    replicate(self._mesh, jnp.asarray(q_p)), k=k_dev,
+                    depth=self._depth_eff, leaf_max=self._leaf_max_sh)
+            else:
+                dists, rows = mrpt_query(
+                    self._dev, self._dev_sq, self._dev_valid,
+                    self._dev_bases, self._dev_splits, self._dev_leaf,
+                    self._dev_offsets, jnp.asarray(q_p), k=k_dev,
+                    depth=self._depth_eff, leaf_max=self._leaf_max)
             dists = np.asarray(dists)[:b, :k_eff]
             rows = np.asarray(rows)[:b, :k_eff]
             out: List[NNResult] = []

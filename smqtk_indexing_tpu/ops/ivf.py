@@ -24,13 +24,49 @@ from smqtk_indexing_tpu.ops.scan import _exact_selected
 METRICS = ("euclidean", "inner_product", "cosine")
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe", "l_max", "metric"))
+def probe_eligibility(c_scores_raw: jnp.ndarray, lens: jnp.ndarray,
+                      first_virt, nprobe_orig) -> jnp.ndarray:
+    """
+    FAISS-faithful nprobe semantics (faiss.py:715-749): ``nprobe`` counts
+    ORIGINAL inverted lists ranked purely by centroid distance, and exactly
+    those lists' contents are scanned — the list balancer's virtual
+    sublists must not let nearer sublists of farther lists sneak in.
+
+    Every sublist of an original list carries a bitwise-identical centroid
+    score (duplicated centroid rows, one matmul), so the original ranking
+    is read off the virtual scores at one representative slot per original
+    (``first_virt``): a slot is eligible iff its score is <= the
+    nprobe_orig-th best original score. Exact score ties across distinct
+    originals admit a superset (deterministic; the probe budget carries +8
+    slack for them).
+
+    :param c_scores_raw: (B, C_virtual) UNMASKED centroid surrogate scores
+        (ascending better; empty lists included, as FAISS ranks them).
+    :param lens: (C_virtual,) sublist lengths.
+    :param first_virt: (C_original,) int32 — one representative virtual
+        slot per original list; None disables original-level thresholding
+        (legacy behavior: rank virtual sublists directly).
+    :param nprobe_orig: Original lists to probe (static), or None.
+    :return: (B, C_virtual) scores with ineligible/empty slots at +inf.
+    """
+    masked = jnp.where(lens[None, :] > 0, c_scores_raw, jnp.inf)
+    if first_virt is None or nprobe_orig is None \
+            or nprobe_orig >= first_virt.shape[0]:
+        return masked
+    orig_scores = jnp.take(c_scores_raw, first_virt, axis=1)  # (B, C)
+    neg_o, _ = jax.lax.top_k(-orig_scores, nprobe_orig)
+    thresh = -neg_o[:, -1]
+    return jnp.where(c_scores_raw <= thresh[:, None], masked, jnp.inf)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "nprobe", "l_max", "metric", "nprobe_orig"))
 def ivf_query(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
               valid: jnp.ndarray, centroids: jnp.ndarray,
               offsets: jnp.ndarray, lens: jnp.ndarray, q: jnp.ndarray, *,
               k: int, nprobe: int, l_max: int,
-              metric: str = "euclidean", dq=None
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              metric: str = "euclidean", dq=None, first_virt=None,
+              nprobe_orig=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     :param db: (N, d) database sorted by coarse-cluster id (zero-padded).
         May hold int8 SQ8 codes when ``dq`` is given (the reference's
@@ -47,9 +83,13 @@ def ivf_query(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
     :param lens: (C,) int32 length of each inverted list.
     :param q: (B, d) float32 queries.
     :param k: Neighbors per query (static).
-    :param nprobe: Lists probed per query (static; <= C).
+    :param nprobe: Virtual probe-slot budget per query (static; <= C).
     :param l_max: Padded inverted-list length (static; >= max(lens)).
     :param metric: 'euclidean' | 'inner_product' | 'cosine' (static).
+    :param first_virt: Optional (C_original,) representative virtual slot
+        per original list — enables FAISS-faithful original-list probe
+        eligibility (see :func:`probe_eligibility`).
+    :param nprobe_orig: Original lists to probe (static; with first_virt).
     :return: (dists (B, k) float32 ascending, rows (B, k) int32 into the
         sorted layout; unfilled slots carry +inf / -1).
     """
@@ -76,12 +116,13 @@ def ivf_query(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
         c_scores = -(ip_c / jnp.where(denom == 0, 1.0, denom))
     else:
         c_scores = c_sq[None, :] - 2.0 * ip_c
-    # Empty lists are never worth probing.
-    c_scores = jnp.where(lens[None, :] > 0, c_scores, jnp.inf)
+    c_scores = probe_eligibility(c_scores, lens, first_virt, nprobe_orig)
     _, lists = jax.lax.top_k(-c_scores, nprobe)          # (B, nprobe)
 
     starts = offsets[lists]                               # (B, nprobe)
-    lengths = lens[lists]
+    # Budget slots past the eligible lists (score +inf) scan nothing.
+    probe_ok = jnp.take_along_axis(c_scores, lists, axis=1) < jnp.inf
+    lengths = jnp.where(probe_ok, lens[lists], 0)
     ii = jax.lax.broadcasted_iota(jnp.int32, (b, nprobe, l_max), 2)
     rows = starts[..., None] + ii                         # (B, nprobe, L)
     in_list = ii < lengths[..., None]

@@ -42,3 +42,28 @@ def inner_product_many(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """(B, d) vs (N, d) -> (B, N) inner products."""
     return jnp.dot(q, x.T, preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST)
+
+
+def candidate_distances(q: jnp.ndarray, cand: jnp.ndarray,
+                        metric: str) -> jnp.ndarray:
+    """
+    Per-query candidate distances: (B, d) queries vs per-query (B, M, d)
+    candidate rows -> (B, M). Same math as the reference's re-rank metrics
+    (/root/reference/smqtk_indexing/impls/nn_index/lsh.py:507-518); the
+    elementwise form (no matmul) keeps results bit-identical whether the M
+    axis is whole or sharded across a mesh.
+    """
+    qb = q[:, None, :].astype(jnp.float32)
+    cand = cand.astype(jnp.float32)
+    if metric == "euclidean":
+        diff = cand - qb
+        return jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    if metric == "cosine":
+        qn = jnp.linalg.norm(qb, axis=-1)
+        cn = jnp.linalg.norm(cand, axis=-1)
+        denom = jnp.where(qn * cn == 0, 1.0, qn * cn)
+        sim = jnp.clip(jnp.sum(cand * qb, axis=-1) / denom, -1.0, 1.0)
+        return 2.0 * jnp.arccos(sim) / math.pi
+    if metric == "hik":
+        return 1.0 - jnp.sum(jnp.minimum(qb, cand), axis=-1)
+    raise ValueError(f"Unknown distance method '{metric}'.")

@@ -100,6 +100,94 @@ def build_trees(projs: np.ndarray, depth: int
     return splits, leaf_table, offsets
 
 
+#: Max f32 elements of one (B, chunk, d) candidate gather (~512 MB) before
+#: candidate scoring streams in chunks instead of materializing (B, M, d).
+_STREAM_ELEMS = 1 << 27
+
+
+def _candidate_topk(db: jnp.ndarray, db_sq: jnp.ndarray, q: jnp.ndarray,
+                    rows_u: jnp.ndarray, alive: jnp.ndarray, k_inner: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Exact-surrogate L2 top-k over per-query candidate rows.
+
+    :param rows_u: (B, M) clipped candidate row ids.
+    :param alive: (B, M) candidate liveness.
+    :return: ((B, k_inner) ascending surrogate scores, (B, k_inner) rows).
+        When B * M * d exceeds ``_STREAM_ELEMS`` the (B, M, d) gather
+        streams in M-chunks with a running top-k merge (identical scores;
+        keeps GIST-scale tree unions within HBM).
+    """
+    b, m = rows_u.shape
+    d = db.shape[1]
+
+    def score(rows_c, alive_c):
+        cand = jnp.take(db, rows_c, axis=0).astype(jnp.float32)
+        ip = jnp.einsum("bmd,bd->bm", cand, q, precision=_HI)
+        s = jnp.take(db_sq, rows_c, axis=0) - 2.0 * ip
+        return jnp.where(alive_c, s, jnp.inf)
+
+    if b * m * d <= _STREAM_ELEMS:
+        scores = score(rows_u, alive)
+        neg, sel = jax.lax.top_k(-scores, k_inner)
+        return -neg, jnp.take_along_axis(rows_u, sel, axis=1)
+
+    # Pad M to a power of two and stream chunk-wise.
+    m_pad = 1
+    while m_pad < m:
+        m_pad *= 2
+    if m_pad != m:
+        rows_u = jnp.concatenate(
+            [rows_u, jnp.zeros((b, m_pad - m), rows_u.dtype)], axis=1)
+        alive = jnp.concatenate(
+            [alive, jnp.zeros((b, m_pad - m), bool)], axis=1)
+    mc = max(min(_STREAM_ELEMS // (b * d), m_pad), k_inner)
+    mc_p = 1
+    while mc_p * 2 <= mc:
+        mc_p *= 2
+    mc = mc_p
+    nc = m_pad // mc
+    rows_c = jnp.transpose(rows_u.reshape(b, nc, mc), (1, 0, 2))
+    alive_c = jnp.transpose(alive.reshape(b, nc, mc), (1, 0, 2))
+
+    init = (jnp.full((b, k_inner), jnp.inf, jnp.float32),
+            jnp.zeros((b, k_inner), rows_u.dtype))
+
+    def body(carry, blk):
+        best_s, best_r = carry
+        r_blk, a_blk = blk
+        s = score(r_blk, a_blk)
+        cand_s = jnp.concatenate([best_s, s], axis=1)
+        cand_r = jnp.concatenate([best_r, r_blk], axis=1)
+        neg, sel = jax.lax.top_k(-cand_s, k_inner)
+        return (-neg, jnp.take_along_axis(cand_r, sel, axis=1)), None
+
+    (best_s, best_r), _ = jax.lax.scan(body, init, (rows_c, alive_c))
+    return best_s, best_r
+
+
+def descend_leaves(proj: jnp.ndarray, splits: jnp.ndarray,
+                   depth: int) -> jnp.ndarray:
+    """
+    Descend every tree for every query.
+
+    :param proj: (B, T, D) query projections.
+    :param splits: (T, 2^depth - 1) split values (heap order).
+    :param depth: Tree depth (static).
+    :return: (B, T) int32 leaf indices in [0, 2^depth).
+    """
+    def descend(pt, ps):
+        # pt: (D,) projection values; ps: (2^depth - 1,) splits.
+        def step(level, node):
+            right = (pt[level] >= ps[node]).astype(jnp.int32)
+            return 2 * node + 1 + right
+        node = jax.lax.fori_loop(0, depth, step, jnp.int32(0))
+        return node - (2 ** depth - 1)
+
+    return jax.vmap(jax.vmap(descend, in_axes=(0, 0)),
+                    in_axes=(0, None))(proj, splits)
+
+
 @partial(jax.jit, static_argnames=("k", "depth", "leaf_max"))
 def mrpt_query(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
                bases: jnp.ndarray, splits: jnp.ndarray,
@@ -128,17 +216,7 @@ def mrpt_query(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     q_sq = jnp.sum(q * q, axis=-1)
 
     proj = jnp.einsum("bd,tdl->btl", q, bases, precision=_HI)  # (B, T, D)
-
-    def descend(pt, ps):
-        # pt: (D,) projection values; ps: (2^depth - 1,) splits.
-        def step(level, node):
-            right = (pt[level] >= ps[node]).astype(jnp.int32)
-            return 2 * node + 1 + right
-        node = jax.lax.fori_loop(0, depth, step, jnp.int32(0))
-        return node - (2 ** depth - 1)
-
-    leaves = jax.vmap(jax.vmap(descend, in_axes=(0, 0)),
-                      in_axes=(0, None))(proj, splits)     # (B, T)
+    leaves = descend_leaves(proj, splits, depth)             # (B, T)
 
     starts = offsets[leaves]                                 # (B, T)
     lengths = offsets[leaves + 1] - starts
@@ -161,15 +239,10 @@ def mrpt_query(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     alive = (rows_sorted < n) & ~dup
     rows_u = jnp.clip(rows_sorted, 0, n - 1)
 
-    cand = jnp.take(db, rows_u, axis=0).astype(jnp.float32)  # (B, M, d)
-    ip = jnp.einsum("bmd,bd->bm", cand, q, precision=_HI)
-    scores = jnp.take(db_sq, rows_u, axis=0) - 2.0 * ip
-    scores = jnp.where(alive, scores, jnp.inf)
-
     k_inner = min(k, m)
-    neg, sel = jax.lax.top_k(-scores, k_inner)
-    top_rows = jnp.take_along_axis(rows_u, sel, axis=1).astype(jnp.int32)
-    top_scores = -neg
+    top_scores, top_rows = _candidate_topk(db, db_sq, q, rows_u, alive,
+                                           k_inner)
+    top_rows = top_rows.astype(jnp.int32)
     top_rows = jnp.where(jnp.isinf(top_scores), -1, top_rows)
     if k_inner < k:
         pad = k - k_inner

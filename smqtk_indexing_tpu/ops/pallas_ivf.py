@@ -51,32 +51,44 @@ def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, db_ref, out_ref,
             db_ref.at[pl.ds(start, L_MAX), :], cand.at[s],
             sems.at[s])
 
+    def live(i):
+        # Empty probe windows (ineligible budget slots under the faithful
+        # original-list nprobe translation) skip their DMA entirely, so
+        # HBM traffic scales with the lists actually probed.
+        return hi_ref[i] > lo_ref[i]
+
     # Double buffering: the grid iterates probes sequentially, so the
     # (qi, pi) -> flat idx mapping lets each step prefetch the NEXT probe's
     # list while scoring the current one.
-    @pl.when(idx == 0)
+    @pl.when((idx == 0) & live(0))
     def _():
         dma_for(0, 0).start()
 
-    @pl.when(idx + 1 < total)
+    @pl.when((idx + 1 < total) & live(idx + 1))
     def _():
         dma_for(idx + 1, nxt).start()
 
-    dma_for(idx, slot).wait()
+    @pl.when(live(idx))
+    def _():
+        dma_for(idx, slot).wait()
 
-    # VPU scoring: broadcast-multiply-reduce along lanes -> (L_MAX, 1)
-    # column (no transposes; per-probe GEMV gains nothing from the MXU).
-    # Squared norms are recomputed in-kernel — a (L_MAX, 1) norm slice
-    # cannot DMA (lane tiling requires 128-wide slices) and the extra VPU
-    # work is trivial.
-    block = cand[slot].astype(jnp.float32)  # bf16 dbs cast in VMEM
-    ip = jnp.sum(block * q_ref[0].astype(jnp.float32), axis=1,
-                 keepdims=True)
-    sqv = jnp.sum(block * block, axis=1, keepdims=True)
-    scores = sqv - 2.0 * ip
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (L_MAX, 1), 0)
-    ok = (rowid >= lo_ref[idx]) & (rowid < hi_ref[idx])
-    out_ref[:] = jnp.where(ok, scores, jnp.inf).reshape(1, L_MAX, 1)
+        # VPU scoring: broadcast-multiply-reduce along lanes -> (L_MAX, 1)
+        # column (no transposes; per-probe GEMV gains nothing from the
+        # MXU). Squared norms are recomputed in-kernel — a (L_MAX, 1) norm
+        # slice cannot DMA (lane tiling requires 128-wide slices) and the
+        # extra VPU work is trivial.
+        block = cand[slot].astype(jnp.float32)  # bf16 dbs cast in VMEM
+        ip = jnp.sum(block * q_ref[0].astype(jnp.float32), axis=1,
+                     keepdims=True)
+        sqv = jnp.sum(block * block, axis=1, keepdims=True)
+        scores = sqv - 2.0 * ip
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (L_MAX, 1), 0)
+        ok = (rowid >= lo_ref[idx]) & (rowid < hi_ref[idx])
+        out_ref[:] = jnp.where(ok, scores, jnp.inf).reshape(1, L_MAX, 1)
+
+    @pl.when(jnp.logical_not(live(idx)))
+    def _():
+        out_ref[:] = jnp.full((1, L_MAX, 1), jnp.inf, jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("n_probe", "interpret"))
@@ -125,18 +137,23 @@ def ivf_list_scores(db: jnp.ndarray,
     return out.reshape(b, n_probe * L_MAX)
 
 
-@partial(jax.jit, static_argnames=("k", "n_probe", "interpret"))
+@partial(jax.jit,
+         static_argnames=("k", "n_probe", "interpret", "nprobe_orig"))
 def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
                   centroids: jnp.ndarray, offsets: jnp.ndarray,
                   lens: jnp.ndarray, q: jnp.ndarray, *, k: int,
-                  n_probe: int, interpret: bool = False
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  n_probe: int, interpret: bool = False, first_virt=None,
+                  nprobe_orig=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Full IVF query with the DMA list-scan: same contract as
     ops/ivf.ivf_query for metric='euclidean' (layouts must satisfy
     max(lens) <= L_MAX - 16 — the slack absorbs sublane alignment of the
-    DMA start — and N >= L_MAX).
+    DMA start — and N >= L_MAX). first_virt/nprobe_orig enable the
+    FAISS-faithful original-list probe eligibility
+    (ops/ivf.probe_eligibility); ineligible budget slots skip their DMA.
     """
+    from smqtk_indexing_tpu.ops.ivf import probe_eligibility
+
     n, d = db.shape
     b = q.shape[0]
     q = q.astype(jnp.float32)
@@ -147,12 +164,13 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     c_sq = jnp.sum(c * c, axis=-1)
     ip_c = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
-    c_scores = jnp.where(lens[None, :] > 0,
-                         c_sq[None, :] - 2.0 * ip_c, jnp.inf)
+    c_scores = probe_eligibility(c_sq[None, :] - 2.0 * ip_c, lens,
+                                 first_virt, nprobe_orig)
     _, lists = jax.lax.top_k(-c_scores, n_probe)          # (B, P)
 
     raw_start = offsets[lists]                            # (B, P)
-    ln = lens[lists]
+    probe_ok = jnp.take_along_axis(c_scores, lists, axis=1) < jnp.inf
+    ln = jnp.where(probe_ok, lens[lists], 0)
     c_start = jnp.minimum(raw_start, n - L_MAX)
     # Sublane-align the DMA start (bf16 tiles are 16 rows; Mosaic rejects
     # unaligned dynamic DMA starts) — the local window absorbs the shift.

@@ -16,7 +16,10 @@ from smqtk_indexing_tpu.parallel.mesh import (  # noqa: F401
 from smqtk_indexing_tpu.parallel.sharded_ivf import (  # noqa: F401
     shard_csr, sharded_ivf_query,
 )
+from smqtk_indexing_tpu.parallel.sharded_mrpt import (  # noqa: F401
+    shard_leaf_tables, sharded_mrpt_query,
+)
 from smqtk_indexing_tpu.parallel.sharded_scan import (  # noqa: F401
     sharded_flat_topk, sharded_hamming_topk, sharded_kmeans_step,
-    sharded_sq8_topk,
+    sharded_rerank_topk, sharded_sq8_topk,
 )

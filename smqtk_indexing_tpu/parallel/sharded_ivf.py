@@ -52,10 +52,12 @@ def shard_csr(offsets: np.ndarray, lens: np.ndarray, n_rows: int,
     return out_off, out_len
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe", "l_max", "metric", "mesh"))
+@partial(jax.jit, static_argnames=("k", "nprobe", "l_max", "metric", "mesh",
+                                   "nprobe_orig"))
 def sharded_ivf_query(mesh: Mesh, db, db_sq, db_norm, valid, centroids,
                       offsets, lens, q, *, k: int, nprobe: int, l_max: int,
-                      metric: str = "euclidean", dq=None):
+                      metric: str = "euclidean", dq=None, first_virt=None,
+                      nprobe_orig=None):
     """
     :param db/db_sq/db_norm/valid: row-sharded over ``mesh`` (list-sorted
         global order).
@@ -64,13 +66,23 @@ def sharded_ivf_query(mesh: Mesh, db, db_sq, db_norm, valid, centroids,
         their leading axis.
     :param q: (B, d) replicated.
     :param dq: Optional replicated (a, b) SQ8 codec arrays (int8 ``db``).
+    :param first_virt/nprobe_orig: Optional replicated representative-slot
+        table + static original-list probe count (FAISS-faithful nprobe,
+        ops/ivf.probe_eligibility). NOTE: the local lens mask then selects
+        each shard's clipped portion of EXACTLY the nprobe_orig nearest
+        original lists — the shard union scans precisely the faithful
+        global candidate set.
     :return: (dists (B, k), global rows (B, k)), replicated.
     """
-    def local(db_l, sq_l, nm_l, va_l, c, off_l, len_l, q_l, *dq_l):
+    def local(db_l, sq_l, nm_l, va_l, c, off_l, len_l, q_l, *extra_l):
+        extra_l = list(extra_l)
+        fv = extra_l.pop() if first_virt is not None else None
+        dq_l = tuple(extra_l) if extra_l else None
         k_loc = min(k, db_l.shape[0])
         d, r = ivf_query(db_l, sq_l, nm_l, va_l, c, off_l[0], len_l[0],
                          q_l, k=k_loc, nprobe=nprobe, l_max=l_max,
-                         metric=metric, dq=dq_l if dq_l else None)
+                         metric=metric, dq=dq_l,
+                         first_virt=fv, nprobe_orig=nprobe_orig)
         if k_loc < k:
             b = q_l.shape[0]
             d = jnp.concatenate(
@@ -89,6 +101,8 @@ def sharded_ivf_query(mesh: Mesh, db, db_sq, db_norm, valid, centroids,
         return -neg, jnp.take_along_axis(r_flat, sel, axis=1)
 
     extra = tuple(dq) if dq is not None else ()
+    if first_virt is not None:
+        extra = extra + (first_virt,)
     in_specs = (P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
                 P(SHARD_AXIS), P(None, None), P(SHARD_AXIS, None),
                 P(SHARD_AXIS, None), P(None, None)) \

@@ -158,6 +158,49 @@ def sharded_sq8_topk(mesh: Mesh, codes, a, b, s2, nrm, valid, q, *,
     )(codes, a, b, s2, nrm, valid, q)
 
 
+@partial(jax.jit, static_argnames=("k", "metric", "mesh"))
+def sharded_rerank_topk(mesh: Mesh, q, cand, valid, *, k: int,
+                        metric: str = "euclidean"):
+    """
+    Candidate-sharded exact re-rank for the LSH composite: the per-query
+    candidate block (B, M, d) splits on its M axis across the mesh, each
+    device scores its slice (ops/metrics.candidate_distances — the exact
+    math of the single-chip re-rank, so results are bit-identical), and the
+    per-shard (B, k) winners merge hierarchically.
+
+    :return: (dists (B, k) ascending with +inf padding, positions (B, k)
+        int32 into the GLOBAL M axis with -1 padding), replicated.
+    """
+    from smqtk_indexing_tpu.ops.metrics import candidate_distances
+
+    rows_spec = row_axes(mesh)
+
+    def local(q_r, cand_l, va_l):
+        m_loc = cand_l.shape[1]
+        d = candidate_distances(q_r, cand_l, metric)
+        d = jnp.where(va_l, d, jnp.inf)
+        k_loc = min(k, m_loc)
+        neg, sel = jax.lax.top_k(-d, k_loc)
+        dd = -neg
+        sel = sel + _global_shard_index(mesh) * m_loc
+        sel = jnp.where(jnp.isinf(dd), -1, sel)
+        if k_loc < k:
+            b = q_r.shape[0]
+            dd = jnp.concatenate(
+                [dd, jnp.full((b, k - k_loc), jnp.inf, jnp.float32)], axis=1)
+            sel = jnp.concatenate(
+                [sel, jnp.full((b, k - k_loc), -1, jnp.int32)], axis=1)
+        return _hier_merge(mesh, dd, sel, k)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None), P(None, rows_spec, None),
+                  P(None, rows_spec)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(q, cand, valid)
+
+
 @partial(jax.jit, static_argnames=("mesh",))
 def sharded_kmeans_step(mesh: Mesh, db, valid, centroids):
     """
