@@ -13,13 +13,18 @@ always on here):
 - ``Flat``                      -> FlatNearestNeighborsIndex
 - ``SQ8``                       -> FlatNearestNeighborsIndex(dtype='sq8')
   (int8 scalar quantization, 4x capacity — the FAISS ``SQ8`` codec)
+- ``PQ<M>`` / ``PQ<M>x8``       -> FlatNearestNeighborsIndex(
+  dtype='pq<M>') (product quantization, M bytes/vector: ~32x capacity at
+  d=128/PQ16 — served by the dequantize-then-scan MXU formulation,
+  ops/pq.py; only 8-bit sub-codes are supported, as in the reference's
+  default)
 - ``IVF<nlist>,Flat``           -> IvfNearestNeighborsIndex(n_lists=nlist)
 - ``IVF<nlist>,SQ8``            -> IvfNearestNeighborsIndex(n_lists=nlist,
   dtype='sq8')
 
-``PQ<x>`` raises ValueError pointing at SQ8: on TPU, product-quantization
-ADC tables are a poor fit for the MXU (PARITY.md "Known gaps") while SQ8
-serves the same capacity axis in matmul form.
+``IVF<nlist>,PQ<M>`` is not wired yet (the IVF CSR store carries
+float32/bfloat16/sq8 codes); use ``IVF<nlist>,SQ8`` for compressed IVF or
+``PQ<M>`` for maximum-capacity exhaustive scans.
 """
 from __future__ import annotations
 
@@ -59,22 +64,37 @@ def index_from_factory_string(factory_string: str,
     parts = [p.strip() for p in factory_string.split(",")
              if p.strip() and p.strip().lower() != "idmap"]
     codecs = {"flat": "float32", "sq8": "sq8"}
-    if len(parts) == 1 and parts[0].lower() in codecs:
-        return FlatNearestNeighborsIndex(
-            metric=m, dtype=codecs[parts[0].lower()], **kwargs)
+
+    def _pq_dtype(part: str):
+        pq = re.fullmatch(r"PQ(\d+)(x8)?", part, flags=re.IGNORECASE)
+        if pq is None:
+            return None
+        return f"pq{int(pq.group(1))}"
+
+    if len(parts) == 1:
+        if parts[0].lower() in codecs:
+            return FlatNearestNeighborsIndex(
+                metric=m, dtype=codecs[parts[0].lower()], **kwargs)
+        pq_dt = _pq_dtype(parts[0])
+        if pq_dt is not None:
+            return FlatNearestNeighborsIndex(metric=m, dtype=pq_dt,
+                                             **kwargs)
+        if re.fullmatch(r"PQ\d+x\d+", parts[0], flags=re.IGNORECASE):
+            raise ValueError(
+                f"{factory_string!r}: only 8-bit PQ sub-codes are "
+                "supported (e.g. 'PQ16' or 'PQ16x8').")
     ivf = re.fullmatch(r"IVF(\d+)", parts[0], flags=re.IGNORECASE)
     if ivf and len(parts) == 2 and parts[1].lower() in codecs:
         return IvfNearestNeighborsIndex(
             metric=m, n_lists=int(ivf.group(1)),
             dtype=codecs[parts[1].lower()], **kwargs)
-    if any(re.fullmatch(r"PQ\d+x?\d*", p, flags=re.IGNORECASE)
-           for p in parts):
+    if ivf and len(parts) == 2 and _pq_dtype(parts[1]) is not None:
         raise ValueError(
-            f"Product quantization ({factory_string!r}) is not provided: "
-            "PQ ADC lookup tables are a poor fit for the TPU MXU. Use the "
-            "'SQ8' codec for the same 4x-capacity axis in matmul form "
-            "(e.g. 'SQ8', 'IVF4096,SQ8').")
+            f"{factory_string!r}: IVF+PQ is not wired; use "
+            f"'IVF{ivf.group(1)},SQ8' for compressed IVF or "
+            f"'{parts[1]}' alone for the maximum-capacity exhaustive "
+            "scan.")
     raise ValueError(
         f"Unsupported factory string {factory_string!r}; supported: "
-        "'Flat', 'IDMap,Flat', 'SQ8', 'IDMap,SQ8', 'IVF<nlist>,Flat', "
-        "'IVF<nlist>,SQ8'.")
+        "'Flat', 'IDMap,Flat', 'SQ8', 'IDMap,SQ8', 'PQ<M>', "
+        "'IVF<nlist>,Flat', 'IVF<nlist>,SQ8'.")

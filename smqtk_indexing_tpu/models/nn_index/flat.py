@@ -50,9 +50,11 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
     :param metric: Distance metric label; one of
         'euclidean' | 'inner_product' | 'cosine' | 'hik'.
     :param dtype: Device storage codec: 'float32' (exact), 'bfloat16'
-        (half HBM traffic; ~2x scan throughput; tiny recall cost), or
+        (half HBM traffic; ~2x scan throughput; tiny recall cost),
         'sq8' (int8 scalar quantization, 4x capacity — the reference's
-        FAISS 'SQ8' factory codec, faiss.py:190; see ops/sq8.py).
+        FAISS 'SQ8' factory codec, faiss.py:190; see ops/sq8.py), or
+        'pq<M>' (product quantization, M bytes/vector — e.g. 'pq16' is
+        32x capacity at d=128, the FAISS 'PQ16' codec; see ops/pq.py).
     :param read_only: Refuse mutations when True.
     """
 

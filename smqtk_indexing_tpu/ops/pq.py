@@ -1,0 +1,257 @@
+"""
+PQ (product quantization) codec + exhaustive scan.
+
+The reference exposes FAISS product quantization through its factory
+grammar (``PQ16`` etc.,
+/root/reference/smqtk_indexing/impls/nn_index/faiss.py:190,368-386): d
+dimensions split into M subspaces, each quantized to one of 256 learned
+centroids — M bytes per vector (16 bytes at PQ16/d=128, 32x smaller than
+float32: ~800M vectors per 16GB chip).
+
+TPU-first formulation: FAISS's ADC scan (dist = Σ_m LUT[m, code_m]) is a
+per-element table gather — the one operation TPUs lack hardware for. Two
+MXU formulations exist:
+
+- ADC-as-matmul: one_hot(codes) (N, M*256) @ LUT (B, M*256)^T. Costs
+  B * N * M * 256 MACs — at B=128, M=16 that is 32x the raw-scan matmul.
+- **Dequantize-then-scan (used here)**: per streamed chunk, reconstruct
+  x_hat = one_hot(codes_m) @ codebook_m per subspace (M small matmuls,
+  256 * d MACs per ROW — amortized over the whole query batch), then score
+  all B queries against the chunk with the standard surrogate matmul.
+  Total (256 + B) * N * d MACs — ~10x cheaper than ADC-as-matmul at
+  B=128, all MXU-shaped, and it reuses the SQ8 scan's streaming top-k and
+  exact-re-rank skeleton (ops/sq8.py).
+
+Because subspaces partition the dimensions, ||x_hat||^2 = Σ_m ||c_m||^2
+exactly — per-row stats come from a one-hot matmul against the codebook
+norm table, never from materializing the decoded matrix.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PQ_METRICS = ("euclidean", "inner_product", "cosine", "hik")
+
+#: Rows per streamed block (divides every 1024*2^m capacity).
+DEFAULT_CHUNK = 65536
+
+#: Centroids per subspace (8-bit codes, the FAISS PQ default).
+K_SUB = 256
+
+
+def pq_train(mat: np.ndarray, m: int, n_iter: int = 20,
+             seed: int = 0) -> np.ndarray:
+    """
+    Learn per-subspace codebooks with device k-means (ops/kmeans.py).
+
+    :param mat: (n, d) float32 training rows (d % m == 0).
+    :param m: Subquantizer count (bytes per vector).
+    :return: (m, 256, d // m) float32 codebooks.
+    """
+    from smqtk_indexing_tpu.ops.kmeans import kmeans_lloyd
+
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by {m} subquantizers")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    valid = jnp.ones(n, dtype=bool)
+    cbs = np.zeros((m, K_SUB, dsub), dtype=np.float32)
+    for mi in range(m):
+        sub = np.ascontiguousarray(mat[:, mi * dsub:(mi + 1) * dsub])
+        k_eff = min(K_SUB, n)
+        init = sub[rng.choice(n, k_eff, replace=False)]
+        if k_eff < K_SUB:
+            # Duplicate-padding keeps shapes static; extra centroids just
+            # tie and never hurt assignment.
+            init = np.concatenate(
+                [init, init[rng.integers(0, k_eff, K_SUB - k_eff)]])
+        cents, _ = kmeans_lloyd(jnp.asarray(sub), valid,
+                                jnp.asarray(init.astype(np.float32)),
+                                n_iter=n_iter)
+        cbs[mi] = np.asarray(cents)
+    return cbs
+
+
+@partial(jax.jit, static_argnames=())
+def _encode_block(sub: jnp.ndarray, cb: jnp.ndarray) -> jnp.ndarray:
+    """(n, dsub) rows x (256, dsub) centroids -> (n,) uint8 nearest ids."""
+    c_sq = jnp.sum(cb * cb, axis=-1)
+    ip = jnp.dot(sub, cb.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=1).astype(jnp.uint8)
+
+
+def pq_encode_np(mat: np.ndarray, codebooks: np.ndarray,
+                 chunk: int = DEFAULT_CHUNK) -> np.ndarray:
+    """Host wrapper: encode rows to (n, M) uint8 codes, chunked on device."""
+    n, d = mat.shape
+    m, _, dsub = codebooks.shape
+    codes = np.zeros((n, m), dtype=np.uint8)
+    for lo in range(0, n, chunk):
+        blk = jnp.asarray(mat[lo:lo + chunk].astype(np.float32))
+        for mi in range(m):
+            codes[lo:lo + chunk, mi] = np.asarray(_encode_block(
+                blk[:, mi * dsub:(mi + 1) * dsub],
+                jnp.asarray(codebooks[mi])))
+    return codes
+
+
+def pq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, M) uint8 -> (n, d) float32 reconstruction (host)."""
+    return np.concatenate(
+        [codebooks[mi][codes[:, mi]] for mi in range(codebooks.shape[0])],
+        axis=1)
+
+
+def _dequant(codes_c: jnp.ndarray, cb: jnp.ndarray,
+             dtype=jnp.bfloat16) -> jnp.ndarray:
+    """
+    (chunk, M) codes -> (chunk, d) reconstruction via one one-hot matmul
+    per subspace (one-hot rows are exact in any dtype, so bf16 only rounds
+    the CENTROID values — absorbed by the k+8 margin + f32 exact re-rank).
+    """
+    m = cb.shape[0]
+    outs = []
+    for mi in range(m):
+        oh = jax.nn.one_hot(codes_c[:, mi].astype(jnp.int32), K_SUB,
+                            dtype=dtype)
+        outs.append(jnp.dot(oh, cb[mi].astype(dtype),
+                            preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=1)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def pq_row_stats(codes: jnp.ndarray, codebooks: jnp.ndarray,
+                 chunk: int = DEFAULT_CHUNK) -> jnp.ndarray:
+    """
+    (N,) float32 squared reconstruction norms: subspaces partition the
+    dims, so ||x_hat||^2 = Σ_m ||c_{m, code_m}||^2 — an exact one-hot
+    lookup into the f32 codebook norm table (no decode materialization).
+    """
+    n, m = codes.shape
+    cb_sq = jnp.sum(codebooks * codebooks, axis=-1)  # (M, 256) f32
+
+    def stats_of(cc):
+        s = jnp.zeros((cc.shape[0],), jnp.float32)
+        for mi in range(m):
+            oh = jax.nn.one_hot(cc[:, mi].astype(jnp.int32), K_SUB,
+                                dtype=jnp.float32)
+            s = s + oh @ cb_sq[mi]
+        return s
+
+    if n <= chunk:
+        return stats_of(codes)
+    num_chunks = n // chunk
+    _, s2 = jax.lax.scan(
+        lambda _, cc: (None, stats_of(cc)), None,
+        codes.reshape(num_chunks, chunk, m))
+    return s2.reshape(n)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def pq_topk(codes: jnp.ndarray, codebooks: jnp.ndarray, s2: jnp.ndarray,
+            valid: jnp.ndarray, q: jnp.ndarray, *, k: int,
+            metric: str = "euclidean", chunk: int = DEFAULT_CHUNK
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Exhaustive top-k over a PQ-coded database (streamed
+    dequantize-then-scan; same selection/re-rank skeleton as
+    ops/sq8.sq8_topk — distances are exact w.r.t. the reconstructed
+    vectors, the codec being the only loss, as with FAISS PQ).
+
+    :param codes: (N, M) uint8 codes (dead rows anything; masked).
+    :param codebooks: (M, 256, d // M) float32.
+    :param s2: (N,) float32 squared reconstruction norms
+        (:func:`pq_row_stats`).
+    :param valid: (N,) bool row liveness.
+    :param q: (B, d) float32 queries.
+    :return: (dists (B, k) float32 ascending, rows (B, k) int32;
+        +inf / -1 padding).
+    """
+    if metric not in PQ_METRICS:
+        raise ValueError(
+            f"metric must be one of {PQ_METRICS}, got {metric!r}")
+    n, m = codes.shape
+    bq = q.shape[0]
+    q = q.astype(jnp.float32)
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
+    nrm_all = jnp.sqrt(jnp.maximum(s2, 0.0))
+
+    kk = min(k + 8, n)  # margin absorbs bf16 surrogate noise at the edge
+
+    def scores_of(codes_c, s2_c, va_c):
+        x = _dequant(codes_c, codebooks)                 # (chunk, d) f32
+        if metric == "hik":
+            s = 1.0 - jnp.sum(jnp.minimum(q[:, None, :], x[None, :, :]),
+                              axis=-1)
+        else:
+            ip = jnp.dot(q.astype(jnp.bfloat16),
+                         x.astype(jnp.bfloat16).T,
+                         preferred_element_type=jnp.float32)
+            if metric == "inner_product":
+                s = -ip
+            elif metric == "cosine":
+                nrm_c = jnp.sqrt(jnp.maximum(s2_c, 0.0))
+                denom = q_norm[:, None] * nrm_c[None, :]
+                s = -(ip / jnp.where(denom == 0, 1.0, denom))
+            else:  # euclidean
+                s = s2_c[None, :] - 2.0 * ip
+        return jnp.where(va_c[None, :], s, jnp.inf)
+
+    if n <= chunk:
+        s = scores_of(codes, s2, valid)
+        neg, rows = jax.lax.top_k(-s, kk)
+        best_s, best_r = -neg, rows.astype(jnp.int32)
+    else:
+        num_chunks = n // chunk
+        codes_c = codes.reshape(num_chunks, chunk, m)
+        s2_c = s2.reshape(num_chunks, chunk)
+        va_c = valid.reshape(num_chunks, chunk)
+        base_rows = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+
+        init = (jnp.full((bq, kk), jnp.inf, dtype=jnp.float32),
+                jnp.full((bq, kk), -1, dtype=jnp.int32))
+
+        def body(carry, blk):
+            bs, br = carry
+            cc, ss, vv, base = blk
+            s = scores_of(cc, ss, vv)
+            rows = base + jax.lax.broadcasted_iota(jnp.int32, (bq, chunk),
+                                                   1)
+            cand_s = jnp.concatenate([bs, s], axis=1)
+            cand_r = jnp.concatenate([br, rows], axis=1)
+            neg, sel = jax.lax.top_k(-cand_s, kk)
+            return (-neg, jnp.take_along_axis(cand_r, sel, axis=1)), None
+
+        (best_s, best_r), _ = jax.lax.scan(
+            body, init, (codes_c, s2_c, va_c, base_rows))
+
+    # Exact f32 re-rank of the kk winners from exactly decoded rows.
+    sel_codes = jnp.take(codes, jnp.maximum(best_r, 0), axis=0)  # (B,kk,M)
+    x = _dequant(sel_codes.reshape(bq * kk, m),
+                 codebooks, dtype=jnp.float32).reshape(bq, kk, -1)
+    if metric == "euclidean":
+        diff = x - q[:, None, :]
+        exact = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    elif metric == "inner_product":
+        exact = -jnp.sum(x * q[:, None, :], axis=-1)
+    elif metric == "cosine":
+        ipx = jnp.sum(x * q[:, None, :], axis=-1)
+        xn = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), 0.0))
+        denom = q_norm[:, None] * xn
+        sim = jnp.clip(ipx / jnp.where(denom == 0, 1.0, denom), -1.0, 1.0)
+        exact = 2.0 * jnp.arccos(sim) / math.pi
+    else:  # hik
+        exact = 1.0 - jnp.sum(jnp.minimum(q[:, None, :], x), axis=-1)
+    exact = jnp.where(jnp.isinf(best_s) | (best_r < 0), jnp.inf, exact)
+    neg, sel = jax.lax.top_k(-exact, k)
+    out_rows = jnp.take_along_axis(best_r, sel, axis=1)
+    out_d = -neg
+    return out_d, jnp.where(jnp.isinf(out_d), -1, out_rows)

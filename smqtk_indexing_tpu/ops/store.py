@@ -13,6 +13,7 @@ store compacts when under half full — both keep jit cache keys bounded
 from __future__ import annotations
 
 import io
+import re
 import threading
 from typing import Hashable, List, Optional, Sequence, Tuple
 
@@ -25,9 +26,19 @@ from smqtk_indexing_tpu.ops.device import capacity_for, pad_dim, pad_rows_np
 
 #: Device storage codecs: float32 (exact), bfloat16 (half traffic, tiny
 #: recall cost), sq8 (int8 scalar quantization, 4x capacity — the
-#: reference's FAISS 'SQ8' codec axis, faiss.py:190; see ops/sq8.py).
+#: reference's FAISS 'SQ8' codec axis, faiss.py:190; see ops/sq8.py),
+#: pq<M> (product quantization, M bytes/vector — e.g. 'pq16' is 32x
+#: capacity at d=128; see ops/pq.py).
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
            "sq8": jnp.int8}
+
+_PQ_RE = re.compile(r"pq(\d+)$")
+
+
+def _pq_m(dtype_name: str):
+    """Subquantizer count for 'pq<M>' dtype names, else None."""
+    m = _PQ_RE.fullmatch(dtype_name)
+    return int(m.group(1)) if m else None
 
 
 def _pow2_at_least(x: int, lo: int = 8) -> int:
@@ -54,8 +65,9 @@ class VectorStore:
             sizes are powers of two, so they always divide the capacity
             quantum.
         """
-        if dtype not in _DTYPES:
-            raise ValueError(f"dtype must be one of {sorted(_DTYPES)}")
+        if dtype not in _DTYPES and _pq_m(dtype) is None:
+            raise ValueError(
+                f"dtype must be one of {sorted(_DTYPES)} or 'pq<M>'")
         self._dtype_name = dtype
         self._mesh = mesh
         self._lock = threading.RLock()
@@ -69,7 +81,7 @@ class VectorStore:
         from smqtk_indexing_tpu.ops.pallas_scan import TILE_N
         return (tpu_kernel_enabled("SMQTK_TPU_NO_FUSED")
                 and metric in ("euclidean", "inner_product", "cosine")
-                and self._dtype_name != "sq8"
+                and self._dtype_name in ("float32", "bfloat16")
                 and self._mesh is None and self._capacity >= TILE_N
                 and self._capacity % TILE_N == 0)
 
@@ -95,6 +107,9 @@ class VectorStore:
         # the FAISS scalar-quantizer train-once contract)
         self._sq8_a = None
         self._sq8_b = None
+        # pq codebooks (same train-once contract)
+        self._pq_cb = None
+        self._pq_cb_dev = None
 
     @property
     def dim(self) -> Optional[int]:
@@ -227,7 +242,6 @@ class VectorStore:
         n = self._host.shape[0]
         self._capacity = capacity_for(n)
         d_pad = pad_dim(self._dim)
-        dev_dtype = _DTYPES[self._dtype_name]
         valid = np.zeros(self._capacity, dtype=bool)
         valid[:n] = self._valid_host
         if self._dtype_name == "sq8":
@@ -259,10 +273,33 @@ class VectorStore:
                 self._dev_norm = shard_rows(self._mesh, self._dev_norm)
                 self._dev_valid = shard_rows(self._mesh, self._dev_valid)
             return
+        pq_m = _pq_m(self._dtype_name)
+        if pq_m is not None:
+            from smqtk_indexing_tpu.ops import pq
+            live = self._host[self._valid_host] if not \
+                self._valid_host.all() else self._host
+            live_p = pad_rows_np(live, live.shape[0], d_pad)
+            self._pq_cb = pq.pq_train(live_p, pq_m)
+            self._pq_cb_dev = jnp.asarray(self._pq_cb)
+            codes = np.zeros((self._capacity, pq_m), dtype=np.uint8)
+            codes[:n] = pq.pq_encode_np(
+                pad_rows_np(self._host, n, d_pad), self._pq_cb)
+            self._dev = jnp.asarray(codes)
+            self._dev_sq = pq.pq_row_stats(self._dev, self._pq_cb_dev)
+            self._dev_norm = jnp.sqrt(jnp.maximum(self._dev_sq, 0.0))
+            self._dev_valid = jnp.asarray(valid)
+            self._dev_t = None
+            if self._mesh is not None:
+                from smqtk_indexing_tpu.parallel.mesh import shard_rows
+                self._dev = shard_rows(self._mesh, self._dev)
+                self._dev_sq = shard_rows(self._mesh, self._dev_sq)
+                self._dev_norm = shard_rows(self._mesh, self._dev_norm)
+                self._dev_valid = shard_rows(self._mesh, self._dev_valid)
+            return
         padded = pad_rows_np(self._host, self._capacity, d_pad)
         sq = np.zeros(self._capacity, dtype=np.float32)
         sq[:n] = np.einsum("ij,ij->i", self._host, self._host)
-        self._dev = jnp.asarray(padded, dtype=dev_dtype)
+        self._dev = jnp.asarray(padded, dtype=_DTYPES[self._dtype_name])
         self._dev_sq = jnp.asarray(sq)
         self._dev_norm = jnp.sqrt(self._dev_sq)
         self._dev_valid = jnp.asarray(valid)
@@ -300,6 +337,24 @@ class VectorStore:
                 self._dev_sq, s2, (start,))
             self._dev_norm = jax.lax.dynamic_update_slice(
                 self._dev_norm, nrm, (start,))
+            self._dev_valid = jax.lax.dynamic_update_slice(
+                self._dev_valid, jnp.ones(mat.shape[0], dtype=bool),
+                (start,))
+            return
+        if _pq_m(self._dtype_name) is not None:
+            # Encode with the codebooks trained at build (FAISS
+            # add-after-train contract).
+            from smqtk_indexing_tpu.ops import pq
+            codes = pq.pq_encode_np(
+                pad_rows_np(mat, mat.shape[0], d_pad), self._pq_cb)
+            block_dev = jnp.asarray(codes)
+            self._dev = jax.lax.dynamic_update_slice(
+                self._dev, block_dev, (start, 0))
+            s2 = pq.pq_row_stats(block_dev, self._pq_cb_dev)
+            self._dev_sq = jax.lax.dynamic_update_slice(
+                self._dev_sq, s2, (start,))
+            self._dev_norm = jax.lax.dynamic_update_slice(
+                self._dev_norm, jnp.sqrt(jnp.maximum(s2, 0.0)), (start,))
             self._dev_valid = jax.lax.dynamic_update_slice(
                 self._dev_valid, jnp.ones(mat.shape[0], dtype=bool),
                 (start,))
@@ -382,7 +437,22 @@ class VectorStore:
         # distinct user n values reuse compiled programs; trim host-side.
         k_dev = min(_pow2_at_least(k_eff, 1), cap)
 
-        if self._dtype_name == "sq8" and self._mesh is None:
+        if _pq_m(self._dtype_name) is not None and self._mesh is None:
+            from smqtk_indexing_tpu.ops.pq import pq_topk
+            dists, rows = pq_topk(
+                dev, self._pq_cb_dev, dev_sq, dev_valid,
+                jnp.asarray(q_pad), k=k_dev, metric=metric)
+        elif _pq_m(self._dtype_name) is not None:
+            from smqtk_indexing_tpu.parallel.mesh import replicate
+            from smqtk_indexing_tpu.parallel.sharded_scan import (
+                sharded_pq_topk,
+            )
+            dists, rows = sharded_pq_topk(
+                self._mesh, dev, replicate(self._mesh, self._pq_cb_dev),
+                dev_sq, dev_valid,
+                replicate(self._mesh, jnp.asarray(q_pad)),
+                k=k_dev, metric=metric)
+        elif self._dtype_name == "sq8" and self._mesh is None:
             from smqtk_indexing_tpu.ops.sq8 import sq8_topk
             dists, rows = sq8_topk(
                 dev, sq8_a, sq8_b, dev_sq, dev_norm,

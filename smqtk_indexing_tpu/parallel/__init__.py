@@ -21,5 +21,5 @@ from smqtk_indexing_tpu.parallel.sharded_mrpt import (  # noqa: F401
 )
 from smqtk_indexing_tpu.parallel.sharded_scan import (  # noqa: F401
     sharded_flat_topk, sharded_hamming_topk, sharded_kmeans_step,
-    sharded_rerank_topk, sharded_sq8_topk,
+    sharded_pq_topk, sharded_rerank_topk, sharded_sq8_topk,
 )

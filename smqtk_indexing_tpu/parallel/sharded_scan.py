@@ -159,6 +159,40 @@ def sharded_sq8_topk(mesh: Mesh, codes, a, b, s2, nrm, valid, q, *,
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "mesh"))
+def sharded_pq_topk(mesh: Mesh, codes, codebooks, s2, valid, q, *,
+                    k: int, metric: str = "euclidean"):
+    """Row-sharded PQ scan (ops/pq.pq_topk per shard, same hierarchical
+    merge as the float paths). codes/s2/valid row-sharded; codebooks/q
+    replicated."""
+    from smqtk_indexing_tpu.ops.pq import pq_topk
+
+    rows_spec = row_axes(mesh)
+
+    def local(codes_l, cb_l, s2_l, va_l, q_l):
+        k_loc = min(k, codes_l.shape[0])
+        d, r = pq_topk(codes_l, cb_l, s2_l, va_l, q_l, k=k_loc,
+                       metric=metric)
+        if k_loc < k:
+            bq = q_l.shape[0]
+            d = jnp.concatenate(
+                [d, jnp.full((bq, k - k_loc), jnp.inf, jnp.float32)],
+                axis=1)
+            r = jnp.concatenate(
+                [r, jnp.full((bq, k - k_loc), -1, jnp.int32)], axis=1)
+        offset = _global_shard_index(mesh) * codes_l.shape[0]
+        r = jnp.where(r >= 0, r + offset, r)
+        return _hier_merge(mesh, d, r, k)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(rows_spec, None), P(None, None, None), P(rows_spec),
+                  P(rows_spec), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(codes, codebooks, s2, valid, q)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "mesh"))
 def sharded_rerank_topk(mesh: Mesh, q, cand, valid, *, k: int,
                         metric: str = "euclidean"):
     """

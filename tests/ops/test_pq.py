@@ -1,0 +1,138 @@
+"""
+PQ codec + scan tests: reconstruction quality, exactness of the scan with
+respect to the reconstructed vectors, store/factory integration, and the
+sharded path.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from smqtk_indexing_tpu.ops import pq
+from smqtk_indexing_tpu.ops.store import VectorStore
+
+
+def _clustered(n, d, seed=0, clusters=32):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(clusters, d)).astype(np.float32) * 3
+    pts = centers[rng.integers(0, clusters, size=n)]
+    return (pts + rng.normal(size=(n, d)).astype(np.float32) * 0.3) \
+        .astype(np.float32)
+
+
+def test_train_encode_decode_roundtrip():
+    n, d, m = 2000, 32, 8
+    mat = _clustered(n, d)
+    cbs = pq.pq_train(mat, m, n_iter=10)
+    assert cbs.shape == (m, 256, d // m)
+    codes = pq.pq_encode_np(mat, cbs)
+    assert codes.shape == (n, m) and codes.dtype == np.uint8
+    rec = pq.pq_decode_np(codes, cbs)
+    # Quantization error well below the data scale.
+    err = np.sqrt(((rec - mat) ** 2).sum(1)).mean()
+    scale = np.sqrt((mat ** 2).sum(1)).mean()
+    assert err < 0.25 * scale
+
+
+def test_row_stats_exact():
+    n, d, m = 512, 16, 4
+    mat = _clustered(n, d, seed=1)
+    cbs = pq.pq_train(mat, m, n_iter=5)
+    codes = pq.pq_encode_np(mat, cbs)
+    s2 = np.asarray(pq.pq_row_stats(jnp.asarray(codes), jnp.asarray(cbs)))
+    rec = pq.pq_decode_np(codes, cbs)
+    np.testing.assert_allclose(s2, (rec.astype(np.float64) ** 2).sum(1),
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine",
+                                    "inner_product"])
+def test_pq_topk_exact_wrt_reconstruction(metric):
+    n, d, m, k, b = 4096, 32, 8, 8, 8
+    mat = _clustered(n, d, seed=2)
+    cbs = pq.pq_train(mat, m, n_iter=10)
+    codes = pq.pq_encode_np(mat, cbs)
+    rec = pq.pq_decode_np(codes, cbs).astype(np.float64)
+    rng = np.random.default_rng(3)
+    q = _clustered(b, d, seed=4)
+    valid = np.ones(n, dtype=bool)
+    valid[rng.choice(n, 100, replace=False)] = False
+    s2 = pq.pq_row_stats(jnp.asarray(codes), jnp.asarray(cbs))
+    dd, rr = pq.pq_topk(jnp.asarray(codes), jnp.asarray(cbs), s2,
+                        jnp.asarray(valid), jnp.asarray(q), k=k,
+                        metric=metric, chunk=1024)
+    # Float64 reference on the RECONSTRUCTED vectors.
+    if metric == "euclidean":
+        ref = np.sqrt(((q[:, None].astype(np.float64) - rec[None]) ** 2)
+                      .sum(-1))
+    elif metric == "inner_product":
+        ref = -(q.astype(np.float64) @ rec.T)
+    else:
+        qn = np.linalg.norm(q, axis=1)[:, None]
+        rn = np.linalg.norm(rec, axis=1)[None, :]
+        den = np.where(qn * rn == 0, 1.0, qn * rn)
+        sim = np.clip(q.astype(np.float64) @ rec.T / den, -1, 1)
+        ref = 2.0 * np.arccos(sim) / np.pi
+    ref[:, ~valid] = np.inf
+    ref_rows = np.argsort(ref, axis=1)[:, :k]
+    got_d = np.asarray(dd)
+    ref_d = np.take_along_axis(ref, ref_rows, axis=1)
+    np.testing.assert_allclose(got_d, ref_d, atol=1e-4, rtol=1e-5)
+    # Returned rows achieve the reference distances (ties may swap ids).
+    got_ref = np.take_along_axis(ref, np.asarray(rr), axis=1)
+    np.testing.assert_allclose(got_ref, ref_d, atol=1e-4, rtol=1e-5)
+
+
+def test_store_pq_dtype_end_to_end():
+    n, d = 3000, 64
+    mat = _clustered(n, d, seed=5)
+    store = VectorStore(dtype="pq16")
+    store.build(mat, list(range(n)))
+    # Recall vs the exact f32 store on the same data.
+    f32 = VectorStore(dtype="float32")
+    f32.build(mat, list(range(n)))
+    q = _clustered(16, d, seed=6)
+    _, uids_pq, _ = store.knn(q, 10)
+    _, uids_f32, _ = f32.knn(q, 10)
+    recall = np.mean([len(set(a) & set(b)) / 10.0
+                      for a, b in zip(uids_pq, uids_f32)])
+    # PQ is a lossy capacity codec: 16x compression at d=64 costs real
+    # recall (FAISS PQ16 is comparable without refinement); random overlap
+    # would be 10/3000.
+    assert recall >= 0.3
+    # Add-after-train + remove keep working.
+    store.add(mat[:4] + 0.01, ["a", "b", "c", "d"])
+    assert store.has_uid("a")
+    store.remove(["a", "b"])
+    assert not store.has_uid("a")
+    _, uids2, _ = store.knn(mat[:1], 1)
+    assert uids2[0][0] == 0
+
+
+def test_store_pq_sharded_matches_single():
+    from smqtk_indexing_tpu.parallel import make_mesh
+    n, d = 2048, 32
+    mat = _clustered(n, d, seed=7)
+    s1 = VectorStore(dtype="pq8")
+    s8 = VectorStore(dtype="pq8", mesh=make_mesh(8))
+    s1.build(mat, list(range(n)))
+    s8.build(mat, list(range(n)))
+    q = _clustered(8, d, seed=8)
+    d1, u1, _ = s1.knn(q, 8)
+    d8, u8, _ = s8.knn(q, 8)
+    np.testing.assert_allclose(d8, d1, atol=1e-5)
+    assert u1 == u8
+
+
+def test_factory_pq_strings():
+    from smqtk_indexing_tpu.models.nn_index.factory import (
+        index_from_factory_string,
+    )
+    idx = index_from_factory_string("PQ16")
+    assert idx.dtype == "pq16"
+    idx = index_from_factory_string("IDMap,PQ8x8")
+    assert idx.dtype == "pq8"
+    with pytest.raises(ValueError, match="8-bit"):
+        index_from_factory_string("PQ16x4")
+    with pytest.raises(ValueError, match="IVF.*PQ|not wired"):
+        index_from_factory_string("IVF256,PQ16")

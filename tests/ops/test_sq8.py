@@ -148,5 +148,5 @@ def test_factory_sq8_strings():
     assert idx.dtype == "sq8"
     idx = index_from_factory_string("IDMap,SQ8", metric="ip")
     assert idx.dtype == "sq8" and idx.metric == "inner_product"
-    with pytest.raises(ValueError, match="SQ8"):
-        index_from_factory_string("IDMap,PQ16")
+    # PQ strings now route to the PQ codec (ops/pq.py).
+    assert index_from_factory_string("IDMap,PQ16").dtype == "pq16"
