@@ -144,6 +144,39 @@ def flat_topk(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
     return _exact_selected(metric, db, q, q_sq, best_s, best_r)
 
 
+#: Segment width for the streamed segment-minima filter (matches the
+#: Pallas fused kernel's SEG so the exactness argument is shared).
+SEG_W = 128
+
+
+def streamed_segment_minima(score_fn, blocks, n: int, chunk: int,
+                            bq: int, seg: int = SEG_W) -> jnp.ndarray:
+    """
+    Stream chunked score blocks and emit only per-``seg``-row minima —
+    the XLA analog of the fused Pallas stage 1 (ops/pallas_scan.py):
+    each (B, chunk) score block reduces immediately (XLA fuses the min
+    into the matmul consumer, so full score blocks never round-trip HBM),
+    and NO per-chunk ``lax.top_k`` runs — per-chunk top-k sorts dominated
+    the compressed-tier scans (measured 107 qps at 100M rows; the minima
+    filter removes ~all of that cost).
+
+    :param score_fn: (chunk-slices of ``blocks``...) -> (bq, chunk)
+        scores (+inf for dead rows).
+    :param blocks: Arrays with leading dim n, chunked along it.
+    :return: (bq, n // seg) float32 segment minima.
+    """
+    num_chunks = n // chunk
+    blks = tuple(a.reshape((num_chunks, chunk) + a.shape[1:])
+                 for a in blocks)
+
+    def body(_, blk):
+        s = score_fn(*blk)
+        return None, jnp.min(s.reshape(bq, chunk // seg, seg), axis=-1)
+
+    _, mins = jax.lax.scan(body, None, blks)
+    return jnp.transpose(mins, (1, 0, 2)).reshape(bq, n // seg)
+
+
 def _exact_selected(metric: str, db: jnp.ndarray, q: jnp.ndarray,
                     q_sq: jnp.ndarray, scores: jnp.ndarray,
                     rows: jnp.ndarray, dq=None):

@@ -167,28 +167,59 @@ def sq8_topk(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
         neg, rows = jax.lax.top_k(-s, kk)
         best_s, best_r = -neg, rows.astype(jnp.int32)
     else:
-        num_chunks = n // chunk
-        codes_c = codes.reshape(num_chunks, chunk, d)
-        s2_c = s2.reshape(num_chunks, chunk)
-        nm_c = nrm.reshape(num_chunks, chunk)
-        va_c = valid.reshape(num_chunks, chunk)
-        base_rows = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+        # Two-stage streaming (the fused flat scan's structure,
+        # ops/pallas_scan.py, in XLA): stream SEGMENT MINIMA only (no
+        # per-chunk top-k), pick the k+16 best segments per query — every
+        # segment holding a true top-k row has min <= the k-th best score,
+        # and at most k(+ties) segments can — then rescore just those
+        # segments' rows with the same surrogate and keep the kk row
+        # winners. The doubled (segment, then row) margin covers the bf16
+        # surrogate noise twice over.
+        from smqtk_indexing_tpu.ops.pallas_scan import topk_smallest
+        from smqtk_indexing_tpu.ops.scan import (
+            SEG_W, streamed_segment_minima,
+        )
+        minima = streamed_segment_minima(
+            scores_of, (codes, s2, nrm, valid), n, chunk, bq)
+        s_keep = min(k + 16, n // SEG_W)
+        smin, sid = topk_smallest(minima, s_keep)
+        sid = jnp.where(jnp.isinf(smin), -1, sid)
+        sid_c = jnp.maximum(sid, 0)
+        m_rows = s_keep * SEG_W
+        rows = (sid_c[..., None] * SEG_W
+                + jax.lax.broadcasted_iota(jnp.int32,
+                                           (bq, s_keep, SEG_W), 2)) \
+            .reshape(bq, m_rows)
+        cand = jnp.take(codes.reshape(n // SEG_W, SEG_W, d), sid_c,
+                        axis=0).reshape(bq, m_rows, d)
 
-        init = (jnp.full((bq, kk), jnp.inf, dtype=jnp.float32),
-                jnp.full((bq, kk), -1, dtype=jnp.int32))
+        def seg_gather(arr1d):
+            return jnp.take(arr1d.reshape(n // SEG_W, SEG_W), sid_c,
+                            axis=0).reshape(bq, m_rows)
 
-        def body(carry, blk):
-            bs, br = carry
-            cc, s2c, nmc, vac, base = blk
-            s = scores_of(cc, s2c, nmc, vac)
-            rows = base + jax.lax.broadcasted_iota(jnp.int32, (bq, chunk), 1)
-            cand_s = jnp.concatenate([bs, s], axis=1)
-            cand_r = jnp.concatenate([br, rows], axis=1)
-            neg, sel = jax.lax.top_k(-cand_s, kk)
-            return (-neg, jnp.take_along_axis(cand_r, sel, axis=1)), None
-
-        (best_s, best_r), _ = jax.lax.scan(
-            body, init, (codes_c, s2_c, nm_c, va_c, base_rows))
+        alive = (sid[..., None] >= 0).reshape(bq, s_keep, 1) \
+            & jnp.take(valid.reshape(n // SEG_W, SEG_W), sid_c, axis=0)
+        alive = alive.reshape(bq, m_rows)
+        if metric == "hik":
+            x = cand.astype(jnp.float32) * a + b
+            s = 1.0 - jnp.sum(jnp.minimum(q[:, None, :], x), axis=-1)
+        else:
+            ip = jnp.einsum("bmd,bd->bm", cand.astype(jnp.bfloat16),
+                            t.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            if metric == "cosine":
+                ip = ip + qb_const[:, None]
+                denom = q_norm[:, None] * seg_gather(nrm)
+                s = -(ip / jnp.where(denom == 0, 1.0, denom))
+            elif metric == "inner_product":
+                s = -(ip + qb_const[:, None])
+            else:
+                s = seg_gather(s2) - 2.0 * ip
+        s = jnp.where(alive, s, jnp.inf)
+        sv, sel = topk_smallest(s, kk)
+        best_s = sv
+        best_r = jnp.take_along_axis(rows, sel, axis=1).astype(jnp.int32)
+        best_r = jnp.where(jnp.isinf(best_s), -1, best_r)
 
     # Exact re-rank of the kk winners from dequantized f32 rows.
     sel_codes = jnp.take(codes, jnp.maximum(best_r, 0), axis=0)

@@ -107,9 +107,14 @@ class VectorStore:
         # the FAISS scalar-quantizer train-once contract)
         self._sq8_a = None
         self._sq8_b = None
-        # pq codebooks (same train-once contract)
+        # pq codebooks (same train-once contract) + the dim interleave:
+        # zero-padding packs all real dims into the first subspaces, so
+        # dims are permuted round-robin across subquantizers before
+        # encoding (every metric served is coordinate-permutation
+        # invariant; queries permute identically at scan time).
         self._pq_cb = None
         self._pq_cb_dev = None
+        self._pq_perm = None
 
     @property
     def dim(self) -> Optional[int]:
@@ -276,14 +281,17 @@ class VectorStore:
         pq_m = _pq_m(self._dtype_name)
         if pq_m is not None:
             from smqtk_indexing_tpu.ops import pq
+            self._pq_perm = np.argsort(
+                np.arange(d_pad) % pq_m, kind="stable").astype(np.int32)
             live = self._host[self._valid_host] if not \
                 self._valid_host.all() else self._host
             live_p = pad_rows_np(live, live.shape[0], d_pad)
-            self._pq_cb = pq.pq_train(live_p, pq_m)
+            self._pq_cb = pq.pq_train(live_p[:, self._pq_perm], pq_m)
             self._pq_cb_dev = jnp.asarray(self._pq_cb)
             codes = np.zeros((self._capacity, pq_m), dtype=np.uint8)
             codes[:n] = pq.pq_encode_np(
-                pad_rows_np(self._host, n, d_pad), self._pq_cb)
+                pad_rows_np(self._host, n, d_pad)[:, self._pq_perm],
+                self._pq_cb)
             self._dev = jnp.asarray(codes)
             self._dev_sq = pq.pq_row_stats(self._dev, self._pq_cb_dev)
             self._dev_norm = jnp.sqrt(jnp.maximum(self._dev_sq, 0.0))
@@ -346,7 +354,8 @@ class VectorStore:
             # add-after-train contract).
             from smqtk_indexing_tpu.ops import pq
             codes = pq.pq_encode_np(
-                pad_rows_np(mat, mat.shape[0], d_pad), self._pq_cb)
+                pad_rows_np(mat, mat.shape[0], d_pad)[:, self._pq_perm],
+                self._pq_cb)
             block_dev = jnp.asarray(codes)
             self._dev = jax.lax.dynamic_update_slice(
                 self._dev, block_dev, (start, 0))
@@ -397,6 +406,7 @@ class VectorStore:
             dev, dev_sq, dev_norm, dev_valid = (
                 self._dev, self._dev_sq, self._dev_norm, self._dev_valid)
             sq8_a, sq8_b = self._sq8_a, self._sq8_b
+            pq_cb_dev, pq_perm = self._pq_cb_dev, self._pq_perm
             row2uid = list(self._row2uid)
             n_live = self._n_live
             cap = self._capacity
@@ -440,17 +450,18 @@ class VectorStore:
         if _pq_m(self._dtype_name) is not None and self._mesh is None:
             from smqtk_indexing_tpu.ops.pq import pq_topk
             dists, rows = pq_topk(
-                dev, self._pq_cb_dev, dev_sq, dev_valid,
-                jnp.asarray(q_pad), k=k_dev, metric=metric)
+                dev, pq_cb_dev, dev_sq, dev_valid,
+                jnp.asarray(q_pad[:, pq_perm]), k=k_dev,
+                metric=metric)
         elif _pq_m(self._dtype_name) is not None:
             from smqtk_indexing_tpu.parallel.mesh import replicate
             from smqtk_indexing_tpu.parallel.sharded_scan import (
                 sharded_pq_topk,
             )
             dists, rows = sharded_pq_topk(
-                self._mesh, dev, replicate(self._mesh, self._pq_cb_dev),
+                self._mesh, dev, replicate(self._mesh, pq_cb_dev),
                 dev_sq, dev_valid,
-                replicate(self._mesh, jnp.asarray(q_pad)),
+                replicate(self._mesh, jnp.asarray(q_pad[:, pq_perm])),
                 k=k_dev, metric=metric)
         elif self._dtype_name == "sq8" and self._mesh is None:
             from smqtk_indexing_tpu.ops.sq8 import sq8_topk
