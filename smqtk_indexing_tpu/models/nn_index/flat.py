@@ -56,6 +56,10 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         'pq<M>' (product quantization, M bytes/vector — e.g. 'pq16' is
         32x capacity at d=128, the FAISS 'PQ16' codec; see ops/pq.py).
     :param read_only: Refuse mutations when True.
+    :param storage: 'device' keeps the database HBM-resident (fastest);
+        'host_stream' keeps it in host RAM and streams blocks through the
+        chip per query batch — the >HBM capacity tier (exact results;
+        float32/bfloat16 only).
     """
 
     @classmethod
@@ -98,11 +102,16 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         dtype: str = "float32",
         read_only: bool = False,
         n_devices: Optional[int] = None,
+        storage: str = "device",
     ):
         super().__init__()
         if metric not in METRICS:
             raise ValueError(
                 f"metric must be one of {METRICS}, got {metric!r}")
+        if storage not in ("device", "host_stream"):
+            raise ValueError(
+                "storage must be 'device' (HBM-resident) or "
+                f"'host_stream' (>HBM tier), got {storage!r}")
         self.descriptor_set = descriptor_set if descriptor_set is not None \
             else MemoryDescriptorSet()
         self.index_element = index_element
@@ -110,10 +119,22 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         self.dtype = dtype
         self.read_only = bool(read_only)
         self.n_devices = n_devices
+        self.storage = storage
 
         self._model_lock = threading.RLock()
-        self._store = VectorStore(dtype=dtype, mesh=self._make_mesh())
+        self._store = self._new_store()
         self._load_index()
+
+    def _new_store(self) -> VectorStore:
+        if self.storage == "host_stream":
+            from smqtk_indexing_tpu.ops.store import HostStreamedVectorStore
+            if self.n_devices is not None and self.n_devices > 1:
+                raise ValueError(
+                    "storage='host_stream' streams through one device; "
+                    "combine capacity axes via n_devices OR host "
+                    "streaming, not both.")
+            return HostStreamedVectorStore(dtype=self.dtype)
+        return VectorStore(dtype=self.dtype, mesh=self._make_mesh())
 
     def _make_mesh(self):
         """Row-shard across a device mesh when multi-device is requested
@@ -135,6 +156,7 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         c["dtype"] = self.dtype
         c["read_only"] = self.read_only
         c["n_devices"] = self.n_devices
+        c["storage"] = self.storage
         return c
 
     # ------------------------------------------------------------------
@@ -200,8 +222,7 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
             uids = list(by_uid.keys())
             mat = np.vstack([by_uid[u].vector() for u in uids]) \
                 .astype(np.float32)
-            new_store = VectorStore(dtype=self.dtype,
-                                    mesh=self._make_mesh())
+            new_store = self._new_store()
             new_store.build(mat, uids)
             # Atomic swap once device arrays are ready.
             self._store = new_store

@@ -532,3 +532,105 @@ class VectorStore:
             mat = z["matrix"]
             uids = list(z["uids"])
         self.build(mat, uids)
+
+
+class HostStreamedVectorStore (VectorStore):
+    """
+    The >HBM capacity tier (SURVEY.md §5 index-size scaling): the database
+    lives in HOST memory only; each query batch streams it through the
+    device in fixed-size row blocks, running the exact flat scan per block
+    and merging the per-block (B, k) winners on host. Capacity is bounded
+    by host RAM instead of the chip's HBM; per-query-batch cost is one
+    host->device transfer of the whole matrix (production TPU hosts move
+    tens of GB/s over PCIe — this tier trades that for unbounded N; for
+    HBM-resident speed use the base store, a mesh, or a compressed codec).
+
+    Exactness: every block result is already the exact per-metric distance
+    (ops/scan.flat_topk re-ranks winners exactly), so the host merge of
+    block top-k lists is the exact global top-k.
+    """
+
+    #: Rows per streamed device block (pow2 so jit keys stay bounded).
+    BLOCK_ROWS = 1 << 20
+
+    def __init__(self, dtype: str = "float32", mesh=None,
+                 block_rows: Optional[int] = None):
+        if mesh is not None:
+            raise ValueError(
+                "HostStreamedVectorStore streams through ONE device; use "
+                "the base VectorStore with n_devices for mesh sharding.")
+        if dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "Host streaming serves float32/bfloat16 (compressed codecs "
+                "are HBM-resident tiers; combining them with host "
+                "streaming would re-encode per batch).")
+        super().__init__(dtype=dtype)
+        if block_rows is not None:
+            if block_rows & (block_rows - 1) or block_rows < 1024:
+                raise ValueError("block_rows must be a power of two "
+                                 ">= 1024.")
+            self.BLOCK_ROWS = block_rows
+
+    # Device mirrors are never kept: uploads are per-query-batch streams.
+    def _upload_full(self) -> None:
+        self._capacity = capacity_for(self._host.shape[0])
+
+    def _upload_rows(self, start: int, mat: np.ndarray) -> None:
+        self._capacity = capacity_for(self._host.shape[0])
+
+    def _upload_valid(self) -> None:
+        pass
+
+    def knn(self, q: np.ndarray, k: int, metric: str = "euclidean"
+            ) -> Tuple[np.ndarray, List[List[Hashable]], np.ndarray]:
+        with self._lock:
+            if self._host is None:
+                raise ValueError("Store is empty.")
+            host = self._host
+            valid_host = self._valid_host
+            row2uid = list(self._row2uid)
+            n_live = self._n_live
+            d = self._dim
+
+        q = np.atleast_2d(np.asarray(q, dtype=np.float32))
+        if q.shape[1] != d:
+            raise ValueError(f"Query dim {q.shape[1]} != store dim {d}")
+        b = q.shape[0]
+        b_pad = _pow2_at_least(b, 8)
+        d_pad = pad_dim(d)
+        q_dev = jnp.asarray(pad_rows_np(q, b_pad, d_pad))
+
+        k_eff = min(k, n_live)
+        n = host.shape[0]
+        block = min(self.BLOCK_ROWS, capacity_for(n))
+        k_dev = min(_pow2_at_least(k_eff, 1), block)
+        dev_dtype = _DTYPES[self._dtype_name]
+
+        dists_parts, rows_parts = [], []
+        for lo in range(0, n, block):
+            blk = host[lo:lo + block]
+            rows_n = blk.shape[0]
+            pad_n = block if rows_n > block // 2 or lo > 0 \
+                else capacity_for(rows_n)
+            mat_p = pad_rows_np(blk, pad_n, d_pad)
+            sq = np.zeros(pad_n, dtype=np.float32)
+            sq[:rows_n] = np.einsum("ij,ij->i", blk, blk)
+            va = np.zeros(pad_n, dtype=bool)
+            va[:rows_n] = valid_host[lo:lo + block]
+            dev = jnp.asarray(mat_p, dtype=dev_dtype)
+            dev_sq = jnp.asarray(sq)
+            dd, rr = scan.flat_topk(
+                dev, dev_sq, jnp.sqrt(dev_sq), jnp.asarray(va), q_dev,
+                k=min(k_dev, pad_n), metric=metric)
+            dd = np.asarray(dd)[:b]
+            rr = np.asarray(rr)[:b]
+            rows_parts.append(np.where(rr >= 0, rr + lo, -1))
+            dists_parts.append(dd)
+        dists = np.concatenate(dists_parts, axis=1)
+        rows = np.concatenate(rows_parts, axis=1)
+        dists = np.where(rows >= 0, dists, np.inf)
+        sel = np.argsort(dists, axis=1, kind="stable")[:, :k_eff]
+        dists = np.take_along_axis(dists, sel, axis=1)
+        rows = np.take_along_axis(rows, sel, axis=1)
+        uid_lists = [[row2uid[r] for r in row if r >= 0] for row in rows]
+        return dists, uid_lists, rows
