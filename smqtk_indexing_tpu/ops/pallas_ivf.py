@@ -33,15 +33,21 @@ from smqtk_indexing_tpu.ops.scan import _exact_selected
 #: XLA path when l_max exceeds this.
 L_MAX = 512
 
+#: Probes scored per grid step. Each step emits one FULL (L_MAX, 128)
+#: score tile (probes on lanes) — a per-probe (L_MAX, 1) output column
+#: tile-pads its size-1 lane dim 128x (measured: 16GB HBM for a
+#: 512-probe batch, OOM), and the padding is written, so score traffic
+#: was 128x the useful bytes.
+PROBES_PER_STEP = 128
+
 
 def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, db_ref, out_ref,
-                cand, sems, *, n_probe: int):
+                cand, sems, acc, *, n_probe: int):
     qi = pl.program_id(0)
-    pi = pl.program_id(1)
-    idx = qi * n_probe + pi
-    total = pl.num_programs(0) * n_probe
-    slot = jax.lax.rem(idx, 2)
-    nxt = jax.lax.rem(idx + 1, 2)
+    pj = pl.program_id(1)
+    steps = n_probe // PROBES_PER_STEP
+    base = (qi * steps + pj) * PROBES_PER_STEP
+    total = pl.num_programs(0) * steps * PROBES_PER_STEP
 
     def dma_for(i, s):
         # Starts are 16-aligned by the caller; the multiple_of hint lets
@@ -57,38 +63,50 @@ def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, db_ref, out_ref,
         # HBM traffic scales with the lists actually probed.
         return hi_ref[i] > lo_ref[i]
 
-    # Double buffering: the grid iterates probes sequentially, so the
-    # (qi, pi) -> flat idx mapping lets each step prefetch the NEXT probe's
-    # list while scoring the current one.
-    @pl.when((idx == 0) & live(0))
+    # Double buffering across the flattened (query, probe) sequence: each
+    # probe prefetches its successor's list while scoring its own.
+    @pl.when((base == 0) & live(0))
     def _():
         dma_for(0, 0).start()
 
-    @pl.when((idx + 1 < total) & live(idx + 1))
-    def _():
-        dma_for(idx + 1, nxt).start()
+    acc[:] = jnp.full((L_MAX, PROBES_PER_STEP), jnp.inf, jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (L_MAX, PROBES_PER_STEP),
+                                    1)
 
-    @pl.when(live(idx))
-    def _():
-        dma_for(idx, slot).wait()
+    def body(j, _):
+        idx = base + j
+        slot = jax.lax.rem(idx, 2)
+        nxt = jax.lax.rem(idx + 1, 2)
 
-        # VPU scoring: broadcast-multiply-reduce along lanes -> (L_MAX, 1)
-        # column (no transposes; per-probe GEMV gains nothing from the
-        # MXU). Squared norms are recomputed in-kernel — a (L_MAX, 1) norm
-        # slice cannot DMA (lane tiling requires 128-wide slices) and the
-        # extra VPU work is trivial.
-        block = cand[slot].astype(jnp.float32)  # bf16 dbs cast in VMEM
-        ip = jnp.sum(block * q_ref[0].astype(jnp.float32), axis=1,
-                     keepdims=True)
-        sqv = jnp.sum(block * block, axis=1, keepdims=True)
-        scores = sqv - 2.0 * ip
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (L_MAX, 1), 0)
-        ok = (rowid >= lo_ref[idx]) & (rowid < hi_ref[idx])
-        out_ref[:] = jnp.where(ok, scores, jnp.inf).reshape(1, L_MAX, 1)
+        @pl.when((idx + 1 < total) & live(idx + 1))
+        def _():
+            dma_for(idx + 1, nxt).start()
 
-    @pl.when(jnp.logical_not(live(idx)))
-    def _():
-        out_ref[:] = jnp.full((1, L_MAX, 1), jnp.inf, jnp.float32)
+        @pl.when(live(idx))
+        def _():
+            dma_for(idx, slot).wait()
+            # VPU scoring: broadcast-multiply-reduce along lanes -> one
+            # (L_MAX, 1) column (no transposes; per-probe GEMV gains
+            # nothing from the MXU). Squared norms are recomputed
+            # in-kernel — a (L_MAX, 1) norm slice cannot DMA (lane
+            # tiling requires 128-wide slices) and the extra VPU work is
+            # trivial. The column lands in lane j of the accumulator via
+            # a lane-select (single-lane stores and cross-lane
+            # transposes are both Mosaic hazards; one select per probe
+            # is pure VPU).
+            block = cand[slot].astype(jnp.float32)  # bf16 cast in VMEM
+            ip = jnp.sum(block * q_ref[0].astype(jnp.float32), axis=1,
+                         keepdims=True)
+            sqv = jnp.sum(block * block, axis=1, keepdims=True)
+            scores = sqv - 2.0 * ip                      # (L_MAX, 1)
+            rowid = jax.lax.broadcasted_iota(jnp.int32, (L_MAX, 1), 0)
+            ok = (rowid >= lo_ref[idx]) & (rowid < hi_ref[idx])
+            col = jnp.where(ok, scores, jnp.inf)
+            acc[:] = jnp.where(lane == j, col, acc[:])
+        return 0
+
+    jax.lax.fori_loop(0, PROBES_PER_STEP, body, 0)
+    out_ref[:] = acc[:].reshape(1, L_MAX, PROBES_PER_STEP)
 
 
 @partial(jax.jit, static_argnames=("n_probe", "interpret"))
@@ -101,37 +119,46 @@ def ivf_list_scores(db: jnp.ndarray,
         layout; bf16 halves the per-probe DMA traffic).
     :param q: (B, d) float32 queries.
     :param starts: (B * n_probe,) int32 clamped list start rows
-        (start + L_MAX <= N guaranteed by the caller).
+        (start + L_MAX <= N guaranteed by the caller;
+        n_probe % PROBES_PER_STEP == 0 — callers pad with lo == hi
+        slots, which skip their DMA and score +inf).
     :param lo/hi: (B * n_probe,) int32 local valid windows within each
         DMA'd block ([lo, hi) relative to the clamped start).
     :return: (B, n_probe * L_MAX) float32 masked L2 surrogate scores
-        (||q||^2 omitted), +inf outside the windows.
+        (||q||^2 omitted), +inf outside the windows. LAYOUT: flattened
+        from (steps, L_MAX, PROBES_PER_STEP) — probe p's list occupies
+        column p % PROBES_PER_STEP of step p // PROBES_PER_STEP; callers
+        must build row ids in the same order.
     """
     n, d = db.shape
     b = q.shape[0]
+    assert n_probe % PROBES_PER_STEP == 0
+    steps = n_probe // PROBES_PER_STEP
     q3 = q.reshape(b, 1, d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, n_probe),
+        grid=(b, steps),
         in_specs=[
-            pl.BlockSpec((1, 1, d), lambda qi, pi, *_: (qi, 0, 0),
+            pl.BlockSpec((1, 1, d), lambda qi, pj, *_: (qi, 0, 0),
                          memory_space=pltpu.VMEM),      # query
             pl.BlockSpec(memory_space=pl.ANY),          # db (manual DMA)
         ],
-        out_specs=pl.BlockSpec((1, L_MAX, 1),
-                               lambda qi, pi, *_: (qi * n_probe + pi, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, L_MAX, PROBES_PER_STEP),
+            lambda qi, pj, *_: (qi * steps + pj, 0, 0),
+            memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, L_MAX, d), db.dtype),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((L_MAX, PROBES_PER_STEP), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         partial(_ivf_kernel, n_probe=n_probe),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * n_probe, L_MAX, 1),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b * steps, L_MAX, PROBES_PER_STEP), jnp.float32),
         interpret=interpret,
     )(starts, lo, hi, q3, db)
     return out.reshape(b, n_probe * L_MAX)
@@ -176,24 +203,37 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     # unaligned dynamic DMA starts) — the local window absorbs the shift.
     c_start = (c_start // 16) * 16
     ofs = raw_start - c_start
+    # Pad the probe axis to the kernel's per-step tile; pad slots carry
+    # lo == hi == 0 (dead: no DMA, +inf scores).
+    p8 = -(-n_probe // PROBES_PER_STEP) * PROBES_PER_STEP
+    pad = p8 - n_probe
+    if pad:
+        zeros = jnp.zeros((b, pad), jnp.int32)
+        c_start = jnp.concatenate([c_start, zeros], axis=1)
+        ofs = jnp.concatenate([ofs, zeros], axis=1)
+        ln = jnp.concatenate([ln, zeros], axis=1)
     starts = c_start.reshape(-1).astype(jnp.int32)
     lo = ofs.reshape(-1).astype(jnp.int32)
     hi = (ofs + ln).reshape(-1).astype(jnp.int32)
 
     scores = ivf_list_scores(db, q, starts, lo, hi,
-                             n_probe=n_probe, interpret=interpret)
+                             n_probe=p8, interpret=interpret)
 
-    # Row mapping: candidate m of probe p sits at c_start + local index.
-    local = jax.lax.broadcasted_iota(jnp.int32, (b, n_probe, L_MAX), 2)
-    rows = (c_start[..., None] + local).reshape(b, n_probe * L_MAX)
+    # Row mapping matching the kernel's (steps, L_MAX, PROBES_PER_STEP)
+    # output layout: probe p lives in lane p % PPS of step p // PPS.
+    steps = p8 // PROBES_PER_STEP
+    c4 = c_start.reshape(b, steps, 1, PROBES_PER_STEP)
+    local = jax.lax.broadcasted_iota(
+        jnp.int32, (b, steps, L_MAX, PROBES_PER_STEP), 2)
+    rows = (c4 + local).reshape(b, p8 * L_MAX)
     # Dead rows (masked by the store) must not win.
     scores = jnp.where(jnp.take(valid, jnp.clip(rows, 0, n - 1), axis=0),
                        scores, jnp.inf)
 
+    from smqtk_indexing_tpu.ops.pallas_scan import topk_smallest
     k_inner = min(k, n_probe * L_MAX)
-    neg, sel = jax.lax.top_k(-scores, k_inner)
+    top_scores, sel = topk_smallest(scores, k_inner)
     top_rows = jnp.take_along_axis(rows, sel, axis=1).astype(jnp.int32)
-    top_scores = -neg
     top_rows = jnp.where(jnp.isinf(top_scores), -1, top_rows)
     if k_inner < k:
         pad = k - k_inner
