@@ -609,6 +609,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             COUNTERS.add("ivf.probed_lists", b * nprobe)
             COUNTERS.add("ivf.candidates_scanned",
                          b * nprobe * self._l_max)
+            # No removed rows -> the kernels skip the per-row liveness
+            # gather (large and scattered at high probe budgets).
+            has_dead = not bool(self._valid_host.all())
             if self._mesh is not None:
                 from smqtk_indexing_tpu.parallel.mesh import replicate
                 from smqtk_indexing_tpu.parallel.sharded_ivf import (
@@ -624,7 +627,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev_offsets, self._dev_lens,
                     replicate(self._mesh, jnp.asarray(q_p)), k=k_dev,
                     nprobe=nprobe, l_max=self._l_max, metric=self.metric,
-                    dq=dq, first_virt=first_virt, nprobe_orig=nprobe_orig)
+                    dq=dq, first_virt=first_virt, nprobe_orig=nprobe_orig,
+                    has_dead=has_dead)
             elif self._dma_eligible():
                 from smqtk_indexing_tpu.ops.pallas_ivf import ivf_query_dma
                 dists, rows = ivf_query_dma(
@@ -632,7 +636,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev_centroids, self._dev_offsets,
                     self._dev_lens, jnp.asarray(q_p), k=k_dev,
                     n_probe=nprobe, first_virt=first_virt,
-                    nprobe_orig=nprobe_orig)
+                    nprobe_orig=nprobe_orig, has_dead=has_dead)
             else:
                 dq = (self._sq8_a, self._sq8_b) \
                     if self.dtype == "sq8" else None
@@ -642,7 +646,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev_offsets, self._dev_lens,
                     jnp.asarray(q_p), k=k_dev, nprobe=nprobe,
                     l_max=self._l_max, metric=self.metric, dq=dq,
-                    first_virt=first_virt, nprobe_orig=nprobe_orig)
+                    first_virt=first_virt, nprobe_orig=nprobe_orig,
+                    has_dead=has_dead)
             dists = np.asarray(dists)[:b, :k_eff]
             rows = np.asarray(rows)[:b, :k_eff]
             out: List[NNResult] = []

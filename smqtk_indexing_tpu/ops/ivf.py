@@ -60,13 +60,15 @@ def probe_eligibility(c_scores_raw: jnp.ndarray, lens: jnp.ndarray,
 
 
 @partial(jax.jit,
-         static_argnames=("k", "nprobe", "l_max", "metric", "nprobe_orig"))
+         static_argnames=("k", "nprobe", "l_max", "metric", "nprobe_orig",
+                          "has_dead"))
 def ivf_query(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
               valid: jnp.ndarray, centroids: jnp.ndarray,
               offsets: jnp.ndarray, lens: jnp.ndarray, q: jnp.ndarray, *,
               k: int, nprobe: int, l_max: int,
               metric: str = "euclidean", dq=None, first_virt=None,
-              nprobe_orig=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              nprobe_orig=None, has_dead: bool = True
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     :param db: (N, d) database sorted by coarse-cluster id (zero-padded).
         May hold int8 SQ8 codes when ``dq`` is given (the reference's
@@ -127,8 +129,11 @@ def ivf_query(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
     rows = starts[..., None] + ii                         # (B, nprobe, L)
     in_list = ii < lengths[..., None]
     rows_flat = jnp.clip(rows.reshape(b, nprobe * l_max), 0, n - 1)
-    mask = in_list.reshape(b, nprobe * l_max) \
-        & jnp.take(valid, rows_flat, axis=0)
+    mask = in_list.reshape(b, nprobe * l_max)
+    if has_dead:
+        # Scattered per-row liveness gather — skipped by callers whose
+        # stores carry no removed rows (windows never cover padding).
+        mask = mask & jnp.take(valid, rows_flat, axis=0)
 
     cand = jnp.take(db, rows_flat, axis=0)                # (B, M, d)
     cand = cand.astype(jnp.float32)

@@ -165,12 +165,14 @@ def ivf_list_scores(db: jnp.ndarray,
 
 
 @partial(jax.jit,
-         static_argnames=("k", "n_probe", "interpret", "nprobe_orig"))
+         static_argnames=("k", "n_probe", "interpret", "nprobe_orig",
+                          "has_dead"))
 def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
                   centroids: jnp.ndarray, offsets: jnp.ndarray,
                   lens: jnp.ndarray, q: jnp.ndarray, *, k: int,
                   n_probe: int, interpret: bool = False, first_virt=None,
-                  nprobe_orig=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  nprobe_orig=None, has_dead: bool = True
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Full IVF query with the DMA list-scan: same contract as
     ops/ivf.ivf_query for metric='euclidean' (layouts must satisfy
@@ -226,9 +228,15 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     local = jax.lax.broadcasted_iota(
         jnp.int32, (b, steps, L_MAX, PROBES_PER_STEP), 2)
     rows = (c4 + local).reshape(b, p8 * L_MAX)
-    # Dead rows (masked by the store) must not win.
-    scores = jnp.where(jnp.take(valid, jnp.clip(rows, 0, n - 1), axis=0),
-                       scores, jnp.inf)
+    if has_dead:
+        # Dead rows (masked by the store) must not win. This is an
+        # 8M-element scattered gather at a 512-probe budget — callers
+        # whose stores have no removed rows pass has_dead=False to skip
+        # it (list windows never cover the padding tail, so only real
+        # removals need masking).
+        scores = jnp.where(
+            jnp.take(valid, jnp.clip(rows, 0, n - 1), axis=0),
+            scores, jnp.inf)
 
     from smqtk_indexing_tpu.ops.pallas_scan import topk_smallest
     k_inner = min(k, n_probe * L_MAX)

@@ -53,11 +53,11 @@ def shard_csr(offsets: np.ndarray, lens: np.ndarray, n_rows: int,
 
 
 @partial(jax.jit, static_argnames=("k", "nprobe", "l_max", "metric", "mesh",
-                                   "nprobe_orig"))
+                                   "nprobe_orig", "has_dead"))
 def sharded_ivf_query(mesh: Mesh, db, db_sq, db_norm, valid, centroids,
                       offsets, lens, q, *, k: int, nprobe: int, l_max: int,
                       metric: str = "euclidean", dq=None, first_virt=None,
-                      nprobe_orig=None):
+                      nprobe_orig=None, has_dead: bool = True):
     """
     :param db/db_sq/db_norm/valid: row-sharded over ``mesh`` (list-sorted
         global order).
@@ -82,7 +82,8 @@ def sharded_ivf_query(mesh: Mesh, db, db_sq, db_norm, valid, centroids,
         d, r = ivf_query(db_l, sq_l, nm_l, va_l, c, off_l[0], len_l[0],
                          q_l, k=k_loc, nprobe=nprobe, l_max=l_max,
                          metric=metric, dq=dq_l,
-                         first_virt=fv, nprobe_orig=nprobe_orig)
+                         first_virt=fv, nprobe_orig=nprobe_orig,
+                         has_dead=has_dead)
         if k_loc < k:
             b = q_l.shape[0]
             d = jnp.concatenate(
