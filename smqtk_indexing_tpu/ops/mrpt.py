@@ -120,10 +120,34 @@ def _candidate_topk(db: jnp.ndarray, db_sq: jnp.ndarray, q: jnp.ndarray,
     """
     b, m = rows_u.shape
     d = db.shape[1]
+    cohort = min(32, b)
+    use_cohort = b >= 8 and b % cohort == 0
 
     def score(rows_c, alive_c):
-        cand = jnp.take(db, rows_c, axis=0).astype(jnp.float32)
-        ip = jnp.einsum("bmd,bd->bm", cand, q, precision=_HI)
+        cand = jnp.take(db, rows_c, axis=0)
+        mc = cand.shape[1]
+        if use_cohort:
+            # Candidate scoring as a COHORT dense matmul (the flat
+            # stage-2 trick, ops/pallas_scan.py): a per-query matvec
+            # (einsum bmd,bd->bm) lowers to a slow VPU reduce; scoring
+            # each 32-query cohort against its pooled candidates in ONE
+            # bf16 MXU dot trades 32x redundant FLOPs for ~100x idle MXU
+            # headroom. bf16 surrogate noise is absorbed by the k+16 row
+            # margin callers carry plus the exact final re-rank.
+            nc = b // cohort
+            g = cand.astype(jnp.bfloat16).reshape(nc, cohort * mc, d)
+            qs = q.astype(jnp.bfloat16).reshape(nc, cohort, d)
+            s_all = jax.lax.dot_general(
+                qs, g, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            s4 = s_all.reshape(nc, cohort, cohort, mc)
+            ip = jnp.take_along_axis(
+                s4, jax.lax.broadcasted_iota(jnp.int32,
+                                             (nc, cohort, 1, 1), 1),
+                axis=2).reshape(b, mc)
+        else:
+            ip = jnp.einsum("bmd,bd->bm", cand.astype(jnp.float32), q,
+                            precision=_HI)
         s = jnp.take(db_sq, rows_c, axis=0) - 2.0 * ip
         return jnp.where(alive_c, s, jnp.inf)
 
@@ -239,15 +263,20 @@ def mrpt_query(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     alive = (rows_sorted < n) & ~dup
     rows_u = jnp.clip(rows_sorted, 0, n - 1)
 
-    k_inner = min(k, m)
+    # k+16 row margin: surrogate selection may run in bf16 (cohort MXU
+    # path); the margin plus the exact re-rank keep the reported top-k
+    # exact under the same error budget as the flat bf16 stage 2.
+    k_sel = min(k + 16, m)
     top_scores, top_rows = _candidate_topk(db, db_sq, q, rows_u, alive,
-                                           k_inner)
+                                           k_sel)
     top_rows = top_rows.astype(jnp.int32)
     top_rows = jnp.where(jnp.isinf(top_scores), -1, top_rows)
-    if k_inner < k:
-        pad = k - k_inner
-        top_scores = jnp.concatenate(
-            [top_scores, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1)
-        top_rows = jnp.concatenate(
-            [top_rows, jnp.full((b, pad), -1, jnp.int32)], axis=1)
-    return _exact_selected("euclidean", db, q, q_sq, top_scores, top_rows)
+    d_fin, r_fin = _exact_selected("euclidean", db, q, q_sq, top_scores,
+                                   top_rows)
+    if k_sel < k:
+        pad = k - k_sel
+        d_fin = jnp.concatenate(
+            [d_fin, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1)
+        r_fin = jnp.concatenate(
+            [r_fin, jnp.full((b, pad), -1, jnp.int32)], axis=1)
+    return d_fin[:, :k], r_fin[:, :k]

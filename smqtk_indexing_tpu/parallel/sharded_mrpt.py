@@ -137,20 +137,22 @@ def sharded_mrpt_query(mesh: Mesh, db, db_sq, valid, bases, splits,
         alive = (rows_sorted < n_loc) & ~dup
         rows_u = jnp.clip(rows_sorted, 0, n_loc - 1)
 
-        k_inner = min(k, m)
+        # Same k+16 surrogate margin + exact re-rank as the single-chip
+        # kernel (bf16 cohort scoring); trim to k before the merge.
+        k_sel = min(k + 16, m)
         top_scores, top_rows = _candidate_topk(db_l, sq_l, qf, rows_u,
-                                               alive, k_inner)
+                                               alive, k_sel)
         top_rows = top_rows.astype(jnp.int32)
         top_rows = jnp.where(jnp.isinf(top_scores), -1, top_rows)
-        if k_inner < k:
-            pad = k - k_inner
-            top_scores = jnp.concatenate(
-                [top_scores,
-                 jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1)
-            top_rows = jnp.concatenate(
-                [top_rows, jnp.full((b, pad), -1, jnp.int32)], axis=1)
         d_fin, r_fin = _exact_selected("euclidean", db_l, qf, q_sq,
                                        top_scores, top_rows)
+        if k_sel < k:
+            pad = k - k_sel
+            d_fin = jnp.concatenate(
+                [d_fin, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1)
+            r_fin = jnp.concatenate(
+                [r_fin, jnp.full((b, pad), -1, jnp.int32)], axis=1)
+        d_fin, r_fin = d_fin[:, :k], r_fin[:, :k]
         offset = _global_shard_index(mesh) * n_loc
         r_fin = jnp.where(r_fin >= 0, r_fin + offset, r_fin)
         return _hier_merge(mesh, d_fin, r_fin, k)
