@@ -116,14 +116,19 @@ def _dequant(codes_c: jnp.ndarray, cb: jnp.ndarray,
     (chunk, M) codes -> (chunk, d) reconstruction via one one-hot matmul
     per subspace (one-hot rows are exact in any dtype, so bf16 only rounds
     the CENTROID values — absorbed by the k+8 margin + f32 exact re-rank).
+    The f32 path runs at Precision.HIGHEST: the TPU MXU's default f32
+    matmul truncates inputs to bf16, which would silently corrupt the
+    "exact" decode (see CLAUDE.md).
     """
     m = cb.shape[0]
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     outs = []
     for mi in range(m):
         oh = jax.nn.one_hot(codes_c[:, mi].astype(jnp.int32), K_SUB,
                             dtype=dtype)
         outs.append(jnp.dot(oh, cb[mi].astype(dtype),
-                            preferred_element_type=jnp.float32))
+                            preferred_element_type=jnp.float32,
+                            precision=prec))
     return jnp.concatenate(outs, axis=1)
 
 
@@ -143,7 +148,11 @@ def pq_row_stats(codes: jnp.ndarray, codebooks: jnp.ndarray,
         for mi in range(m):
             oh = jax.nn.one_hot(cc[:, mi].astype(jnp.int32), K_SUB,
                                 dtype=jnp.float32)
-            s = s + oh @ cb_sq[mi]
+            # HIGHEST: exact f32 table lookup (default f32 matmuls
+            # truncate to bf16 on the MXU).
+            s = s + jnp.dot(oh, cb_sq[mi],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         return s
 
     if n <= chunk:

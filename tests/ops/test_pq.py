@@ -110,16 +110,23 @@ def test_store_pq_dtype_end_to_end():
 
 
 def test_store_pq_sharded_matches_single():
+    import jax
+
     from smqtk_indexing_tpu.parallel import make_mesh
-    n, d = 2048, 32
-    mat = _clustered(n, d, seed=7)
-    s1 = VectorStore(dtype="pq8")
-    s8 = VectorStore(dtype="pq8", mesh=make_mesh(8))
-    s1.build(mat, list(range(n)))
-    s8.build(mat, list(range(n)))
-    q = _clustered(8, d, seed=8)
-    d1, u1, _ = s1.knn(q, 8)
-    d8, u8, _ = s8.knn(q, 8)
+
+    # Pin to CPU: under SMQTK_TPU_TESTS the mesh falls back to CPU while
+    # the unsharded store would run on the real TPU — the property under
+    # test is sharding equivalence, not backend numerics.
+    with jax.default_device(jax.devices("cpu")[0]):
+        n, d = 2048, 32
+        mat = _clustered(n, d, seed=7)
+        s1 = VectorStore(dtype="pq8")
+        s8 = VectorStore(dtype="pq8", mesh=make_mesh(8))
+        s1.build(mat, list(range(n)))
+        s8.build(mat, list(range(n)))
+        q = _clustered(8, d, seed=8)
+        d1, u1, _ = s1.knn(q, 8)
+        d8, u8, _ = s8.knn(q, 8)
     np.testing.assert_allclose(d8, d1, atol=1e-5)
     assert u1 == u8
 

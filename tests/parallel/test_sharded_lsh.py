@@ -19,6 +19,19 @@ def mesh():
     return make_mesh(8)
 
 
+@pytest.fixture(autouse=True)
+def _pin_cpu():
+    # These tests assert sharded == single-chip bit-identity; under
+    # SMQTK_TPU_TESTS the mesh falls back to CPU while unsharded arrays
+    # would land on the real TPU, turning this into a cross-BACKEND
+    # comparison (different reduction orders). Pin everything to CPU —
+    # the property under test is sharding equivalence, not backend
+    # numerics.
+    import jax
+    with jax.default_device(jax.devices("cpu")[0]):
+        yield
+
+
 def _build(n_devices, elems, fit, metric="euclidean"):
     functor = ItqFunctor(bit_length=16, random_seed=0)
     functor.fit(fit)

@@ -22,6 +22,16 @@ def mesh():
     return make_mesh(8)
 
 
+@pytest.fixture(autouse=True)
+def _pin_cpu():
+    # Sharded-vs-single bit-identity must not become a cross-backend
+    # comparison when SMQTK_TPU_TESTS puts unsharded arrays on the TPU
+    # while the mesh falls back to CPU.
+    import jax
+    with jax.default_device(jax.devices("cpu")[0]):
+        yield
+
+
 def _pow2(x):
     p = 1
     while p < x:
