@@ -21,10 +21,9 @@ always on here):
 - ``IVF<nlist>,Flat``           -> IvfNearestNeighborsIndex(n_lists=nlist)
 - ``IVF<nlist>,SQ8``            -> IvfNearestNeighborsIndex(n_lists=nlist,
   dtype='sq8')
-
-``IVF<nlist>,PQ<M>`` is not wired yet (the IVF CSR store carries
-float32/bfloat16/sq8 codes); use ``IVF<nlist>,SQ8`` for compressed IVF or
-``PQ<M>`` for maximum-capacity exhaustive scans.
+- ``IVF<nlist>,PQ<M>``          -> IvfNearestNeighborsIndex(n_lists=nlist,
+  dtype='pq<M>') (PQ codes in the CSR list layout, scanned by
+  ops/ivf.ivf_query_pq)
 """
 from __future__ import annotations
 
@@ -89,12 +88,10 @@ def index_from_factory_string(factory_string: str,
             metric=m, n_lists=int(ivf.group(1)),
             dtype=codecs[parts[1].lower()], **kwargs)
     if ivf and len(parts) == 2 and _pq_dtype(parts[1]) is not None:
-        raise ValueError(
-            f"{factory_string!r}: IVF+PQ is not wired; use "
-            f"'IVF{ivf.group(1)},SQ8' for compressed IVF or "
-            f"'{parts[1]}' alone for the maximum-capacity exhaustive "
-            "scan.")
+        return IvfNearestNeighborsIndex(
+            metric=m, n_lists=int(ivf.group(1)),
+            dtype=_pq_dtype(parts[1]), **kwargs)
     raise ValueError(
         f"Unsupported factory string {factory_string!r}; supported: "
         "'Flat', 'IDMap,Flat', 'SQ8', 'IDMap,SQ8', 'PQ<M>', "
-        "'IVF<nlist>,Flat', 'IVF<nlist>,SQ8'.")
+        "'IVF<nlist>,Flat', 'IVF<nlist>,SQ8', 'IVF<nlist>,PQ<M>'.")

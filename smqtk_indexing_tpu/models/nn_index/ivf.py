@@ -135,10 +135,16 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self.kmeans_iterations = int(kmeans_iterations)
         self.max_points_per_centroid = int(max_points_per_centroid)
         self.random_seed = random_seed
-        if dtype not in ("float32", "bfloat16", "sq8"):
+        if dtype not in ("float32", "bfloat16", "sq8") \
+                and self._pq_m(dtype) is None:
             raise ValueError(
-                "dtype must be 'float32' | 'bfloat16' | 'sq8', got "
-                f"{dtype!r}")
+                "dtype must be 'float32' | 'bfloat16' | 'sq8' | 'pq<M>', "
+                f"got {dtype!r}")
+        if self._pq_m(dtype) is not None and n_devices is not None \
+                and n_devices > 1:
+            raise ValueError(
+                "IVF+PQ does not ride a mesh yet; use dtype='sq8' with "
+                "n_devices, or 'pq<M>' single-device.")
         self.dtype = dtype
         self.read_only = bool(read_only)
         self.n_devices = n_devices
@@ -146,6 +152,13 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._model_lock = threading.RLock()
         self._reset_state()
         self._load_index()
+
+    @staticmethod
+    def _pq_m(dtype_name: str):
+        """Subquantizer count for 'pq<M>' dtype names, else None."""
+        import re
+        m = re.fullmatch(r"pq(\d+)", dtype_name)
+        return int(m.group(1)) if m else None
 
     def _dma_eligible(self) -> bool:
         """Use the Pallas DMA list-scan (ops/pallas_ivf.py): single real
@@ -156,7 +169,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         from smqtk_indexing_tpu.ops.pallas_ivf import L_MAX
         return (tpu_kernel_enabled("SMQTK_TPU_NO_DMA_IVF")
                 and self._mesh is None
-                and self.dtype != "sq8"
+                and self.dtype in ("float32", "bfloat16")
                 and self.metric == "euclidean"
                 and 0 < self._l_max_raw <= L_MAX - 16
                 and self._capacity >= L_MAX)
@@ -198,6 +211,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         # sq8 codec (trained per build over the live rows)
         self._sq8_a = None
         self._sq8_b = None
+        # pq codec (codebooks + the round-robin dim interleave; see
+        # ops/store.py for why padding demands the interleave)
+        self._pq_cb_dev = None
+        self._pq_perm = None
+        self._dev_centroids_pq = None
 
     def get_config(self) -> Dict[str, Any]:
         c = self.get_default_config()
@@ -322,6 +340,30 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             self._dev_sq = nrm * nrm
             self._dev_norm = nrm
             self._dev_valid = jnp.asarray(valid)
+        elif self._pq_m(self.dtype) is not None:
+            # PQ codes in list-sorted order (the 'IVFn,PQm' factory
+            # configuration): train-per-build codebooks over the live
+            # rows with the round-robin dim interleave, exact recon-norm
+            # stats for the scan surrogate.
+            from smqtk_indexing_tpu.ops import pq as pq_ops
+            m_sub = self._pq_m(self.dtype)
+            self._pq_perm = np.argsort(
+                np.arange(d_pad) % m_sub, kind="stable").astype(np.int32)
+            live = self._host[self._valid_host] \
+                if not self._valid_host.all() else self._host
+            live_p = pad_rows_np(live, live.shape[0], d_pad)
+            cb = pq_ops.pq_train(live_p[:, self._pq_perm], m_sub)
+            self._pq_cb_dev = jnp.asarray(cb)
+            codes = np.zeros((self._capacity, m_sub), dtype=np.uint8)
+            codes[:n] = pq_ops.pq_encode_np(
+                pad_rows_np(self._host, n, d_pad)[:, self._pq_perm], cb)
+            self._dev = jnp.asarray(codes)
+            s2 = pq_ops.pq_row_stats(self._dev, self._pq_cb_dev)
+            # Padding rows decode to some centroid, but list windows
+            # never cover them; keep their stats harmless anyway.
+            self._dev_sq = jnp.where(jnp.asarray(valid), s2, 0.0)
+            self._dev_norm = jnp.sqrt(jnp.maximum(self._dev_sq, 0.0))
+            self._dev_valid = jnp.asarray(valid)
         else:
             dev_dtype = jnp.bfloat16 if self.dtype == "bfloat16" \
                 else jnp.float32
@@ -387,6 +429,13 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             else jnp.float32
         self._dev_centroids = jnp.asarray(self._centroids_np[v_orig],
                                           dtype=cent_dtype)
+        if self._pq_m(self.dtype) is not None:
+            # PQ queries arrive dim-interleaved; probe selection needs
+            # centroids in the same order (rankings are permutation
+            # invariant).
+            self._dev_centroids_pq = jnp.asarray(
+                self._centroids_np[v_orig][:, self._pq_perm],
+                dtype=jnp.float32)
         offsets, lens = v_off, v_len
         self._dev_offsets = jnp.asarray(offsets)
         self._dev_lens = jnp.asarray(lens)
@@ -637,6 +686,16 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev_lens, jnp.asarray(q_p), k=k_dev,
                     n_probe=nprobe, first_virt=first_virt,
                     nprobe_orig=nprobe_orig, has_dead=has_dead)
+            elif self._pq_m(self.dtype) is not None:
+                from smqtk_indexing_tpu.ops.ivf import ivf_query_pq
+                dists, rows = ivf_query_pq(
+                    self._dev, self._pq_cb_dev, self._dev_sq,
+                    self._dev_valid, self._dev_centroids_pq,
+                    self._dev_offsets, self._dev_lens,
+                    jnp.asarray(q_p[:, self._pq_perm]), k=k_dev,
+                    nprobe=nprobe, l_max=self._l_max, metric=self.metric,
+                    first_virt=first_virt, nprobe_orig=nprobe_orig,
+                    has_dead=has_dead)
             else:
                 dq = (self._sq8_a, self._sq8_b) \
                     if self.dtype == "sq8" else None

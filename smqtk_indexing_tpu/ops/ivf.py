@@ -167,3 +167,125 @@ def ivf_query(db: jnp.ndarray, db_sq: jnp.ndarray, db_norm: jnp.ndarray,
             [top_rows, jnp.full((b, pad), -1, jnp.int32)], axis=1)
     return _exact_selected(metric, db, q, q_sq, top_scores, top_rows,
                            dq=dq)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "nprobe", "l_max", "metric", "nprobe_orig",
+                          "has_dead"))
+def ivf_query_pq(codes: jnp.ndarray, codebooks: jnp.ndarray,
+                 s2: jnp.ndarray, valid: jnp.ndarray,
+                 centroids: jnp.ndarray, offsets: jnp.ndarray,
+                 lens: jnp.ndarray, q: jnp.ndarray, *, k: int, nprobe: int,
+                 l_max: int, metric: str = "euclidean", first_virt=None,
+                 nprobe_orig=None, has_dead: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    IVF list-scan over PRODUCT-QUANTIZED codes — the reference's
+    'IVF<n>,PQ<M>' factory configuration (faiss.py:190): same CSR probe
+    selection as :func:`ivf_query`, but the database is (N, M) uint8 PQ
+    codes dequantized per probed list via the one-hot MXU formulation
+    (ops/pq._dequant; no ADC table gathers). Probed lists stream through
+    a ``lax.scan`` with a running top-(k+8); the winners re-rank exactly
+    from f32-decoded rows, so reported distances are exact w.r.t. the
+    reconstruction (the codec being the only loss, as with FAISS IVF-PQ).
+
+    :param codes: (N, M) uint8 codes in list-sorted CSR order.
+    :param codebooks: (M, 256, d // M) float32.
+    :param s2: (N,) float32 squared reconstruction norms.
+    :return: (dists (B, k) ascending, rows (B, k) int32; +inf/-1 pads).
+    """
+    import math as _math
+
+    from smqtk_indexing_tpu.ops.pq import _dequant
+
+    if metric not in METRICS:
+        raise ValueError(f"metric must be one of {METRICS}")
+    n, m_sub = codes.shape
+    b = q.shape[0]
+    q = q.astype(jnp.float32)
+    q_sq = jnp.sum(q * q, axis=-1)
+    q_norm = jnp.sqrt(q_sq)
+
+    c = centroids.astype(jnp.float32)
+    c_sq = jnp.sum(c * c, axis=-1)
+    ip_c = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    if metric == "inner_product":
+        c_scores = -ip_c
+    elif metric == "cosine":
+        c_norm = jnp.sqrt(c_sq)
+        denom = q_norm[:, None] * c_norm[None, :]
+        c_scores = -(ip_c / jnp.where(denom == 0, 1.0, denom))
+    else:
+        c_scores = c_sq[None, :] - 2.0 * ip_c
+    c_scores = probe_eligibility(c_scores, lens, first_virt, nprobe_orig)
+    _, lists = jax.lax.top_k(-c_scores, nprobe)
+    starts = offsets[lists]                               # (B, P)
+    probe_ok = jnp.take_along_axis(c_scores, lists, axis=1) < jnp.inf
+    lengths = jnp.where(probe_ok, lens[lists], 0)
+
+    kk = min(k + 8, nprobe * l_max)  # margin absorbs bf16 decode noise
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, l_max), 1)
+
+    def body(carry, blk):
+        bs, br = carry
+        start_j, len_j = blk                              # (B,), (B,)
+        rows_j = start_j[:, None] + iota_l                # (B, L)
+        ok = iota_l < len_j[:, None]
+        rows_c = jnp.clip(rows_j, 0, n - 1)
+        if has_dead:
+            ok = ok & jnp.take(valid, rows_c, axis=0)
+        cj = jnp.take(codes, rows_c, axis=0)              # (B, L, M)
+        x = _dequant(cj.reshape(b * l_max, m_sub),
+                     codebooks).reshape(b, l_max, -1)     # f32 of bf16 cb
+        ip = jnp.sum(x * q[:, None, :], axis=-1)
+        if metric == "inner_product":
+            s = -ip
+        elif metric == "cosine":
+            nrm_j = jnp.sqrt(jnp.maximum(
+                jnp.take(s2, rows_c, axis=0), 0.0))
+            denom = q_norm[:, None] * nrm_j
+            s = -(ip / jnp.where(denom == 0, 1.0, denom))
+        else:
+            s = jnp.take(s2, rows_c, axis=0) - 2.0 * ip
+        s = jnp.where(ok, s, jnp.inf)
+        cand_s = jnp.concatenate([bs, s], axis=1)
+        cand_r = jnp.concatenate([br, rows_c], axis=1)
+        neg, sel = jax.lax.top_k(-cand_s, kk)
+        return (-neg, jnp.take_along_axis(cand_r, sel, axis=1)), None
+
+    init = (jnp.full((b, kk), jnp.inf, jnp.float32),
+            jnp.full((b, kk), -1, jnp.int32))
+    (best_s, best_r), _ = jax.lax.scan(
+        body, init,
+        (jnp.transpose(starts), jnp.transpose(lengths)))
+
+    # Exact re-rank from exactly (HIGHEST) decoded f32 rows.
+    sel_codes = jnp.take(codes, jnp.maximum(best_r, 0), axis=0)
+    x = _dequant(sel_codes.reshape(b * kk, m_sub), codebooks,
+                 dtype=jnp.float32).reshape(b, kk, -1)
+    if metric == "euclidean":
+        diff = x - q[:, None, :]
+        exact = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    elif metric == "inner_product":
+        exact = -jnp.sum(x * q[:, None, :], axis=-1)
+    else:
+        ipx = jnp.sum(x * q[:, None, :], axis=-1)
+        xn = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), 0.0))
+        denom = q_norm[:, None] * xn
+        sim = jnp.clip(ipx / jnp.where(denom == 0, 1.0, denom),
+                       -1.0, 1.0)
+        exact = 2.0 * jnp.arccos(sim) / _math.pi
+    exact = jnp.where(jnp.isinf(best_s) | (best_r < 0), jnp.inf, exact)
+    k_out = min(k, kk)
+    neg, sel = jax.lax.top_k(-exact, k_out)
+    out_d = -neg
+    out_rows = jnp.take_along_axis(best_r, sel, axis=1)
+    out_rows = jnp.where(jnp.isinf(out_d), -1, out_rows)
+    if k_out < k:
+        pad = k - k_out
+        out_d = jnp.concatenate(
+            [out_d, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1)
+        out_rows = jnp.concatenate(
+            [out_rows, jnp.full((b, pad), -1, jnp.int32)], axis=1)
+    return out_d, out_rows

@@ -370,7 +370,7 @@ class TestFactoryString:
             index_from_factory_string,
         )
         with pytest.raises(ValueError):
-            index_from_factory_string("IVF100,PQ8")
+            index_from_factory_string("HNSW32,Flat")
         with pytest.raises(ValueError):
             index_from_factory_string("Flat", metric="hamming")
 

@@ -141,5 +141,33 @@ def test_factory_pq_strings():
     assert idx.dtype == "pq8"
     with pytest.raises(ValueError, match="8-bit"):
         index_from_factory_string("PQ16x4")
-    with pytest.raises(ValueError, match="IVF.*PQ|not wired"):
-        index_from_factory_string("IVF256,PQ16")
+    ivf_pq = index_from_factory_string("IVF256,PQ16")
+    assert ivf_pq.dtype == "pq16" and ivf_pq.n_lists == 256
+
+
+def test_ivf_pq_end_to_end():
+    from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+    from smqtk_indexing_tpu.models.nn_index.factory import (
+        index_from_factory_string,
+    )
+
+    n, d = 4000, 32
+    mat = _clustered(n, d, seed=9)
+    elems = [DescriptorMemoryElement(i, mat[i]) for i in range(n)]
+    idx = index_from_factory_string("IVF16,PQ8", kmeans_iterations=4,
+                                    random_seed=0, nprobe=16)
+    idx.build_index(elems)
+    # Exhaustive probing: PQ codec is the only loss — self-queries hit.
+    res = idx.nn_many(elems[:16], 3)
+    hits = sum(r[0][0].uuid() == i for i, r in enumerate(res))
+    assert hits >= 14
+    # Partial probing still works and distances ascend.
+    idx.nprobe = 2
+    e, dd = idx.nn(elems[5], 5)
+    assert list(dd) == sorted(dd)
+    # Mesh + PQ rejected with a pointer.
+    from smqtk_indexing_tpu.models.nn_index.ivf import (
+        IvfNearestNeighborsIndex,
+    )
+    with pytest.raises(ValueError, match="mesh"):
+        IvfNearestNeighborsIndex(dtype="pq8", n_devices=8)
