@@ -163,5 +163,8 @@ def test_fused_bf16_stage2_matches_f32(metric):
         jnp.asarray(q), k=k, metric=metric, interpret=True,
         db_seg_lo=seg_lo, **kw)
     assert np.array_equal(np.asarray(r_lo), np.asarray(r_ref)), metric
+    # rtol absorbs one-ulp f32 reduction-order differences between the
+    # two exact re-rank paths on real hardware (raw IP magnitudes are
+    # O(300) here, so the default rtol=1e-7 was a sub-ulp demand).
     np.testing.assert_allclose(np.asarray(d_lo), np.asarray(d_ref),
-                               atol=1e-5)
+                               atol=1e-5, rtol=1e-6)

@@ -1,0 +1,134 @@
+"""
+TPU-scale exactness drives (the deep checks CPU tests cannot perform —
+TPU matmul precision semantics differ; see CLAUDE.md):
+
+1. Flat fused scan at 1M x 128: rows identical to float64 numpy truth.
+2. IVF faithful nprobe at 1M: nn results == brute force over exactly the
+   nearest original list's members (FAISS semantics, faiss.py:715-749).
+3. SQ8 scan at 1M: distances match float64 over the DEQUANTIZED rows.
+4. PQ scan: distances match float64 over the RECONSTRUCTED rows.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/verify_exactness.py
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+N, D, B, K = 1_000_000, 128, 64, 10
+
+
+def _log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    from smqtk_indexing_tpu.ops import sq8
+    from smqtk_indexing_tpu.ops.device import capacity_for, pad_rows_np
+    from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused
+
+    rng = np.random.default_rng(0)
+    db = (rng.random((N, D), dtype=np.float32) * 218.0)
+    q = (rng.random((B, D), dtype=np.float32) * 218.0)
+    db_sq = np.einsum("ij,ij->i", db, db).astype(np.float32)
+
+    # Float64 truth.
+    d2 = (q.astype(np.float64) ** 2).sum(1)[:, None] \
+        + db_sq.astype(np.float64)[None, :] \
+        - 2.0 * (q.astype(np.float64) @ db.astype(np.float64).T)
+    truth_rows = np.argsort(d2, axis=1)[:, :K]
+    _log("float64 truth computed")
+
+    # 1. Flat fused.
+    cap = capacity_for(N)
+    db_p = pad_rows_np(db, cap, D)
+    sq_p = np.zeros(cap, np.float32)
+    sq_p[:N] = db_sq
+    valid = np.zeros(cap, bool)
+    valid[:N] = True
+    dev = jnp.asarray(db_p)
+    dev_t = jnp.asarray(np.ascontiguousarray(db_p.T))
+    dd, rr = flat_topk_fused(dev, jnp.asarray(sq_p), jnp.asarray(valid),
+                             jnp.asarray(q), k=16, db_t=dev_t)
+    got = np.asarray(rr)[:, :K]
+    assert np.array_equal(got, truth_rows), "flat fused rows != float64"
+    _log("1. flat fused scan: rows identical to float64 at 1M OK")
+
+    # 2. IVF faithful nprobe=1 (model level).
+    from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+    from smqtk_indexing_tpu.models.nn_index.ivf import (
+        IvfNearestNeighborsIndex,
+    )
+    idx = IvfNearestNeighborsIndex(n_lists=256, nprobe=1,
+                                   kmeans_iterations=4, random_seed=0)
+    idx.build_index([DescriptorMemoryElement(i, db[i])
+                     for i in range(N)])
+    cents = idx._centroids_np[:, :D]
+    assign_chunks = []
+    for lo in range(0, N, 100_000):
+        x = db[lo:lo + 100_000]
+        dc = ((x[:, None, :].astype(np.float32)
+               - cents[None, :, :]) ** 2).sum(-1)
+        assign_chunks.append(np.argmin(dc, axis=1))
+    assign = np.concatenate(assign_chunks)
+    import warnings
+    q_elems = [DescriptorMemoryElement(f"q{i}", q[i]) for i in range(8)]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = idx.nn_many(q_elems, K)
+    for j, (e_list, _) in enumerate(res):
+        c_near = int(np.argmin(((q[j][None, :] - cents) ** 2).sum(1)))
+        members = np.where(assign == c_near)[0]
+        dm = ((q[j][None].astype(np.float64)
+               - db[members].astype(np.float64)) ** 2).sum(1)
+        expect = [int(members[i])
+                  for i in np.argsort(dm)[:len(e_list)]]
+        got_ids = [e.uuid() for e in e_list]
+        assert got_ids == expect, (j, got_ids[:5], expect[:5])
+    _log("2. IVF nprobe=1 == exact scan of the nearest list at 1M OK")
+
+    # 3. SQ8 distances vs float64 over dequantized rows.
+    a, bb = sq8.sq8_train(db)
+    codes = np.zeros((cap, D), np.int8)
+    codes[:N] = sq8.sq8_encode_np(db, a, bb)
+    cj = jnp.asarray(codes)
+    aj, bj = jnp.asarray(a), jnp.asarray(bb)
+    s2, nrm = sq8.sq8_row_stats(cj, aj, bj)
+    dd, rr = sq8.sq8_topk(cj, aj, bj, s2, nrm, jnp.asarray(valid),
+                          jnp.asarray(q), k=16)
+    got_r = np.asarray(rr)[:, :K]
+    got_d = np.asarray(dd)[:, :K]
+    deq = codes[got_r].astype(np.float64) * a + bb
+    ref_d = np.sqrt(((deq - q[:, None, :].astype(np.float64)) ** 2)
+                    .sum(-1))
+    assert np.allclose(got_d, ref_d, atol=1e-3, rtol=1e-5), \
+        np.abs(got_d - ref_d).max()
+    _log("3. SQ8 distances exact vs float64 dequantized rows at 1M OK")
+
+    # 4. PQ distances vs float64 reconstruction (smaller N: train cost).
+    from smqtk_indexing_tpu.ops import pq
+    n_pq = 262_144
+    cbs = pq.pq_train(db[:n_pq], 16, n_iter=5)
+    codes_pq = pq.pq_encode_np(db[:n_pq], cbs)
+    s2p = pq.pq_row_stats(jnp.asarray(codes_pq), jnp.asarray(cbs))
+    dd, rr = pq.pq_topk(jnp.asarray(codes_pq), jnp.asarray(cbs), s2p,
+                        jnp.ones(n_pq, bool), jnp.asarray(q), k=16)
+    got_r = np.asarray(rr)[:, :K]
+    got_d = np.asarray(dd)[:, :K]
+    rec = pq.pq_decode_np(codes_pq, cbs)
+    sel = rec[got_r].astype(np.float64)
+    ref_d = np.sqrt(((sel - q[:, None, :].astype(np.float64)) ** 2)
+                    .sum(-1))
+    assert np.allclose(got_d, ref_d, atol=1e-3, rtol=1e-5), \
+        np.abs(got_d - ref_d).max()
+    _log("4. PQ distances exact vs float64 reconstruction at 256K OK")
+
+    _log("ALL EXACTNESS DRIVES PASSED")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
