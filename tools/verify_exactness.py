@@ -68,13 +68,10 @@ def main() -> None:
     idx.build_index([DescriptorMemoryElement(i, db[i])
                      for i in range(N)])
     cents = idx._centroids_np[:, :D]
-    assign_chunks = []
-    for lo in range(0, N, 100_000):
-        x = db[lo:lo + 100_000]
-        dc = ((x[:, None, :].astype(np.float32)
-               - cents[None, :, :]) ** 2).sum(-1)
-        assign_chunks.append(np.argmin(dc, axis=1))
-    assign = np.concatenate(assign_chunks)
+    # The index's OWN assignment (list membership as built) keyed by uid.
+    assign = np.empty(N, np.int64)
+    for row, uid in enumerate(idx._row2uid):
+        assign[uid] = int(idx._assign_host[row])
     import warnings
     q_elems = [DescriptorMemoryElement(f"q{i}", q[i]) for i in range(8)]
     with warnings.catch_warnings():
