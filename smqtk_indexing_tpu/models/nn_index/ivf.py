@@ -140,11 +140,6 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             raise ValueError(
                 "dtype must be 'float32' | 'bfloat16' | 'sq8' | 'pq<M>', "
                 f"got {dtype!r}")
-        if self._pq_m(dtype) is not None and n_devices is not None \
-                and n_devices > 1:
-            raise ValueError(
-                "IVF+PQ does not ride a mesh yet; use dtype='sq8' with "
-                "n_devices, or 'pq<M>' single-device.")
         self.dtype = dtype
         self.read_only = bool(read_only)
         self.n_devices = n_devices
@@ -459,6 +454,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             self._dev_lens = shard_rows(self._mesh, jnp.asarray(loc_len))
             self._dev_first_virt = replicate(self._mesh,
                                              self._dev_first_virt)
+            if self._pq_m(self.dtype) is not None:
+                self._pq_cb_dev = replicate(self._mesh, self._pq_cb_dev)
+                self._dev_centroids_pq = replicate(
+                    self._mesh, self._dev_centroids_pq)
 
     # ------------------------------------------------------------------
     # persistence
@@ -661,7 +660,22 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             # No removed rows -> the kernels skip the per-row liveness
             # gather (large and scattered at high probe budgets).
             has_dead = not bool(self._valid_host.all())
-            if self._mesh is not None:
+            if self._mesh is not None \
+                    and self._pq_m(self.dtype) is not None:
+                from smqtk_indexing_tpu.parallel.mesh import replicate
+                from smqtk_indexing_tpu.parallel.sharded_ivf import (
+                    sharded_ivf_query_pq,
+                )
+                dists, rows = sharded_ivf_query_pq(
+                    self._mesh, self._dev, self._pq_cb_dev, self._dev_sq,
+                    self._dev_valid, self._dev_centroids_pq,
+                    self._dev_offsets, self._dev_lens,
+                    replicate(self._mesh,
+                              jnp.asarray(q_p[:, self._pq_perm])),
+                    k=k_dev, nprobe=nprobe, l_max=self._l_max,
+                    metric=self.metric, first_virt=first_virt,
+                    nprobe_orig=nprobe_orig, has_dead=has_dead)
+            elif self._mesh is not None:
                 from smqtk_indexing_tpu.parallel.mesh import replicate
                 from smqtk_indexing_tpu.parallel.sharded_ivf import (
                     sharded_ivf_query,

@@ -54,6 +54,59 @@ def shard_csr(offsets: np.ndarray, lens: np.ndarray, n_rows: int,
 
 @partial(jax.jit, static_argnames=("k", "nprobe", "l_max", "metric", "mesh",
                                    "nprobe_orig", "has_dead"))
+def sharded_ivf_query_pq(mesh: Mesh, codes, codebooks, s2, valid,
+                         centroids, offsets, lens, q, *, k: int,
+                         nprobe: int, l_max: int,
+                         metric: str = "euclidean", first_virt=None,
+                         nprobe_orig=None, has_dead: bool = True):
+    """
+    Row-sharded IVF over PQ codes: each shard runs
+    ops/ivf.ivf_query_pq on its clipped CSR view (same per-shard layout
+    as :func:`sharded_ivf_query`; codebooks/centroids/queries
+    replicated), winners merge with the standard k-sized all-gather.
+    """
+    from smqtk_indexing_tpu.ops.ivf import ivf_query_pq
+
+    def local(codes_l, cb_l, s2_l, va_l, c, off_l, len_l, q_l, *fv_l):
+        fv = fv_l[0] if fv_l else None
+        k_loc = min(k, codes_l.shape[0])
+        d, r = ivf_query_pq(codes_l, cb_l, s2_l, va_l, c, off_l[0],
+                            len_l[0], q_l, k=k_loc, nprobe=nprobe,
+                            l_max=l_max, metric=metric, first_virt=fv,
+                            nprobe_orig=nprobe_orig, has_dead=has_dead)
+        if k_loc < k:
+            b = q_l.shape[0]
+            d = jnp.concatenate(
+                [d, jnp.full((b, k - k_loc), jnp.inf, jnp.float32)],
+                axis=1)
+            r = jnp.concatenate(
+                [r, jnp.full((b, k - k_loc), -1, jnp.int32)], axis=1)
+        offset = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) \
+            * codes_l.shape[0]
+        r = jnp.where(r >= 0, r + offset, r)
+        d_all = jax.lax.all_gather(d, SHARD_AXIS)
+        r_all = jax.lax.all_gather(r, SHARD_AXIS)
+        s, b, kk = d_all.shape
+        d_flat = jnp.transpose(d_all, (1, 0, 2)).reshape(b, s * kk)
+        r_flat = jnp.transpose(r_all, (1, 0, 2)).reshape(b, s * kk)
+        neg, sel = jax.lax.top_k(-d_flat, k)
+        return -neg, jnp.take_along_axis(r_flat, sel, axis=1)
+
+    extra = (first_virt,) if first_virt is not None else ()
+    in_specs = (P(SHARD_AXIS, None), P(None, None, None), P(SHARD_AXIS),
+                P(SHARD_AXIS), P(None, None), P(SHARD_AXIS, None),
+                P(SHARD_AXIS, None), P(None, None)) \
+        + tuple(P(None) for _ in extra)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(codes, codebooks, s2, valid, centroids, offsets, lens, q, *extra)
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe", "l_max", "metric", "mesh",
+                                   "nprobe_orig", "has_dead"))
 def sharded_ivf_query(mesh: Mesh, db, db_sq, db_norm, valid, centroids,
                       offsets, lens, q, *, k: int, nprobe: int, l_max: int,
                       metric: str = "euclidean", dq=None, first_virt=None,

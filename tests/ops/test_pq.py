@@ -165,9 +165,32 @@ def test_ivf_pq_end_to_end():
     idx.nprobe = 2
     e, dd = idx.nn(elems[5], 5)
     assert list(dd) == sorted(dd)
-    # Mesh + PQ rejected with a pointer.
+
+
+def test_ivf_pq_sharded_matches_single():
+    import jax
+
+    from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
     from smqtk_indexing_tpu.models.nn_index.ivf import (
         IvfNearestNeighborsIndex,
     )
-    with pytest.raises(ValueError, match="mesh"):
-        IvfNearestNeighborsIndex(dtype="pq8", n_devices=8)
+
+    n, d = 3000, 32
+    mat = _clustered(n, d, seed=11)
+    elems = [DescriptorMemoryElement(i, mat[i]) for i in range(n)]
+    qs = [DescriptorMemoryElement(f"q{j}", v)
+          for j, v in enumerate(_clustered(6, d, seed=12))]
+    # Pin to CPU (sharding equivalence, not backend numerics).
+    with jax.default_device(jax.devices("cpu")[0]):
+        i1 = IvfNearestNeighborsIndex(dtype="pq8", n_lists=16, nprobe=4,
+                                      kmeans_iterations=4, random_seed=0)
+        i8 = IvfNearestNeighborsIndex(dtype="pq8", n_lists=16, nprobe=4,
+                                      kmeans_iterations=4, random_seed=0,
+                                      n_devices=8)
+        i1.build_index(elems)
+        i8.build_index(elems)
+        r1 = i1.nn_many(qs, 5)
+        r8 = i8.nn_many(qs, 5)
+    for (e1, d1), (e8, d8) in zip(r1, r8):
+        assert [x.uuid() for x in e1] == [x.uuid() for x in e8]
+        np.testing.assert_allclose(d8, d1, atol=1e-5)
