@@ -319,17 +319,25 @@ def bench_sq8() -> None:
     valid = jnp.asarray(valid)
     nq = queries.shape[0]
     qb = jnp.asarray(pad_rows_np(queries, max(nq, 128), d))
-    dd, rr = sq8.sq8_topk(codes, a_j, b_j, s2, nrm, valid, qb, k=16)
+    # Fused int8 Pallas stage 1 on TPU (the VectorStore production
+    # config); XLA streamed path elsewhere.
+    import jax
+    codes_t = jnp.asarray(np.ascontiguousarray(codes_np.T)) \
+        if jax.default_backend() == "tpu" else None
+    dd, rr = sq8.sq8_topk(codes, a_j, b_j, s2, nrm, valid, qb, k=16,
+                          codes_t=codes_t)
     np.asarray(dd)
     t0 = time.perf_counter()
     for _ in range(3):
-        dd, rr = sq8.sq8_topk(codes, a_j, b_j, s2, nrm, valid, qb, k=16)
+        dd, rr = sq8.sq8_topk(codes, a_j, b_j, s2, nrm, valid, qb, k=16,
+                              codes_t=codes_t)
     np.asarray(dd)
     dt = (time.perf_counter() - t0) / 3
     got = np.asarray(rr)[:nq, :10]
     emit(metric="sq8_sift1m_scan_b128", value=round(nq / dt, 0),
          unit="queries/s", dataset=dataset,
          recall_at_10=round(_recall_at_10(got, truth), 4),
+         fused_stage1=codes_t is not None,
          note="int8 codes, 4x capacity vs f32; exact re-rank on "
               "dequantized winners")
 

@@ -61,6 +61,12 @@ def _scan_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, mode):
     # expansion of shape (B, TILE_N, d) that blows VMEM.
     q = q_ref[0]
     tile = db_ref[:]
+    if tile.dtype == jnp.int8:
+        # SQ8 codes: integers in [-127, 127] are exact in bf16, so the
+        # in-VMEM cast feeds the MXU true code values at 1 byte/dim of
+        # HBM traffic (the query side is pre-cast to bf16 by the
+        # wrapper; its rounding is the caller's documented margin).
+        tile = tile.astype(jnp.bfloat16)
     if mode == "split3":
         # Split-bf16 3-pass f32 dot: x = hi + lo with hi = bf16(x) makes
         # hi exactly representable and |lo| <= 2^-9 |x|, so
@@ -136,7 +142,8 @@ def segment_minima(db_t: jnp.ndarray, db_sq: jnp.ndarray,
     assert precision in PRECISIONS
     tile_b = min(TILE_B, b)
     assert b % tile_b == 0
-    mode = "native" if db_t.dtype == jnp.bfloat16 else precision
+    mode = "native" if db_t.dtype in (jnp.bfloat16, jnp.int8) \
+        else precision
     # split3 holds three live f32 score buffers plus hi/lo tile temps in
     # VMEM; halving the db tile keeps the scoped-VMEM footprint under the
     # 16MB limit (HBM traffic is unchanged — every tile still streams
@@ -147,8 +154,10 @@ def segment_minima(db_t: jnp.ndarray, db_sq: jnp.ndarray,
     grid = (b // tile_b, n_tiles)
 
     # Queries ship as (q_tiles, tile_b, d) so each q block is a leading
-    # full slice (cheap reshape, no relayout).
-    q3 = (q.astype(db_t.dtype) if db_t.dtype == jnp.bfloat16 else q) \
+    # full slice (cheap reshape, no relayout). bf16/int8 databases take
+    # bf16 queries (int8 tiles cast to bf16 in-kernel).
+    q3 = (q.astype(jnp.bfloat16)
+          if db_t.dtype in (jnp.bfloat16, jnp.int8) else q) \
         .reshape(b // tile_b, tile_b, d)
 
     kernel = partial(_scan_kernel, mode=mode)

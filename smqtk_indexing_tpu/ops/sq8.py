@@ -100,11 +100,12 @@ def _code_ip(t: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
                    preferred_element_type=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+@partial(jax.jit, static_argnames=("k", "metric", "chunk", "interpret"))
 def sq8_topk(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
              s2: jnp.ndarray, nrm: jnp.ndarray, valid: jnp.ndarray,
              q: jnp.ndarray, *, k: int, metric: str = "euclidean",
-             chunk: int = DEFAULT_CHUNK
+             chunk: int = DEFAULT_CHUNK, codes_t: jnp.ndarray = None,
+             interpret: bool = False
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Exhaustive top-k over an SQ8-coded database.
@@ -122,6 +123,12 @@ def sq8_topk(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
     :param nrm: (N,) float32 dequantized row norms.
     :param valid: (N,) bool row liveness.
     :param q: (B, d) float32 queries.
+    :param codes_t: Optional (d, N) TRANSPOSED int8 code mirror — routes
+        stage 1 through the fused Pallas kernel
+        (ops/pallas_scan.segment_minima casts int8 tiles to bf16
+        in-VMEM: 1 byte/dim HBM traffic at full MXU rate). Requires
+        euclidean/inner_product, N % TILE_N == 0, and costs one extra
+        byte/dim of residency; stage 2 / exact re-rank are unchanged.
     :return: (dists (B, k) float32 ascending, rows (B, k) int32;
         +inf / -1 padding).
     """
@@ -179,8 +186,21 @@ def sq8_topk(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
         from smqtk_indexing_tpu.ops.scan import (
             SEG_W, streamed_segment_minima,
         )
-        minima = streamed_segment_minima(
-            scores_of, (codes, s2, nrm, valid), n, chunk, bq)
+        if codes_t is not None:
+            # Fused Pallas stage 1 over the int8 mirror. Stage-1 values
+            # only rank segments, so inner_product's dropped qb_const
+            # (a per-query additive constant) cannot change selection.
+            assert metric in ("euclidean", "inner_product")
+            from smqtk_indexing_tpu.ops.pallas_scan import segment_minima
+            penalty = jnp.where(valid, 0.0, jnp.inf) \
+                .astype(jnp.float32).reshape(1, n)
+            sq_row = s2.reshape(1, n) if metric == "euclidean" \
+                else jnp.zeros((1, n), jnp.float32)
+            minima = segment_minima(codes_t, sq_row, penalty, t,
+                                    interpret=interpret)
+        else:
+            minima = streamed_segment_minima(
+                scores_of, (codes, s2, nrm, valid), n, chunk, bq)
         s_keep = min(k + 16, n // SEG_W)
         smin, sid = topk_smallest(minima, s_keep)
         sid = jnp.where(jnp.isinf(smin), -1, sid)

@@ -85,6 +85,21 @@ class VectorStore:
                 and self._mesh is None and self._capacity >= TILE_N
                 and self._capacity % TILE_N == 0)
 
+    def _sq8_fused_eligible(self, metric: str) -> bool:
+        """Route the SQ8 scan's stage 1 through the fused Pallas kernel
+        (transposed int8 mirror, +1 byte/dim residency): real TPU,
+        matmul-form metric, capacity past the single-chunk scan and
+        tiled for the kernel."""
+        from smqtk_indexing_tpu.ops.device import tpu_kernel_enabled
+        from smqtk_indexing_tpu.ops.pallas_scan import TILE_N
+        from smqtk_indexing_tpu.ops.sq8 import DEFAULT_CHUNK
+        return (self._dtype_name == "sq8"
+                and tpu_kernel_enabled("SMQTK_TPU_NO_FUSED")
+                and metric in ("euclidean", "inner_product")
+                and self._mesh is None
+                and self._capacity > DEFAULT_CHUNK
+                and self._capacity % TILE_N == 0)
+
     # ------------------------------------------------------------------
     # state
     # ------------------------------------------------------------------
@@ -416,6 +431,12 @@ class VectorStore:
             # acquisitions would otherwise mix two database versions
             # (stage-1 selection on one, stage-2 re-rank on the other).
             use_fused = self._fused_eligible(metric)
+            use_sq8_fused = self._sq8_fused_eligible(metric)
+            if use_sq8_fused:
+                if self._dev_t is None or self._dev_t_metric != "sq8raw":
+                    self._dev_t = jnp.asarray(self._dev.T)
+                    self._dev_t_metric = "sq8raw"
+                sq8_dev_t = self._dev_t
             if use_fused:
                 # The mirror's CONTENT depends on the metric (cosine uses
                 # row-normalized vectors): key the cache by metric so a
@@ -467,7 +488,8 @@ class VectorStore:
             from smqtk_indexing_tpu.ops.sq8 import sq8_topk
             dists, rows = sq8_topk(
                 dev, sq8_a, sq8_b, dev_sq, dev_norm,
-                dev_valid, jnp.asarray(q_pad), k=k_dev, metric=metric)
+                dev_valid, jnp.asarray(q_pad), k=k_dev, metric=metric,
+                codes_t=sq8_dev_t if use_sq8_fused else None)
         elif self._dtype_name == "sq8":
             from smqtk_indexing_tpu.parallel.mesh import replicate
             from smqtk_indexing_tpu.parallel.sharded_scan import (

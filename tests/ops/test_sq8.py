@@ -71,6 +71,39 @@ def test_sq8_topk_high_recall_vs_exact(metric):
     assert np.all(np.diff(d_sq8, axis=1) >= -1e-5)
 
 
+def test_sq8_fused_stage1_matches_streamed():
+    """The Pallas int8 stage 1 (interpret mode) must reproduce the XLA
+    streamed scan's results exactly (same stage 2 / exact re-rank)."""
+    import jax.numpy as jnp
+
+    from smqtk_indexing_tpu.ops import sq8
+    from smqtk_indexing_tpu.ops.pallas_scan import TILE_N
+
+    rng = np.random.default_rng(0)
+    n, d, b, k = 2 * TILE_N, 128, 8, 8
+    mat = (rng.random((n, d), dtype=np.float32) * 10)
+    a, bb = sq8.sq8_train(mat)
+    codes = sq8.sq8_encode_np(mat, a, bb)
+    q = (rng.random((b, d), dtype=np.float32) * 10)
+    cj = jnp.asarray(codes)
+    aj, bj = jnp.asarray(a), jnp.asarray(bb)
+    s2, nrm = sq8.sq8_row_stats(cj, aj, bj)
+    valid = np.ones(n, bool)
+    valid[100:200] = False
+    vj = jnp.asarray(valid)
+    for metric in ("euclidean", "inner_product"):
+        d_ref, r_ref = sq8.sq8_topk(cj, aj, bj, s2, nrm, vj,
+                                    jnp.asarray(q), k=k, metric=metric,
+                                    chunk=1024)
+        d_f, r_f = sq8.sq8_topk(cj, aj, bj, s2, nrm, vj, jnp.asarray(q),
+                                k=k, metric=metric, chunk=1024,
+                                codes_t=jnp.asarray(codes.T.copy()),
+                                interpret=True)
+        assert np.array_equal(np.asarray(r_f), np.asarray(r_ref)), metric
+        np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref),
+                                   atol=1e-5, rtol=1e-6)
+
+
 def test_sq8_topk_self_match_and_chunked():
     # > chunk rows exercises the lax.scan streaming path (N % chunk == 0,
     # the store capacity invariant).
