@@ -42,6 +42,7 @@ from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
 )
 from smqtk_indexing_tpu.ops.device import capacity_for, pad_dim, pad_rows_np
 from smqtk_indexing_tpu.ops.ivf import METRICS, ivf_query
+from smqtk_indexing_tpu.ops.pq import pq_prep_queries as _pq_prep
 from smqtk_indexing_tpu.ops.kmeans import kmeans_assign, kmeans_lloyd
 from smqtk_indexing_tpu.utils.tracing import COUNTERS, trace_span
 
@@ -316,20 +317,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             # faiss.py:190): scoring stats come from the DEQUANTIZED rows
             # so surrogate + exact re-rank agree (ops/sq8.py).
             from smqtk_indexing_tpu.ops import sq8 as sq8_ops
-            live = self._host[self._valid_host] \
-                if not self._valid_host.all() else self._host
-            a, b = sq8_ops.sq8_train(live)
-            a_p = np.full(d_pad, 1e-12, dtype=np.float32)
-            b_p = np.zeros(d_pad, dtype=np.float32)
-            a_p[:self._dim] = a
-            b_p[:self._dim] = b
-            codes = np.zeros((self._capacity, d_pad), dtype=np.int8)
-            codes[:n, :self._dim] = sq8_ops.sq8_encode_np(self._host, a, b)
-            self._sq8_a = jnp.asarray(a_p)
-            self._sq8_b = jnp.asarray(b_p)
-            self._dev = jnp.asarray(codes)
-            s2, nrm = sq8_ops.sq8_row_stats(self._dev, self._sq8_a,
-                                            self._sq8_b)
+            (self._sq8_a, self._sq8_b, self._dev, _, nrm) = \
+                sq8_ops.sq8_build_store(self._host, self._valid_host,
+                                        self._capacity, d_pad, self._dim)
             # ||x_hat||^2 = s2 + 2<a*u, b> + ||b||^2 == nrm^2; use the
             # dequantized stats directly.
             self._dev_sq = nrm * nrm
@@ -337,23 +327,13 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             self._dev_valid = jnp.asarray(valid)
         elif self._pq_m(self.dtype) is not None:
             # PQ codes in list-sorted order (the 'IVFn,PQm' factory
-            # configuration): train-per-build codebooks over the live
-            # rows with the round-robin dim interleave, exact recon-norm
-            # stats for the scan surrogate.
+            # configuration) — shared codec build (ops/pq.pq_build_store:
+            # dim interleave, train-per-build, exact recon-norm stats).
             from smqtk_indexing_tpu.ops import pq as pq_ops
-            m_sub = self._pq_m(self.dtype)
-            self._pq_perm = np.argsort(
-                np.arange(d_pad) % m_sub, kind="stable").astype(np.int32)
-            live = self._host[self._valid_host] \
-                if not self._valid_host.all() else self._host
-            live_p = pad_rows_np(live, live.shape[0], d_pad)
-            cb = pq_ops.pq_train(live_p[:, self._pq_perm], m_sub)
-            self._pq_cb_dev = jnp.asarray(cb)
-            codes = np.zeros((self._capacity, m_sub), dtype=np.uint8)
-            codes[:n] = pq_ops.pq_encode_np(
-                pad_rows_np(self._host, n, d_pad)[:, self._pq_perm], cb)
-            self._dev = jnp.asarray(codes)
-            s2 = pq_ops.pq_row_stats(self._dev, self._pq_cb_dev)
+            (self._pq_perm, _, self._pq_cb_dev, self._dev, s2) = \
+                pq_ops.pq_build_store(self._host, self._valid_host,
+                                      self._capacity, d_pad,
+                                      self._pq_m(self.dtype))
             # Padding rows decode to some centroid, but list windows
             # never cover them; keep their stats harmless anyway.
             self._dev_sq = jnp.where(jnp.asarray(valid), s2, 0.0)
@@ -425,12 +405,14 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._dev_centroids = jnp.asarray(self._centroids_np[v_orig],
                                           dtype=cent_dtype)
         if self._pq_m(self.dtype) is not None:
-            # PQ queries arrive dim-interleaved; probe selection needs
-            # centroids in the same order (rankings are permutation
-            # invariant).
+            # PQ queries arrive dim-interleaved on the codec grid; probe
+            # selection needs centroids in the same order (rankings are
+            # permutation invariant).
+            from smqtk_indexing_tpu.ops.pq import pq_prep_queries
             self._dev_centroids_pq = jnp.asarray(
-                self._centroids_np[v_orig][:, self._pq_perm],
-                dtype=jnp.float32)
+                pq_prep_queries(
+                    self._centroids_np[v_orig].astype(np.float32),
+                    self._pq_perm))
         offsets, lens = v_off, v_len
         self._dev_offsets = jnp.asarray(offsets)
         self._dev_lens = jnp.asarray(lens)
@@ -650,13 +632,24 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             else:
                 nprobe_orig = self.nprobe
                 first_virt = self._dev_first_virt
+                # +1 list of slack: exact centroid-score ties at the
+                # threshold admit a superset (probe_eligibility), and a
+                # tied list's sublists must still fit the budget.
                 nprobe = min(
-                    _pow2_at_least(self.nprobe * self._max_split + 8),
+                    _pow2_at_least(
+                        (self.nprobe + 1) * self._max_split + 8),
                     self._n_virtual)
             COUNTERS.add("ivf.queries", b)
-            COUNTERS.add("ivf.probed_lists", b * nprobe)
-            COUNTERS.add("ivf.candidates_scanned",
-                         b * nprobe * self._l_max)
+            # Faithful semantics: count ORIGINAL lists actually scanned
+            # (budget slots beyond the eligible lists scan nothing).
+            n_orig_probed = nprobe_orig if nprobe_orig is not None \
+                else self._centroids_np.shape[0]
+            COUNTERS.add("ivf.probed_lists", b * n_orig_probed)
+            COUNTERS.add(
+                "ivf.candidates_scanned",
+                b * n_orig_probed
+                * max(self._n_live // max(self._centroids_np.shape[0], 1),
+                      1))
             # No removed rows -> the kernels skip the per-row liveness
             # gather (large and scattered at high probe budgets).
             has_dead = not bool(self._valid_host.all())
@@ -670,8 +663,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._mesh, self._dev, self._pq_cb_dev, self._dev_sq,
                     self._dev_valid, self._dev_centroids_pq,
                     self._dev_offsets, self._dev_lens,
-                    replicate(self._mesh,
-                              jnp.asarray(q_p[:, self._pq_perm])),
+                    replicate(self._mesh, jnp.asarray(
+                        _pq_prep(q_p, self._pq_perm))),
                     k=k_dev, nprobe=nprobe, l_max=self._l_max,
                     metric=self.metric, first_virt=first_virt,
                     nprobe_orig=nprobe_orig, has_dead=has_dead)
@@ -706,7 +699,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev, self._pq_cb_dev, self._dev_sq,
                     self._dev_valid, self._dev_centroids_pq,
                     self._dev_offsets, self._dev_lens,
-                    jnp.asarray(q_p[:, self._pq_perm]), k=k_dev,
+                    jnp.asarray(_pq_prep(q_p, self._pq_perm)),
+                    k=k_dev,
                     nprobe=nprobe, l_max=self._l_max, metric=self.metric,
                     first_virt=first_virt, nprobe_orig=nprobe_orig,
                     has_dead=has_dead)

@@ -50,7 +50,13 @@ def stage1_precision() -> str:
     cost; 'native' = raw bf16 pass, only safe for bf16-stored data)."""
     import os
     v = os.environ.get("SMQTK_TPU_STAGE1", "split3")
-    return v if v in ("native", "split3", "highest") else "split3"
+    if v not in ("native", "split3", "highest"):
+        # Exactness-sensitive users must not silently get the
+        # approximate default off a typo.
+        raise ValueError(
+            f"SMQTK_TPU_STAGE1={v!r}: must be one of "
+            "'native' | 'split3' | 'highest'.")
+    return v
 
 
 def tpu_kernel_enabled(env_flag: str) -> bool:

@@ -194,8 +194,6 @@ def ivf_query_pq(codes: jnp.ndarray, codebooks: jnp.ndarray,
     :param s2: (N,) float32 squared reconstruction norms.
     :return: (dists (B, k) ascending, rows (B, k) int32; +inf/-1 pads).
     """
-    import math as _math
-
     from smqtk_indexing_tpu.ops.pq import _dequant
 
     if metric not in METRICS:
@@ -261,31 +259,8 @@ def ivf_query_pq(codes: jnp.ndarray, codebooks: jnp.ndarray,
         (jnp.transpose(starts), jnp.transpose(lengths)))
 
     # Exact re-rank from exactly (HIGHEST) decoded f32 rows.
+    from smqtk_indexing_tpu.ops.scan import exact_rerank_decoded
     sel_codes = jnp.take(codes, jnp.maximum(best_r, 0), axis=0)
     x = _dequant(sel_codes.reshape(b * kk, m_sub), codebooks,
                  dtype=jnp.float32).reshape(b, kk, -1)
-    if metric == "euclidean":
-        diff = x - q[:, None, :]
-        exact = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
-    elif metric == "inner_product":
-        exact = -jnp.sum(x * q[:, None, :], axis=-1)
-    else:
-        ipx = jnp.sum(x * q[:, None, :], axis=-1)
-        xn = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), 0.0))
-        denom = q_norm[:, None] * xn
-        sim = jnp.clip(ipx / jnp.where(denom == 0, 1.0, denom),
-                       -1.0, 1.0)
-        exact = 2.0 * jnp.arccos(sim) / _math.pi
-    exact = jnp.where(jnp.isinf(best_s) | (best_r < 0), jnp.inf, exact)
-    k_out = min(k, kk)
-    neg, sel = jax.lax.top_k(-exact, k_out)
-    out_d = -neg
-    out_rows = jnp.take_along_axis(best_r, sel, axis=1)
-    out_rows = jnp.where(jnp.isinf(out_d), -1, out_rows)
-    if k_out < k:
-        pad = k - k_out
-        out_d = jnp.concatenate(
-            [out_d, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1)
-        out_rows = jnp.concatenate(
-            [out_rows, jnp.full((b, pad), -1, jnp.int32)], axis=1)
-    return out_d, out_rows
+    return exact_rerank_decoded(x, q, q_norm, best_s, best_r, metric, k)

@@ -356,16 +356,25 @@ def flat_topk_fused(db: jnp.ndarray, db_sq: jnp.ndarray,
     # query's own block off the result's block diagonal.
     m_cand = s_keep * SEG
     cohort = min(32, b)
-    nc = b // cohort
-    g = cand_lo.reshape(nc, cohort * m_cand, d)
-    qs = q_stage1.astype(jnp.bfloat16).reshape(nc, cohort, d)
-    s_all = jax.lax.dot_general(
-        qs, g, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)    # (nc, cohort, cohort*M)
-    s4 = s_all.reshape(nc, cohort, cohort, m_cand)
-    ip = jnp.take_along_axis(
-        s4, jax.lax.broadcasted_iota(jnp.int32, (nc, cohort, 1, 1), 1),
-        axis=2).reshape(b, m_cand)
+    if b % cohort == 0:
+        nc = b // cohort
+        g = cand_lo.reshape(nc, cohort * m_cand, d)
+        qs = q_stage1.astype(jnp.bfloat16).reshape(nc, cohort, d)
+        s_all = jax.lax.dot_general(
+            qs, g, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (nc, cohort, cohort*M)
+        s4 = s_all.reshape(nc, cohort, cohort, m_cand)
+        ip = jnp.take_along_axis(
+            s4, jax.lax.broadcasted_iota(jnp.int32, (nc, cohort, 1, 1),
+                                         1),
+            axis=2).reshape(b, m_cand)
+    else:
+        # Contract permits any B that is a multiple of 8; cohorts need
+        # 32 | B — odd batch shapes take the per-query matvec instead of
+        # crashing on the reshape.
+        ip = jnp.einsum("bmd,bd->bm", cand_lo,
+                        q_stage1.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
     if metric == "euclidean":
         s2 = seg_gather_1d(db_sq) - 2.0 * ip
     elif metric == "inner_product":

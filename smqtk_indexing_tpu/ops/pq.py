@@ -110,6 +110,59 @@ def pq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
         axis=1)
 
 
+def pq_codec_dim(d_pad: int, m: int) -> int:
+    """Codec-grid width: the lane-padded dim rounded UP to a multiple of
+    the subquantizer count, so FAISS-valid configurations whose M does
+    not divide 128 (e.g. d=96 with PQ12) still build — the extra zero
+    dims quantize exactly and contribute nothing to any metric."""
+    return -(-d_pad // m) * m
+
+
+def pq_build_store(host: np.ndarray, valid_mask: np.ndarray,
+                   capacity: int, d_pad: int, m: int):
+    """
+    The one shared PQ store build (used by both the flat VectorStore and
+    the IVF CSR store so codec details cannot diverge): round-robin dim
+    interleave over the codec grid (zero-padding would otherwise pack
+    every real dim into the first subspaces), train-per-build codebooks
+    over the live rows, encode, exact recon-norm stats.
+
+    :param host: (n, dim) float32 raw rows (any order).
+    :param valid_mask: (n,) bool liveness.
+    :return: (perm (d_codec,) int32, codebooks np (m, 256, dsub) f32,
+        codebooks device, codes device (capacity, m) uint8,
+        s2 device (capacity,) f32).
+    """
+    from smqtk_indexing_tpu.ops.device import pad_rows_np
+
+    if m > host.shape[1]:
+        raise ValueError(
+            f"PQ{m}: more subquantizers than dims ({host.shape[1]}).")
+    d_codec = pq_codec_dim(d_pad, m)
+    perm = np.argsort(np.arange(d_codec) % m,
+                      kind="stable").astype(np.int32)
+    n = host.shape[0]
+    live = host[valid_mask] if not valid_mask.all() else host
+    live_p = pad_rows_np(live, live.shape[0], d_codec)
+    cb = pq_train(live_p[:, perm], m)
+    codes = np.zeros((capacity, m), dtype=np.uint8)
+    codes[:n] = pq_encode_np(
+        pad_rows_np(host, n, d_codec)[:, perm], cb)
+    cb_dev = jnp.asarray(cb)
+    codes_dev = jnp.asarray(codes)
+    s2 = pq_row_stats(codes_dev, cb_dev)
+    return perm, cb, cb_dev, codes_dev, s2
+
+
+def pq_prep_queries(q_pad: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """Extend lane-padded queries to the codec grid and interleave."""
+    b, dp = q_pad.shape
+    if len(perm) > dp:
+        q_pad = np.concatenate(
+            [q_pad, np.zeros((b, len(perm) - dp), q_pad.dtype)], axis=1)
+    return q_pad[:, perm]
+
+
 def _dequant(codes_c: jnp.ndarray, cb: jnp.ndarray,
              dtype=jnp.bfloat16) -> jnp.ndarray:
     """
@@ -268,24 +321,8 @@ def pq_topk(codes: jnp.ndarray, codebooks: jnp.ndarray, s2: jnp.ndarray,
         best_r = jnp.where(jnp.isinf(best_s), -1, best_r)
 
     # Exact f32 re-rank of the kk winners from exactly decoded rows.
+    from smqtk_indexing_tpu.ops.scan import exact_rerank_decoded
     sel_codes = jnp.take(codes, jnp.maximum(best_r, 0), axis=0)  # (B,kk,M)
     x = _dequant(sel_codes.reshape(bq * kk, m),
                  codebooks, dtype=jnp.float32).reshape(bq, kk, -1)
-    if metric == "euclidean":
-        diff = x - q[:, None, :]
-        exact = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
-    elif metric == "inner_product":
-        exact = -jnp.sum(x * q[:, None, :], axis=-1)
-    elif metric == "cosine":
-        ipx = jnp.sum(x * q[:, None, :], axis=-1)
-        xn = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), 0.0))
-        denom = q_norm[:, None] * xn
-        sim = jnp.clip(ipx / jnp.where(denom == 0, 1.0, denom), -1.0, 1.0)
-        exact = 2.0 * jnp.arccos(sim) / math.pi
-    else:  # hik
-        exact = 1.0 - jnp.sum(jnp.minimum(q[:, None, :], x), axis=-1)
-    exact = jnp.where(jnp.isinf(best_s) | (best_r < 0), jnp.inf, exact)
-    neg, sel = jax.lax.top_k(-exact, k)
-    out_rows = jnp.take_along_axis(best_r, sel, axis=1)
-    out_d = -neg
-    return out_d, jnp.where(jnp.isinf(out_d), -1, out_rows)
+    return exact_rerank_decoded(x, q, q_norm, best_s, best_r, metric, k)

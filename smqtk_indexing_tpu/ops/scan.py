@@ -177,6 +177,51 @@ def streamed_segment_minima(score_fn, blocks, n: int, chunk: int,
     return jnp.transpose(mins, (1, 0, 2)).reshape(bq, n // seg)
 
 
+def exact_rerank_decoded(x: jnp.ndarray, q: jnp.ndarray,
+                         q_norm: jnp.ndarray, best_s: jnp.ndarray,
+                         best_r: jnp.ndarray, metric: str, k: int):
+    """
+    Shared exact-re-rank epilogue for the compressed-codec scans
+    (ops/sq8.sq8_topk, ops/pq.pq_topk, ops/ivf.ivf_query_pq): given the
+    kk surrogate winners ALREADY DECODED to float32 rows, compute exact
+    per-metric distances, re-sort, and emit the final (B, k) results.
+    One implementation so the margin/tie semantics cannot diverge.
+
+    :param x: (B, kk, d) float32 exactly decoded candidate rows.
+    :param best_s: (B, kk) surrogate scores (+inf marks empty slots).
+    :param best_r: (B, kk) int32 rows (-1 marks empty slots).
+    :return: (dists (B, k) ascending, rows (B, k); +inf / -1 padding).
+    """
+    if metric == "euclidean":
+        diff = x - q[:, None, :]
+        exact = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    elif metric == "inner_product":
+        exact = -jnp.sum(x * q[:, None, :], axis=-1)
+    elif metric == "cosine":
+        ipx = jnp.sum(x * q[:, None, :], axis=-1)
+        xn = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), 0.0))
+        denom = q_norm[:, None] * xn
+        sim = jnp.clip(ipx / jnp.where(denom == 0, 1.0, denom),
+                       -1.0, 1.0)
+        exact = 2.0 * jnp.arccos(sim) / math.pi
+    else:  # hik
+        exact = 1.0 - jnp.sum(jnp.minimum(q[:, None, :], x), axis=-1)
+    exact = jnp.where(jnp.isinf(best_s) | (best_r < 0), jnp.inf, exact)
+    k_out = min(k, exact.shape[1])
+    neg, sel = jax.lax.top_k(-exact, k_out)
+    out_d = -neg
+    out_rows = jnp.take_along_axis(best_r, sel, axis=1)
+    out_rows = jnp.where(jnp.isinf(out_d), -1, out_rows)
+    if k_out < k:
+        b = x.shape[0]
+        pad = k - k_out
+        out_d = jnp.concatenate(
+            [out_d, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1)
+        out_rows = jnp.concatenate(
+            [out_rows, jnp.full((b, pad), -1, jnp.int32)], axis=1)
+    return out_d, out_rows
+
+
 def _exact_selected(metric: str, db: jnp.ndarray, q: jnp.ndarray,
                     q_sq: jnp.ndarray, scores: jnp.ndarray,
                     rows: jnp.ndarray, dq=None):

@@ -77,6 +77,34 @@ def sq8_decode(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray
     return codes.astype(jnp.float32) * a + b
 
 
+def sq8_build_store(host: np.ndarray, valid_mask: np.ndarray,
+                    capacity: int, d_pad: int, dim: int):
+    """
+    The one shared SQ8 store build (flat VectorStore and the IVF CSR
+    store both call it so codec details cannot diverge): per-dim codec
+    trained over the live rows, padding dims get scale epsilon / offset
+    0 so zero-padded codes and queries contribute nothing to any score
+    term.
+
+    :return: (a_dev (d_pad,), b_dev (d_pad,), codes_dev (capacity, d_pad)
+        int8, s2 (capacity,), nrm (capacity,)).
+    """
+    n = host.shape[0]
+    live = host[valid_mask] if not valid_mask.all() else host
+    a, b = sq8_train(live)
+    a_p = np.full(d_pad, 1e-12, dtype=np.float32)
+    b_p = np.zeros(d_pad, dtype=np.float32)
+    a_p[:dim] = a
+    b_p[:dim] = b
+    codes = np.zeros((capacity, d_pad), dtype=np.int8)
+    codes[:n, :dim] = sq8_encode_np(host, a, b)
+    a_dev = jnp.asarray(a_p)
+    b_dev = jnp.asarray(b_p)
+    codes_dev = jnp.asarray(codes)
+    s2, nrm = sq8_row_stats(codes_dev, a_dev, b_dev)
+    return a_dev, b_dev, codes_dev, s2, nrm
+
+
 @jax.jit
 def sq8_row_stats(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -242,23 +270,7 @@ def sq8_topk(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
         best_r = jnp.where(jnp.isinf(best_s), -1, best_r)
 
     # Exact re-rank of the kk winners from dequantized f32 rows.
+    from smqtk_indexing_tpu.ops.scan import exact_rerank_decoded
     sel_codes = jnp.take(codes, jnp.maximum(best_r, 0), axis=0)
     x = sel_codes.astype(jnp.float32) * a + b        # (B, kk, d)
-    if metric == "euclidean":
-        diff = x - q[:, None, :]
-        exact = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
-    elif metric == "inner_product":
-        exact = -jnp.sum(x * q[:, None, :], axis=-1)
-    elif metric == "cosine":
-        ipx = jnp.sum(x * q[:, None, :], axis=-1)
-        xn = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), 0.0))
-        denom = q_norm[:, None] * xn
-        sim = jnp.clip(ipx / jnp.where(denom == 0, 1.0, denom), -1.0, 1.0)
-        exact = 2.0 * jnp.arccos(sim) / math.pi
-    else:  # hik
-        exact = 1.0 - jnp.sum(jnp.minimum(q[:, None, :], x), axis=-1)
-    exact = jnp.where(jnp.isinf(best_s) | (best_r < 0), jnp.inf, exact)
-    neg, sel = jax.lax.top_k(-exact, k)
-    out_rows = jnp.take_along_axis(best_r, sel, axis=1)
-    out_d = -neg
-    return out_d, jnp.where(jnp.isinf(out_d), -1, out_rows)
+    return exact_rerank_decoded(x, q, q_norm, best_s, best_r, metric, k)

@@ -266,24 +266,10 @@ class VectorStore:
         valid[:n] = self._valid_host
         if self._dtype_name == "sq8":
             from smqtk_indexing_tpu.ops import sq8
-            live = self._host[self._valid_host] if not \
-                self._valid_host.all() else self._host
-            a, b = sq8.sq8_train(live)
-            # Padding dims: scale epsilon / offset 0 so zero-padded codes
-            # and queries contribute nothing to any score term.
-            a_p = np.full(d_pad, 1e-12, dtype=np.float32)
-            b_p = np.zeros(d_pad, dtype=np.float32)
-            a_p[:self._dim] = a
-            b_p[:self._dim] = b
-            codes = np.zeros((self._capacity, d_pad), dtype=np.int8)
-            codes[:n, :self._dim] = sq8.sq8_encode_np(self._host, a, b)
-            self._sq8_a = jnp.asarray(a_p)
-            self._sq8_b = jnp.asarray(b_p)
-            self._dev = jnp.asarray(codes)
-            s2, nrm = sq8.sq8_row_stats(self._dev, self._sq8_a,
-                                        self._sq8_b)
-            self._dev_sq = s2
-            self._dev_norm = nrm
+            (self._sq8_a, self._sq8_b, self._dev, self._dev_sq,
+             self._dev_norm) = sq8.sq8_build_store(
+                self._host, self._valid_host, self._capacity, d_pad,
+                self._dim)
             self._dev_valid = jnp.asarray(valid)
             self._dev_t = None
             if self._mesh is not None:
@@ -296,19 +282,10 @@ class VectorStore:
         pq_m = _pq_m(self._dtype_name)
         if pq_m is not None:
             from smqtk_indexing_tpu.ops import pq
-            self._pq_perm = np.argsort(
-                np.arange(d_pad) % pq_m, kind="stable").astype(np.int32)
-            live = self._host[self._valid_host] if not \
-                self._valid_host.all() else self._host
-            live_p = pad_rows_np(live, live.shape[0], d_pad)
-            self._pq_cb = pq.pq_train(live_p[:, self._pq_perm], pq_m)
-            self._pq_cb_dev = jnp.asarray(self._pq_cb)
-            codes = np.zeros((self._capacity, pq_m), dtype=np.uint8)
-            codes[:n] = pq.pq_encode_np(
-                pad_rows_np(self._host, n, d_pad)[:, self._pq_perm],
-                self._pq_cb)
-            self._dev = jnp.asarray(codes)
-            self._dev_sq = pq.pq_row_stats(self._dev, self._pq_cb_dev)
+            (self._pq_perm, self._pq_cb, self._pq_cb_dev, self._dev,
+             self._dev_sq) = pq.pq_build_store(
+                self._host, self._valid_host, self._capacity, d_pad,
+                pq_m)
             self._dev_norm = jnp.sqrt(jnp.maximum(self._dev_sq, 0.0))
             self._dev_valid = jnp.asarray(valid)
             self._dev_t = None
@@ -369,7 +346,9 @@ class VectorStore:
             # add-after-train contract).
             from smqtk_indexing_tpu.ops import pq
             codes = pq.pq_encode_np(
-                pad_rows_np(mat, mat.shape[0], d_pad)[:, self._pq_perm],
+                pq.pq_prep_queries(
+                    pad_rows_np(mat, mat.shape[0], d_pad),
+                    self._pq_perm),
                 self._pq_cb)
             block_dev = jnp.asarray(codes)
             self._dev = jax.lax.dynamic_update_slice(
@@ -469,12 +448,13 @@ class VectorStore:
         k_dev = min(_pow2_at_least(k_eff, 1), cap)
 
         if _pq_m(self._dtype_name) is not None and self._mesh is None:
-            from smqtk_indexing_tpu.ops.pq import pq_topk
+            from smqtk_indexing_tpu.ops.pq import pq_prep_queries, pq_topk
             dists, rows = pq_topk(
                 dev, pq_cb_dev, dev_sq, dev_valid,
-                jnp.asarray(q_pad[:, pq_perm]), k=k_dev,
+                jnp.asarray(pq_prep_queries(q_pad, pq_perm)), k=k_dev,
                 metric=metric)
         elif _pq_m(self._dtype_name) is not None:
+            from smqtk_indexing_tpu.ops.pq import pq_prep_queries
             from smqtk_indexing_tpu.parallel.mesh import replicate
             from smqtk_indexing_tpu.parallel.sharded_scan import (
                 sharded_pq_topk,
@@ -482,7 +462,8 @@ class VectorStore:
             dists, rows = sharded_pq_topk(
                 self._mesh, dev, replicate(self._mesh, pq_cb_dev),
                 dev_sq, dev_valid,
-                replicate(self._mesh, jnp.asarray(q_pad[:, pq_perm])),
+                replicate(self._mesh,
+                          jnp.asarray(pq_prep_queries(q_pad, pq_perm))),
                 k=k_dev, metric=metric)
         elif self._dtype_name == "sq8" and self._mesh is None:
             from smqtk_indexing_tpu.ops.sq8 import sq8_topk

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from smqtk_indexing_tpu.ops.ivf import ivf_query
-from smqtk_indexing_tpu.parallel.mesh import SHARD_AXIS
+from smqtk_indexing_tpu.parallel.mesh import row_axes
+from smqtk_indexing_tpu.parallel.sharded_scan import (
+    _global_shard_index, _hier_merge,
+)
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -81,21 +84,15 @@ def sharded_ivf_query_pq(mesh: Mesh, codes, codebooks, s2, valid,
                 axis=1)
             r = jnp.concatenate(
                 [r, jnp.full((b, k - k_loc), -1, jnp.int32)], axis=1)
-        offset = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) \
-            * codes_l.shape[0]
+        offset = _global_shard_index(mesh) * codes_l.shape[0]
         r = jnp.where(r >= 0, r + offset, r)
-        d_all = jax.lax.all_gather(d, SHARD_AXIS)
-        r_all = jax.lax.all_gather(r, SHARD_AXIS)
-        s, b, kk = d_all.shape
-        d_flat = jnp.transpose(d_all, (1, 0, 2)).reshape(b, s * kk)
-        r_flat = jnp.transpose(r_all, (1, 0, 2)).reshape(b, s * kk)
-        neg, sel = jax.lax.top_k(-d_flat, k)
-        return -neg, jnp.take_along_axis(r_flat, sel, axis=1)
+        return _hier_merge(mesh, d, r, k)
 
+    rows_spec = row_axes(mesh)
     extra = (first_virt,) if first_virt is not None else ()
-    in_specs = (P(SHARD_AXIS, None), P(None, None, None), P(SHARD_AXIS),
-                P(SHARD_AXIS), P(None, None), P(SHARD_AXIS, None),
-                P(SHARD_AXIS, None), P(None, None)) \
+    in_specs = (P(rows_spec, None), P(None, None, None), P(rows_spec),
+                P(rows_spec), P(None, None), P(rows_spec, None),
+                P(rows_spec, None), P(None, None)) \
         + tuple(P(None) for _ in extra)
     return jax.shard_map(
         local, mesh=mesh,
@@ -143,23 +140,17 @@ def sharded_ivf_query(mesh: Mesh, db, db_sq, db_norm, valid, centroids,
                 [d, jnp.full((b, k - k_loc), jnp.inf, jnp.float32)], axis=1)
             r = jnp.concatenate(
                 [r, jnp.full((b, k - k_loc), -1, jnp.int32)], axis=1)
-        offset = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) \
-            * db_l.shape[0]
+        offset = _global_shard_index(mesh) * db_l.shape[0]
         r = jnp.where(r >= 0, r + offset, r)
-        d_all = jax.lax.all_gather(d, SHARD_AXIS)
-        r_all = jax.lax.all_gather(r, SHARD_AXIS)
-        s, b, kk = d_all.shape
-        d_flat = jnp.transpose(d_all, (1, 0, 2)).reshape(b, s * kk)
-        r_flat = jnp.transpose(r_all, (1, 0, 2)).reshape(b, s * kk)
-        neg, sel = jax.lax.top_k(-d_flat, k)
-        return -neg, jnp.take_along_axis(r_flat, sel, axis=1)
+        return _hier_merge(mesh, d, r, k)
 
+    rows_spec = row_axes(mesh)
     extra = tuple(dq) if dq is not None else ()
     if first_virt is not None:
         extra = extra + (first_virt,)
-    in_specs = (P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
-                P(SHARD_AXIS), P(None, None), P(SHARD_AXIS, None),
-                P(SHARD_AXIS, None), P(None, None)) \
+    in_specs = (P(rows_spec, None), P(rows_spec), P(rows_spec),
+                P(rows_spec), P(None, None), P(rows_spec, None),
+                P(rows_spec, None), P(None, None)) \
         + tuple(P(None) for _ in extra)
     return jax.shard_map(
         local, mesh=mesh,

@@ -107,3 +107,48 @@ def test_2d_kmeans_step_matches_single(mesh2):
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c1),
                                rtol=1e-5, atol=1e-5)
     assert np.asarray(assigns).shape == (n,)
+
+
+def test_2d_ivf_matches_single(mesh2):
+    """IVF rows now shard over BOTH axes (each DCN slice holds 1/dcn of
+    the database, not a replica) and the merge is hierarchical."""
+    from smqtk_indexing_tpu.ops.ivf import ivf_query
+    from smqtk_indexing_tpu.parallel import shard_csr, sharded_ivf_query
+
+    rng = np.random.default_rng(7)
+    n, d, c, b, k = 1024, 32, 8, 8, 8
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    assigns = rng.integers(0, c, size=n)
+    order = np.argsort(assigns, kind="stable")
+    db = db[order]
+    lens = np.bincount(assigns, minlength=c).astype(np.int32)
+    offsets = np.zeros(c, dtype=np.int32)
+    offsets[1:] = np.cumsum(lens)[:-1]
+    sq = np.einsum("ij,ij->i", db, db).astype(np.float32)
+    cents = np.stack([
+        db[offsets[i]:offsets[i] + max(int(lens[i]), 1)].mean(0)
+        for i in range(c)]).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+
+    d1, r1 = ivf_query(jnp.asarray(db), jnp.asarray(sq),
+                       jnp.asarray(np.sqrt(sq)), jnp.asarray(valid),
+                       jnp.asarray(cents), jnp.asarray(offsets),
+                       jnp.asarray(lens), jnp.asarray(q), k=k, nprobe=c,
+                       l_max=int(lens.max()))
+    loc_off, loc_len = shard_csr(offsets, lens, n, 8)
+    # Per-shard row counts must actually split over both axes (128 rows
+    # per device on the (2, 4) mesh — no per-slice replica).
+    db_s = shard_rows(mesh2, jnp.asarray(db))
+    assert db_s.sharding.shard_shape(db_s.shape)[0] == n // 8
+    d8, r8 = sharded_ivf_query(
+        mesh2, db_s, shard_rows(mesh2, jnp.asarray(sq)),
+        shard_rows(mesh2, jnp.asarray(np.sqrt(sq))),
+        shard_rows(mesh2, jnp.asarray(valid)),
+        replicate(mesh2, jnp.asarray(cents)),
+        shard_rows(mesh2, jnp.asarray(loc_off)),
+        shard_rows(mesh2, jnp.asarray(loc_len)),
+        replicate(mesh2, jnp.asarray(q)), k=k, nprobe=c,
+        l_max=int(lens.max()))
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), atol=1e-5)
+    assert np.array_equal(np.asarray(r8), np.asarray(r1))
