@@ -12,11 +12,20 @@ from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
 from smqtk_indexing_tpu.models.nn_index.flat import FlatNearestNeighborsIndex
 
 
-def test_concurrent_queries_and_mutations():
+import pytest
+
+
+@pytest.mark.parametrize("kwargs", [
+    {},                                  # f32 HBM-resident
+    {"dtype": "sq8"},                    # codec tier (train-per-build)
+    {"dtype": "pq8"},                    # PQ codec tier
+    {"storage": "host_stream"},          # >HBM streamed tier
+])
+def test_concurrent_queries_and_mutations(kwargs):
     rng = np.random.default_rng(0)
     elems = [DescriptorMemoryElement(j, rng.normal(size=16).astype(np.float32))
              for j in range(256)]
-    idx = FlatNearestNeighborsIndex()
+    idx = FlatNearestNeighborsIndex(**kwargs)
     idx.build_index(elems)
 
     errors = []
