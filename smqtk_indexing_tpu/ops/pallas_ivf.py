@@ -214,12 +214,27 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
         c_start = jnp.concatenate([c_start, zeros], axis=1)
         ofs = jnp.concatenate([ofs, zeros], axis=1)
         ln = jnp.concatenate([ln, zeros], axis=1)
-    starts = c_start.reshape(-1).astype(jnp.int32)
-    lo = ofs.reshape(-1).astype(jnp.int32)
-    hi = (ofs + ln).reshape(-1).astype(jnp.int32)
+    starts2 = c_start.astype(jnp.int32)
+    lo2 = ofs.astype(jnp.int32)
+    hi2 = (ofs + ln).astype(jnp.int32)
 
-    scores = ivf_list_scores(db, q, starts, lo, hi,
-                             n_probe=p8, interpret=interpret)
+    # Scalar-prefetch operands live in SMEM (1MB): three (B * P) int32
+    # arrays overflow it past B*P ~ 85K (measured OOM at B=1024, P=128),
+    # so large query batches stream through the kernel in row chunks.
+    b_chunk = b
+    while b_chunk * p8 * 12 > (3 << 18):   # 768KB budget
+        b_chunk //= 2
+    b_chunk = max(b_chunk, 8)
+    parts = []
+    for qlo in range(0, b, b_chunk):       # static unroll
+        parts.append(ivf_list_scores(
+            db, q[qlo:qlo + b_chunk],
+            starts2[qlo:qlo + b_chunk].reshape(-1),
+            lo2[qlo:qlo + b_chunk].reshape(-1),
+            hi2[qlo:qlo + b_chunk].reshape(-1),
+            n_probe=p8, interpret=interpret))
+    scores = parts[0] if len(parts) == 1 \
+        else jnp.concatenate(parts, axis=0)
 
     # Row mapping matching the kernel's (steps, L_MAX, PROBES_PER_STEP)
     # output layout: probe p lives in lane p % PPS of step p // PPS.
