@@ -408,11 +408,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             # PQ queries arrive dim-interleaved on the codec grid; probe
             # selection needs centroids in the same order (rankings are
             # permutation invariant).
-            from smqtk_indexing_tpu.ops.pq import pq_prep_queries
             self._dev_centroids_pq = jnp.asarray(
-                pq_prep_queries(
-                    self._centroids_np[v_orig].astype(np.float32),
-                    self._pq_perm))
+                _pq_prep(self._centroids_np[v_orig].astype(np.float32),
+                         self._pq_perm))
         offsets, lens = v_off, v_len
         self._dev_offsets = jnp.asarray(offsets)
         self._dev_lens = jnp.asarray(lens)
@@ -645,8 +643,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             n_orig_probed = nprobe_orig if nprobe_orig is not None \
                 else self._centroids_np.shape[0]
             COUNTERS.add("ivf.probed_lists", b * n_orig_probed)
+            # Mean-list-length ESTIMATE (probed lists skew larger than
+            # average on clustered data; exact counts would need a
+            # device round-trip per query batch).
             COUNTERS.add(
-                "ivf.candidates_scanned",
+                "ivf.candidates_scanned_est",
                 b * n_orig_probed
                 * max(self._n_live // max(self._centroids_np.shape[0], 1),
                       1))

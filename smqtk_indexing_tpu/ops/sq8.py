@@ -218,7 +218,12 @@ def sq8_topk(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
             # Fused Pallas stage 1 over the int8 mirror. Stage-1 values
             # only rank segments, so inner_product's dropped qb_const
             # (a per-query additive constant) cannot change selection.
-            assert metric in ("euclidean", "inner_product")
+            if metric not in ("euclidean", "inner_product"):
+                raise ValueError(
+                    "codes_t (fused stage 1) serves euclidean/"
+                    f"inner_product only, not {metric!r} — cosine/hik "
+                    "need per-row normalization the kernel surrogate "
+                    "cannot express.")
             from smqtk_indexing_tpu.ops.pallas_scan import segment_minima
             penalty = jnp.where(valid, 0.0, jnp.inf) \
                 .astype(jnp.float32).reshape(1, n)
