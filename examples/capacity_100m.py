@@ -45,34 +45,41 @@ A_SCALE = 1.0 / 64.0
 SIGMA = 0.05                         # planted-row perturbation
 
 
-@jax.jit
-def _build(key, a, b):
-    """Generate (N, d) int8 codes + per-row stats in one scanned program
-    (stacked outputs allocate once; no host transfer)."""
-    keys = jax.random.split(key, N_CHUNKS)
+SEG = 128
+PLANT_OFFSET = 131
+PLANT_STRIDE = N // (B * K_PLANT)
 
-    def body(_, kk):
+
+@partial(jax.jit, static_argnames=())
+def _build(key, a, b, planted):
+    """Generate (N, d) int8 codes + per-row stats in one scanned program
+    (stacked outputs allocate once; no host transfer), planting the
+    ground-truth rows IN-SCAN via a select — a post-hoc scatter on the
+    12GB array cannot alias through XLA's donation and doubles HBM
+    (measured OOM), while the in-scan select is free (build: 77 s with
+    the scatter pass -> 4 s).
+
+    :param planted: (B * K_PLANT, D) int8 rows; row j lands at global
+        row PLANT_OFFSET + j * PLANT_STRIDE.
+    """
+    keys = jax.random.split(key, N_CHUNKS)
+    n_plant = planted.shape[0]
+
+    def body(ci, kk):
         codes = jax.random.randint(kk, (CHUNK, D), -127, 128,
                                    dtype=jnp.int8)
+        p_global = ci * CHUNK + jnp.arange(CHUNK, dtype=jnp.int32)
+        off = p_global - PLANT_OFFSET
+        j = off // PLANT_STRIDE
+        hit = (off >= 0) & (off % PLANT_STRIDE == 0) & (j < n_plant)
+        pl_rows = jnp.take(planted, jnp.clip(j, 0, n_plant - 1), axis=0)
+        codes = jnp.where(hit[:, None], pl_rows, codes)
         u = codes.astype(jnp.float32)
         s2 = jnp.sum((a * u) ** 2, axis=-1)
-        x = u * a + b
-        nrm = jnp.sqrt(jnp.sum(x * x, axis=-1))
-        return None, (codes, s2, nrm)
+        return ci + 1, (codes, s2)
 
-    _, (codes, s2, nrm) = jax.lax.scan(body, None, keys)
-    return (codes.reshape(N, D), s2.reshape(N), nrm.reshape(N))
-
-
-@partial(jax.jit, donate_argnums=(0, 1, 2))
-def _plant(codes, s2, nrm, idx, vals, a, b):
-    """In-place (donated) scatter of the planted rows + their stats."""
-    u = vals.astype(jnp.float32)
-    s2_v = jnp.sum((a * u) ** 2, axis=-1)
-    x = u * a + b
-    nrm_v = jnp.sqrt(jnp.sum(x * x, axis=-1))
-    return (codes.at[idx].set(vals), s2.at[idx].set(s2_v),
-            nrm.at[idx].set(nrm_v))
+    _, (codes, s2) = jax.lax.scan(body, jnp.int32(0), keys)
+    return codes.reshape(N, D), s2.reshape(N)
 
 
 def main() -> None:
@@ -82,9 +89,8 @@ def main() -> None:
     a = jnp.full((D,), A_SCALE, jnp.float32)
     b = jnp.zeros((D,), jnp.float32)
 
-    t0 = time.perf_counter()
-    codes, s2, nrm = _build(jax.random.PRNGKey(0), a, b)
-    # Plant ground truth: queries inside the code box, 10 rows each.
+    # Plant ground truth: queries inside the code box, 10 rows each,
+    # spread across the whole index (stride >> chunk).
     q_np = (rng.normal(size=(B, D)) * 0.5).astype(np.float32)
     q_np = np.clip(q_np, -1.5, 1.5)
     planted = np.stack([
@@ -92,12 +98,13 @@ def main() -> None:
                           .astype(np.float32) * SIGMA,
                           np.asarray(a), np.asarray(b))
         for i in range(B)])                      # (B, 10, D) int8
-    # Spread planted rows across the whole index (stride >> chunk).
     idx_np = (np.arange(B * K_PLANT, dtype=np.int64)
-              * (N // (B * K_PLANT)) + 131).astype(np.int32)
-    codes, s2, nrm = _plant(codes, s2, nrm, jnp.asarray(idx_np),
-                            jnp.asarray(planted.reshape(B * K_PLANT, D)),
-                            a, b)
+              * PLANT_STRIDE + PLANT_OFFSET).astype(np.int32)
+    t0 = time.perf_counter()
+    codes, s2 = _build(
+        jax.random.PRNGKey(0), a, b,
+        jnp.asarray(planted.reshape(B * K_PLANT, D)))
+    nrm = jnp.sqrt(jnp.maximum(s2, 0.0))
     valid = jnp.ones((N,), dtype=bool)
     s2.block_until_ready()
     build_s = time.perf_counter() - t0

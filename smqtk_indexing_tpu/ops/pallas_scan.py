@@ -188,6 +188,102 @@ def segment_minima(db_t: jnp.ndarray, db_sq: jnp.ndarray,
     return jnp.transpose(out, (1, 0, 2)).reshape(b, n // SEG)
 
 
+def _blocked_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, acc):
+    """One grid step over SEGS_PER_TILE segment blocks of the
+    segment-blocked layout: for each (d, SEG) block j, one canonical MXU
+    dot q @ block -> (tile_b, SEG) scores, reduce to the segment minimum
+    column, and lane-select it into the (tile_b, SEGS_PER_TILE)
+    accumulator (full-tile output; single-lane stores and cross-lane
+    transposes are Mosaic hazards)."""
+    b = q_ref.shape[1]
+    q = q_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, SEGS_PER_TILE), 1)
+    acc[:] = jnp.full((b, SEGS_PER_TILE), jnp.inf, jnp.float32)
+
+    def body(j, _):
+        d = db_ref.shape[1]
+        tile = db_ref[pl.ds(j, 1), :, :].reshape(d, SEG)
+        if tile.dtype == jnp.int8:
+            tile = tile.astype(jnp.bfloat16)  # codes exact in bf16
+        ip = jax.lax.dot_general(
+            q, tile, dimension_numbers=_DOT_NUMS,
+            preferred_element_type=jnp.float32)          # (b, SEG)
+        # (1, SEG) row slices (1-D vectors are a Mosaic hazard).
+        sq_row = sq_ref[pl.ds(j, 1), :]
+        pen_row = pen_ref[pl.ds(j, 1), :]
+        scores = sq_row - 2.0 * ip + pen_row
+        col = jnp.min(scores, axis=1, keepdims=True)     # (b, 1)
+        acc[:] = jnp.where(lane == j, col, acc[:])
+        return 0
+
+    jax.lax.fori_loop(0, SEGS_PER_TILE, body, 0)
+    out_ref[:] = acc[:].reshape(1, b, SEGS_PER_TILE)
+
+
+#: Segment blocks per grid step of the blocked kernel (fills the output
+#: tile's 128 lanes exactly).
+SEGS_PER_TILE = 128
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def segment_minima_blocked(db_blk: jnp.ndarray, db_sq: jnp.ndarray,
+                           penalty: jnp.ndarray, q: jnp.ndarray, *,
+                           interpret: bool = False) -> jnp.ndarray:
+    """
+    Stage 1 over the SEGMENT-BLOCKED transposed layout: the database is
+    stored as (N // SEG, d, SEG) — row r lives at block r // SEG, lane
+    r % SEG. ONE resident copy serves both stages (stage 2 gathers whole
+    contiguous (d, SEG) blocks), unlike the flat (d, N) mirror which
+    duplicates storage; int8 blocks cast to bf16 in-VMEM (1 byte/dim of
+    HBM traffic — the layout that fits a 100M-row SQ8 index).
+
+    :param db_blk: (nseg, d, SEG) float32/bfloat16/int8,
+        nseg % SEGS_PER_TILE == 0, d % 128 == 0.
+    :param db_sq: (nseg, SEG) float32 squared norms (same blocking).
+    :param penalty: (nseg, SEG) float32 (0 live / +inf dead).
+    :param q: (B, d) float32 (B % 8 == 0; bf16-cast for int8/bf16 data).
+    :return: (B, nseg * 1) -> (B, N // SEG) float32 segment minima, in
+        the same segment order as ops/pallas_scan.segment_minima.
+    """
+    nseg, d, seg = db_blk.shape
+    assert seg == SEG and nseg % SEGS_PER_TILE == 0
+    b = q.shape[0]
+    tile_b = min(TILE_B, b)
+    assert b % tile_b == 0
+    n_tiles = nseg // SEGS_PER_TILE
+    grid = (b // tile_b, n_tiles)
+    q3 = (q.astype(jnp.bfloat16)
+          if db_blk.dtype in (jnp.bfloat16, jnp.int8) else q) \
+        .reshape(b // tile_b, tile_b, d)
+
+    out = pl.pallas_call(
+        _blocked_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_b, d), lambda qi, ni: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEGS_PER_TILE, d, SEG),
+                         lambda qi, ni: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEGS_PER_TILE, SEG), lambda qi, ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEGS_PER_TILE, SEG), lambda qi, ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_b, SEGS_PER_TILE),
+            lambda qi, ni: (ni, qi, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, b, SEGS_PER_TILE),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, SEGS_PER_TILE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q3, db_blk, db_sq, penalty)
+    return jnp.transpose(out, (1, 0, 2)).reshape(b, nseg)
+
+
 def topk_smallest(m: jnp.ndarray, kk: int, blk: int = 16
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """

@@ -279,3 +279,89 @@ def sq8_topk(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
     sel_codes = jnp.take(codes, jnp.maximum(best_r, 0), axis=0)
     x = sel_codes.astype(jnp.float32) * a + b        # (B, kk, d)
     return exact_rerank_decoded(x, q, q_norm, best_s, best_r, metric, k)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "interpret"))
+def sq8_topk_blocked(codes_blk: jnp.ndarray, a: jnp.ndarray,
+                     b: jnp.ndarray, s2: jnp.ndarray, valid: jnp.ndarray,
+                     q: jnp.ndarray, *, k: int,
+                     metric: str = "euclidean", interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Exhaustive SQ8 top-k over the SEGMENT-BLOCKED transposed layout
+    (ops/pallas_scan.segment_minima_blocked): ONE resident (N/128, d,
+    128) int8 array serves both the fused Pallas stage 1 (row r at block
+    r // 128, lane r % 128) and the contiguous-block stage-2 gather — no
+    flat copy, no transposed mirror. EXPERIMENTAL: measured at 100M x
+    128 the per-block Mosaic loop overhead (one small (B,d)x(d,128) dot
+    per segment) makes it ~1.8x SLOWER than the row-major XLA streamed
+    scan (633 vs 1101 qps at B=128); kept for its single-copy memory
+    property and as the starting point for a tiled-transposed
+    (n_tiles, d, TILE_N) variant that would amortize the dots (see
+    CLAUDE.md roadmap). Euclidean / inner_product only; distances exact
+    w.r.t. the quantized vectors via the shared f32 re-rank.
+
+    :param codes_blk: (nseg, d, 128) int8, nseg % 128 == 0.
+    :param s2: (N,) float32 sum((a*u)^2) in ROW order.
+    :param valid: (N,) bool in ROW order.
+    :return: (dists (B, k) ascending, ROW ids (B, k) int32).
+    """
+    from smqtk_indexing_tpu.ops.pallas_scan import (
+        SEG, segment_minima_blocked, topk_smallest,
+    )
+    from smqtk_indexing_tpu.ops.scan import exact_rerank_decoded
+
+    if metric not in ("euclidean", "inner_product"):
+        raise ValueError(
+            "sq8_topk_blocked serves euclidean/inner_product (see "
+            "sq8_topk for the other metrics).")
+    nseg, d, seg = codes_blk.shape
+    n = nseg * seg
+    bq = q.shape[0]
+    q = q.astype(jnp.float32)
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
+    t = (q - b[None, :]) * a[None, :] if metric == "euclidean" \
+        else q * a[None, :]
+    qb_const = q @ b
+
+    sq_blk = s2.reshape(nseg, seg) if metric == "euclidean" \
+        else jnp.zeros((nseg, seg), jnp.float32)
+    pen_blk = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32) \
+        .reshape(nseg, seg)
+    minima = segment_minima_blocked(codes_blk, sq_blk, pen_blk, t,
+                                    interpret=interpret)
+
+    s_keep = min(k + 16, nseg)
+    smin, sid = topk_smallest(minima, s_keep)
+    sid = jnp.where(jnp.isinf(smin), -1, sid)
+    sid_c = jnp.maximum(sid, 0)
+    m_rows = s_keep * seg
+    rows = (sid_c[..., None] * seg
+            + jax.lax.broadcasted_iota(jnp.int32, (bq, s_keep, seg), 2)) \
+        .reshape(bq, m_rows)
+    # Contiguous (d, 128) block gather, then a small relayout to rows.
+    cand_blk = jnp.take(codes_blk, sid_c, axis=0)   # (B, s_keep, d, 128)
+    cand = jnp.transpose(cand_blk, (0, 1, 3, 2)) \
+        .reshape(bq, m_rows, d)
+    alive = (sid[..., None] >= 0) \
+        & jnp.take(valid.reshape(nseg, seg), sid_c, axis=0)
+    alive = alive.reshape(bq, m_rows)
+    ip = jnp.einsum("bmd,bd->bm", cand.astype(jnp.bfloat16),
+                    t.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    if metric == "inner_product":
+        s = -(ip + qb_const[:, None])
+    else:
+        s = jnp.take(s2.reshape(nseg, seg), sid_c, axis=0) \
+            .reshape(bq, m_rows) - 2.0 * ip
+    s = jnp.where(alive, s, jnp.inf)
+    kk = min(k + 8, m_rows)
+    sv, sel = topk_smallest(s, kk)
+    best_s = sv
+    best_r = jnp.take_along_axis(rows, sel, axis=1).astype(jnp.int32)
+    best_r = jnp.where(jnp.isinf(best_s), -1, best_r)
+
+    sel_cand = jnp.take_along_axis(
+        cand, jnp.maximum(sel, 0)[..., None], axis=1)
+    x = sel_cand.astype(jnp.float32) * a + b
+    return exact_rerank_decoded(x, q, q_norm, best_s, best_r, metric, k)

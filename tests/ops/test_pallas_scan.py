@@ -168,3 +168,49 @@ def test_fused_bf16_stage2_matches_f32(metric):
     # O(300) here, so the default rtol=1e-7 was a sub-ulp demand).
     np.testing.assert_allclose(np.asarray(d_lo), np.asarray(d_ref),
                                atol=1e-5, rtol=1e-6)
+
+
+def test_blocked_stage1_matches_flat(tmp_path):
+    """segment_minima_blocked over the (nseg, d, SEG) layout must emit
+    the same minima as segment_minima over the (d, N) mirror."""
+    from smqtk_indexing_tpu.ops.pallas_scan import (
+        SEG, segment_minima, segment_minima_blocked,
+    )
+    rng = np.random.default_rng(11)
+    n, d, b = 4 * MIN_N, 128, 16    # nseg = 128 = one full lane tile
+    db = rng.normal(size=(n, d)).astype(np.float32) * 3
+    sq = np.einsum("ij,ij->i", db, db).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32) * 3
+    pen = np.zeros(n, np.float32)
+    pen[50:200] = np.inf
+
+    ref = segment_minima(jnp.asarray(np.ascontiguousarray(db.T)),
+                         jnp.asarray(sq.reshape(1, n)),
+                         jnp.asarray(pen.reshape(1, n)),
+                         jnp.asarray(q), interpret=True,
+                         precision="highest")
+    blk = np.ascontiguousarray(
+        db.reshape(n // SEG, SEG, d).transpose(0, 2, 1))
+    got = segment_minima_blocked(
+        jnp.asarray(blk), jnp.asarray(sq.reshape(n // SEG, SEG)),
+        jnp.asarray(pen.reshape(n // SEG, SEG)), jnp.asarray(q),
+        interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-5)
+
+    # int8 codes: exact agreement with the int8 flat mirror.
+    codes = rng.integers(-127, 128, size=(n, d)).astype(np.int8)
+    csq = (codes.astype(np.float32) ** 2).sum(1)
+    ref8 = segment_minima(jnp.asarray(np.ascontiguousarray(codes.T)),
+                          jnp.asarray(csq.reshape(1, n)),
+                          jnp.asarray(pen.reshape(1, n)),
+                          jnp.asarray(q), interpret=True)
+    blk8 = np.ascontiguousarray(
+        codes.reshape(n // SEG, SEG, d).transpose(0, 2, 1))
+    got8 = segment_minima_blocked(
+        jnp.asarray(blk8), jnp.asarray(csq.reshape(n // SEG, SEG)),
+        jnp.asarray(pen.reshape(n // SEG, SEG)), jnp.asarray(q),
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(ref8),
+                               atol=1e-2, rtol=1e-5)

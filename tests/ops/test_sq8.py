@@ -183,3 +183,41 @@ def test_factory_sq8_strings():
     assert idx.dtype == "sq8" and idx.metric == "inner_product"
     # PQ strings now route to the PQ codec (ops/pq.py).
     assert index_from_factory_string("IDMap,PQ16").dtype == "pq16"
+
+
+def test_sq8_blocked_matches_rowmajor():
+    """The segment-blocked single-copy layout must reproduce the
+    row-major scan's results (interpret-mode Pallas stage 1)."""
+    import jax.numpy as jnp
+
+    from smqtk_indexing_tpu.ops import sq8
+
+    rng = np.random.default_rng(3)
+    n, d, b, k = 16384, 128, 8, 8
+    mat = (rng.random((n, d), dtype=np.float32) * 10)
+    a, bb = sq8.sq8_train(mat)
+    codes = sq8.sq8_encode_np(mat, a, bb)
+    q = (rng.random((b, d), dtype=np.float32) * 10)
+    aj, bj = jnp.asarray(a), jnp.asarray(bb)
+    cj = jnp.asarray(codes)
+    s2, nrm = sq8.sq8_row_stats(cj, aj, bj)
+    valid = np.ones(n, bool)
+    valid[200:300] = False
+    vj = jnp.asarray(valid)
+    blk = jnp.asarray(np.ascontiguousarray(
+        codes.reshape(n // 128, 128, d).transpose(0, 2, 1)))
+    for metric in ("euclidean", "inner_product"):
+        d_ref, r_ref = sq8.sq8_topk(cj, aj, bj, s2, nrm, vj,
+                                    jnp.asarray(q), k=k, metric=metric,
+                                    chunk=4096)
+        d_blk, r_blk = sq8.sq8_topk_blocked(blk, aj, bj, s2, vj,
+                                            jnp.asarray(q), k=k,
+                                            metric=metric,
+                                            interpret=True)
+        assert np.array_equal(np.asarray(r_blk), np.asarray(r_ref)), metric
+        np.testing.assert_allclose(np.asarray(d_blk), np.asarray(d_ref),
+                                   atol=1e-5, rtol=1e-6)
+    import pytest
+    with pytest.raises(ValueError, match="euclidean"):
+        sq8.sq8_topk_blocked(blk, aj, bj, s2, vj, jnp.asarray(q), k=2,
+                             metric="cosine", interpret=True)
