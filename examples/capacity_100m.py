@@ -49,6 +49,14 @@ SEG = 128
 PLANT_OFFSET = 131
 PLANT_STRIDE = N // (B * K_PLANT)
 
+#: The single-copy tiled-transposed (N/4096, d, 4096) layout scans
+#: through the fused Pallas stage 1 + DMA segment gather
+#: (ops/sq8.sq8_topk_blocked tiled mode): measured 1835 qps vs the
+#: row-major XLA-streamed scan's 1123 at 100M x 128.
+#: SMQTK_CAP_LAYOUT=rowmajor selects the XLA path for comparison.
+import os  # noqa: E402
+TILED = os.environ.get("SMQTK_CAP_LAYOUT", "tiled") == "tiled"
+
 
 @partial(jax.jit, static_argnames=())
 def _build(key, a, b, planted):
@@ -82,6 +90,34 @@ def _build(key, a, b, planted):
     return codes.reshape(N, D), s2.reshape(N)
 
 
+@jax.jit
+def _build_tiled(key, a, b, planted):
+    """Tiled-layout build: the scan step IS one (D, 4096) tile, so the
+    stacked output lands directly in the final (N/4096, D, 4096) shape —
+    a post-scan relayout of the 12.9GB array would transiently double
+    HBM."""
+    n_tiles = N // 4096
+    keys = jax.random.split(key, n_tiles)
+    n_plant = planted.shape[0]
+
+    def body(ti, kk):
+        codes_t = jax.random.randint(kk, (D, 4096), -127, 128,
+                                     dtype=jnp.int8)
+        col = jnp.arange(4096, dtype=jnp.int32)
+        p_global = ti * 4096 + col
+        off = p_global - PLANT_OFFSET
+        j = off // PLANT_STRIDE
+        hit = (off >= 0) & (off % PLANT_STRIDE == 0) & (j < n_plant)
+        pl_rows = jnp.take(planted, jnp.clip(j, 0, n_plant - 1), axis=0)
+        codes_t = jnp.where(hit[None, :], pl_rows.T, codes_t)
+        u = codes_t.astype(jnp.float32)
+        s2 = jnp.sum((a[:, None] * u) ** 2, axis=0)
+        return ti + 1, (codes_t, s2)
+
+    _, (codes, s2) = jax.lax.scan(body, jnp.int32(0), keys)
+    return codes, s2.reshape(N)
+
+
 def main() -> None:
     assert jax.default_backend() != "cpu", \
         "capacity demo needs a real accelerator (12.9GB resident codes)"
@@ -101,10 +137,13 @@ def main() -> None:
     idx_np = (np.arange(B * K_PLANT, dtype=np.int64)
               * PLANT_STRIDE + PLANT_OFFSET).astype(np.int32)
     t0 = time.perf_counter()
-    codes, s2 = _build(
+    build_fn = _build_tiled if TILED else _build
+    codes, s2 = build_fn(
         jax.random.PRNGKey(0), a, b,
         jnp.asarray(planted.reshape(B * K_PLANT, D)))
-    nrm = jnp.sqrt(jnp.maximum(s2, 0.0))
+    # nrm only feeds the row-major scan's cosine branch; skip the 400MB
+    # in tiled mode.
+    nrm = None if TILED else jnp.sqrt(jnp.maximum(s2, 0.0))
     valid = jnp.ones((N,), dtype=bool)
     s2.block_until_ready()
     build_s = time.perf_counter() - t0
@@ -114,14 +153,21 @@ def main() -> None:
                                       2)}), flush=True)
 
     qd = jnp.asarray(q_np)
+
+    def scan_once():
+        if TILED:
+            return sq8.sq8_topk_blocked(codes, a, b, s2, valid, qd,
+                                        k=16)
+        return sq8.sq8_topk(codes, a, b, s2, nrm, valid, qd, k=16)
+
     t0 = time.perf_counter()
-    dd, rr = sq8.sq8_topk(codes, a, b, s2, nrm, valid, qd, k=16)
+    dd, rr = scan_once()
     got = np.asarray(rr)
     cold_s = time.perf_counter() - t0
     t1 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        dd, rr = sq8.sq8_topk(codes, a, b, s2, nrm, valid, qd, k=16)
+        dd, rr = scan_once()
     got = np.asarray(rr)
     dists = np.asarray(dd)
     dt = (time.perf_counter() - t1) / reps

@@ -61,6 +61,10 @@ def _scan_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, mode):
     # expansion of shape (B, TILE_N, d) that blows VMEM.
     q = q_ref[0]
     tile = db_ref[:]
+    if tile.ndim == 3:
+        # Tiled-transposed layout: (1, d, tile_n) block — leading-1
+        # squeeze is free.
+        tile = tile.reshape(tile.shape[1], tile.shape[2])
     if tile.dtype == jnp.int8:
         # SQ8 codes: integers in [-127, 127] are exact in bf16, so the
         # in-VMEM cast feeds the MXU true code values at 1 byte/dim of
@@ -104,7 +108,7 @@ def _scan_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, mode):
     scores = sq_ref[:] - 2.0 * ip + pen_ref[:]
     # Full-block (1, tile_b, nseg) store: partial-width stores at offsets
     # that are not lane-aligned are rejected by Mosaic.
-    nseg = db_ref.shape[1] // SEG
+    nseg = db_ref.shape[-1] // SEG
     out_ref[:] = jnp.min(scores.reshape(b, nseg, SEG), axis=-1) \
         .reshape(1, b, nseg)
 
@@ -186,6 +190,124 @@ def segment_minima(db_t: jnp.ndarray, db_sq: jnp.ndarray,
     )(q3, db_t, db_sq, penalty)
     # (n_tiles, B, NSEG) -> (B, n_tiles * NSEG) segment-major per query.
     return jnp.transpose(out, (1, 0, 2)).reshape(b, n // SEG)
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision"))
+def segment_minima_tiled(db3: jnp.ndarray, db_sq: jnp.ndarray,
+                         penalty: jnp.ndarray, q: jnp.ndarray, *,
+                         interpret: bool = False,
+                         precision: str = "split3") -> jnp.ndarray:
+    """
+    Stage 1 over the TILED-TRANSPOSED single-copy layout: the database
+    stored as (n_tiles, d, TILE_N) — row r in tile r // TILE_N, column
+    r % TILE_N. Semantically identical to :func:`segment_minima` over a
+    (d, N) mirror (same kernel, same full-size MXU dots — unlike the
+    per-segment blocked kernel, whose tiny dots drown in loop overhead),
+    but each grid step's DMA is one fully contiguous block AND stage 2
+    can gather (d, SEG) column slices from the SAME array, so no
+    separate row-major copy is needed (the capacity-tier property).
+
+    :param db3: (n_tiles, d, tile_n) float32/bfloat16/int8 with
+        tile_n == TILE_N (int8/bf16) or TILE_N // 2 (f32 split3).
+    :param db_sq/penalty: (1, N) row vectors (N = n_tiles * tile_n).
+    :return: (B, N // SEG) float32 segment minima (segment order matches
+        segment_minima).
+    """
+    n_tiles, d, tile_n = db3.shape
+    n = n_tiles * tile_n
+    b = q.shape[0]
+    assert precision in PRECISIONS
+    tile_b = min(TILE_B, b)
+    assert b % tile_b == 0
+    mode = "native" if db3.dtype in (jnp.bfloat16, jnp.int8) \
+        else precision
+    expect_tile = TILE_N // 2 if mode == "split3" else TILE_N
+    assert tile_n == expect_tile, (tile_n, expect_tile, mode)
+    nseg_t = tile_n // SEG
+    grid = (b // tile_b, n_tiles)
+    q3 = (q.astype(jnp.bfloat16)
+          if db3.dtype in (jnp.bfloat16, jnp.int8) else q) \
+        .reshape(b // tile_b, tile_b, d)
+
+    kernel = partial(_scan_kernel, mode=mode)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_b, d), lambda qi, ni: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, tile_n), lambda qi, ni: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda qi, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda qi, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_b, nseg_t),
+            lambda qi, ni: (ni, qi, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, b, nseg_t), jnp.float32),
+        interpret=interpret,
+    )(q3, db3, db_sq, penalty)
+    return jnp.transpose(out, (1, 0, 2)).reshape(b, n // SEG)
+
+
+def _seg_gather_kernel(ti_ref, c0_ref, db_ref, out_ref, buf, sem):
+    """Copy one (d, SEG) column slice of the tiled layout per grid step
+    (strided 2-D DMA; the DMA engine handles the row stride natively)."""
+    i = pl.program_id(0)
+    d = db_ref.shape[1]
+    # Starts are SEG-aligned by construction; the multiple_of hint lets
+    # Mosaic prove lane-tile divisibility for the dynamic DMA.
+    c0 = pl.multiple_of(c0_ref[i], SEG)
+    cp = pltpu.make_async_copy(
+        db_ref.at[ti_ref[i], :, pl.ds(c0, SEG)], buf, sem)
+    cp.start()
+    cp.wait()
+    out_ref[:] = buf[:].reshape(1, d, SEG)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def seg_gather_tiled(db3: jnp.ndarray, sid: jnp.ndarray, *,
+                     interpret: bool = False) -> jnp.ndarray:
+    """
+    Gather segments from the tiled-transposed layout as a Pallas DMA
+    kernel: an XLA ``gather``/advanced-index over the (n_tiles, d,
+    TILE_N) parameter imposes a non-default layout preference on it and
+    XLA inserts a full-array relayout COPY (measured: 12GB temp at 100M,
+    OOM). Mosaic custom calls take default layouts, so this kernel keeps
+    the parameter copy-free.
+
+    :param db3: (n_tiles, d, tile_n) any dtype, tile_n % SEG == 0.
+    :param sid: (B, s_keep) int32 global segment ids (clipped >= 0).
+    :return: (B, s_keep, d, SEG) gathered segment blocks.
+    """
+    n_tiles, d, tile_n = db3.shape
+    nseg_t = tile_n // SEG
+    b, s_keep = sid.shape
+    flat = sid.reshape(-1)
+    ti = (flat // nseg_t).astype(jnp.int32)
+    c0 = ((flat % nseg_t) * SEG).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b * s_keep,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, d, SEG), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((d, SEG), db3.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        _seg_gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * s_keep, d, SEG), db3.dtype),
+        interpret=interpret,
+    )(ti, c0, db3)
+    return out.reshape(b, s_keep, d, SEG)
 
 
 def _blocked_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, acc):

@@ -288,18 +288,23 @@ def sq8_topk_blocked(codes_blk: jnp.ndarray, a: jnp.ndarray,
                      metric: str = "euclidean", interpret: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
-    Exhaustive SQ8 top-k over the SEGMENT-BLOCKED transposed layout
-    (ops/pallas_scan.segment_minima_blocked): ONE resident (N/128, d,
-    128) int8 array serves both the fused Pallas stage 1 (row r at block
-    r // 128, lane r % 128) and the contiguous-block stage-2 gather — no
-    flat copy, no transposed mirror. EXPERIMENTAL: measured at 100M x
-    128 the per-block Mosaic loop overhead (one small (B,d)x(d,128) dot
-    per segment) makes it ~1.8x SLOWER than the row-major XLA streamed
-    scan (633 vs 1101 qps at B=128); kept for its single-copy memory
-    property and as the starting point for a tiled-transposed
-    (n_tiles, d, TILE_N) variant that would amortize the dots (see
-    CLAUDE.md roadmap). Euclidean / inner_product only; distances exact
-    w.r.t. the quantized vectors via the shared f32 re-rank.
+    Exhaustive SQ8 top-k over a SINGLE-COPY transposed layout — no flat
+    copy, no separate mirror, so it is the capacity-tier configuration
+    (100M rows/chip). Layout dispatch by trailing dim:
+
+    - (n_tiles, d, TILE_N) **tiled** (trailing dim 4096, preferred):
+      stage 1 = ops/pallas_scan.segment_minima_tiled (the flat kernel's
+      full-size MXU dots over contiguous blocks), stage 2 gathers
+      (d, 128) column slices via the Pallas DMA gather
+      (seg_gather_tiled). Measured at 100M x 128, B=128: **1835 qps**
+      vs 1123 for the row-major XLA streamed scan and 633 for the
+      per-segment blocked kernel below.
+    - (N/128, d, 128) **blocked** (trailing dim 128): one tiny dot per
+      segment (segment_minima_blocked) — measured SLOWER (Mosaic loop
+      overhead); kept for reference/tests.
+
+    Euclidean / inner_product only (stage-1 surrogate form); distances
+    exact w.r.t. the quantized vectors via the shared f32 re-rank.
 
     :param codes_blk: (nseg, d, 128) int8, nseg % 128 == 0.
     :param s2: (N,) float32 sum((a*u)^2) in ROW order.
@@ -307,7 +312,7 @@ def sq8_topk_blocked(codes_blk: jnp.ndarray, a: jnp.ndarray,
     :return: (dists (B, k) ascending, ROW ids (B, k) int32).
     """
     from smqtk_indexing_tpu.ops.pallas_scan import (
-        SEG, segment_minima_blocked, topk_smallest,
+        SEG, segment_minima_blocked, segment_minima_tiled, topk_smallest,
     )
     from smqtk_indexing_tpu.ops.scan import exact_rerank_decoded
 
@@ -315,8 +320,10 @@ def sq8_topk_blocked(codes_blk: jnp.ndarray, a: jnp.ndarray,
         raise ValueError(
             "sq8_topk_blocked serves euclidean/inner_product (see "
             "sq8_topk for the other metrics).")
-    nseg, d, seg = codes_blk.shape
-    n = nseg * seg
+    n_outer, d, trail = codes_blk.shape
+    tiled = trail != SEG            # (n_tiles, d, TILE_N) variant
+    n = n_outer * trail
+    nseg = n // SEG
     bq = q.shape[0]
     q = q.astype(jnp.float32)
     q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
@@ -324,13 +331,19 @@ def sq8_topk_blocked(codes_blk: jnp.ndarray, a: jnp.ndarray,
         else q * a[None, :]
     qb_const = q @ b
 
-    sq_blk = s2.reshape(nseg, seg) if metric == "euclidean" \
-        else jnp.zeros((nseg, seg), jnp.float32)
-    pen_blk = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32) \
-        .reshape(nseg, seg)
-    minima = segment_minima_blocked(codes_blk, sq_blk, pen_blk, t,
-                                    interpret=interpret)
+    sq_flat = s2 if metric == "euclidean" \
+        else jnp.zeros((n,), jnp.float32)
+    pen_flat = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32)
+    if tiled:
+        minima = segment_minima_tiled(
+            codes_blk, sq_flat.reshape(1, n), pen_flat.reshape(1, n), t,
+            interpret=interpret)
+    else:
+        minima = segment_minima_blocked(
+            codes_blk, sq_flat.reshape(nseg, SEG),
+            pen_flat.reshape(nseg, SEG), t, interpret=interpret)
 
+    seg = SEG
     s_keep = min(k + 16, nseg)
     smin, sid = topk_smallest(minima, s_keep)
     sid = jnp.where(jnp.isinf(smin), -1, sid)
@@ -339,10 +352,19 @@ def sq8_topk_blocked(codes_blk: jnp.ndarray, a: jnp.ndarray,
     rows = (sid_c[..., None] * seg
             + jax.lax.broadcasted_iota(jnp.int32, (bq, s_keep, seg), 2)) \
         .reshape(bq, m_rows)
-    # Contiguous (d, 128) block gather, then a small relayout to rows.
-    cand_blk = jnp.take(codes_blk, sid_c, axis=0)   # (B, s_keep, d, 128)
+    if tiled:
+        # (d, SEG) strided column slices via a Pallas DMA gather — any
+        # XLA gather/indexing over the 12GB parameter imposes a
+        # non-default layout preference on it and XLA inserts a
+        # full-array relayout copy (measured OOM at 100M).
+        from smqtk_indexing_tpu.ops.pallas_scan import seg_gather_tiled
+        cand_blk = seg_gather_tiled(codes_blk, sid_c,
+                                    interpret=interpret)
+    else:
+        # Contiguous (d, 128) block gather.
+        cand_blk = jnp.take(codes_blk, sid_c, axis=0)
     cand = jnp.transpose(cand_blk, (0, 1, 3, 2)) \
-        .reshape(bq, m_rows, d)
+        .reshape(bq, m_rows, d)      # (B, s_keep, d, SEG) -> rows
     alive = (sid[..., None] >= 0) \
         & jnp.take(valid.reshape(nseg, seg), sid_c, axis=0)
     alive = alive.reshape(bq, m_rows)

@@ -206,17 +206,22 @@ def test_sq8_blocked_matches_rowmajor():
     vj = jnp.asarray(valid)
     blk = jnp.asarray(np.ascontiguousarray(
         codes.reshape(n // 128, 128, d).transpose(0, 2, 1)))
+    tiled = jnp.asarray(np.ascontiguousarray(
+        codes.reshape(n // 4096, 4096, d).transpose(0, 2, 1)))
     for metric in ("euclidean", "inner_product"):
         d_ref, r_ref = sq8.sq8_topk(cj, aj, bj, s2, nrm, vj,
                                     jnp.asarray(q), k=k, metric=metric,
                                     chunk=4096)
-        d_blk, r_blk = sq8.sq8_topk_blocked(blk, aj, bj, s2, vj,
-                                            jnp.asarray(q), k=k,
-                                            metric=metric,
-                                            interpret=True)
-        assert np.array_equal(np.asarray(r_blk), np.asarray(r_ref)), metric
-        np.testing.assert_allclose(np.asarray(d_blk), np.asarray(d_ref),
-                                   atol=1e-5, rtol=1e-6)
+        for layout in (blk, tiled):
+            d_blk, r_blk = sq8.sq8_topk_blocked(layout, aj, bj, s2, vj,
+                                                jnp.asarray(q), k=k,
+                                                metric=metric,
+                                                interpret=True)
+            assert np.array_equal(np.asarray(r_blk),
+                                  np.asarray(r_ref)), metric
+            np.testing.assert_allclose(np.asarray(d_blk),
+                                       np.asarray(d_ref),
+                                       atol=1e-5, rtol=1e-6)
     import pytest
     with pytest.raises(ValueError, match="euclidean"):
         sq8.sq8_topk_blocked(blk, aj, bj, s2, vj, jnp.asarray(q), k=2,
