@@ -45,6 +45,32 @@ NSEG = TILE_N // SEG
 _DOT_NUMS = (((1,), (0,)), ((), ()))
 
 
+def _tile_ip(q, tile, mode):
+    """Query x (d, tile_n) tile inner products in the requested mode
+    (shared by the mirror and tiled-layout kernel bodies)."""
+    if tile.dtype == jnp.int8:
+        tile = tile.astype(jnp.bfloat16)
+    if mode == "split3":
+        q_hi = q.astype(jnp.bfloat16)
+        q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        d_hi = tile.astype(jnp.bfloat16)
+        d_lo = (tile - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ip = jax.lax.dot_general(
+            q_hi, d_hi, dimension_numbers=_DOT_NUMS,
+            preferred_element_type=jnp.float32)
+        ip += jax.lax.dot_general(
+            q_hi, d_lo, dimension_numbers=_DOT_NUMS,
+            preferred_element_type=jnp.float32)
+        ip += jax.lax.dot_general(
+            q_lo, d_hi, dimension_numbers=_DOT_NUMS,
+            preferred_element_type=jnp.float32)
+        return ip
+    precision = jax.lax.Precision.HIGHEST if mode == "highest" else None
+    return jax.lax.dot_general(
+        q, tile, dimension_numbers=_DOT_NUMS,
+        preferred_element_type=jnp.float32, precision=precision)
+
+
 def _scan_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, mode):
     """One grid step: score a (d, TILE_N) tile against a (TILE_B, d) query
     tile on the MXU and emit the per-128-row segment minima — the
@@ -60,11 +86,31 @@ def _scan_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, mode):
     # rhs on its trailing dim instead forces a non-MXU elementwise
     # expansion of shape (B, TILE_N, d) that blows VMEM.
     q = q_ref[0]
-    tile = db_ref[:]
-    if tile.ndim == 3:
-        # Tiled-transposed layout: (1, d, tile_n) block — leading-1
-        # squeeze is free.
-        tile = tile.reshape(tile.shape[1], tile.shape[2])
+    full = db_ref[:]
+    if full.ndim == 3:
+        # Tiled-transposed layout: (T, d, tile_n) block. T > 1 amortizes
+        # per-grid-step overhead (DMA issue + launch) over several
+        # full-size dots — measured grid-step-overhead-bound at 24K
+        # single-tile steps. Sub-tiles score independently; their
+        # segment minima concatenate on lanes.
+        sub_outs = []
+        t_count = full.shape[0]
+        tile_n = full.shape[2]
+        nseg_sub = tile_n // SEG
+        b_rows = q_ref.shape[1]
+        for j in range(t_count):
+            tile = full[j]
+            sq_j = sq_ref[:, j * tile_n:(j + 1) * tile_n]
+            pen_j = pen_ref[:, j * tile_n:(j + 1) * tile_n]
+            ip = _tile_ip(q, tile, mode)
+            scores = sq_j - 2.0 * ip + pen_j
+            sub_outs.append(
+                jnp.min(scores.reshape(b_rows, nseg_sub, SEG), axis=-1))
+        out = sub_outs[0] if t_count == 1 \
+            else jnp.concatenate(sub_outs, axis=-1)
+        out_ref[:] = out.reshape(1, b_rows, t_count * nseg_sub)
+        return
+    tile = full
     if tile.dtype == jnp.int8:
         # SQ8 codes: integers in [-127, 127] are exact in bf16, so the
         # in-VMEM cast feeds the MXU true code values at 1 byte/dim of
@@ -192,11 +238,13 @@ def segment_minima(db_t: jnp.ndarray, db_sq: jnp.ndarray,
     return jnp.transpose(out, (1, 0, 2)).reshape(b, n // SEG)
 
 
-@partial(jax.jit, static_argnames=("interpret", "precision"))
+@partial(jax.jit,
+         static_argnames=("interpret", "precision", "tiles_per_step"))
 def segment_minima_tiled(db3: jnp.ndarray, db_sq: jnp.ndarray,
                          penalty: jnp.ndarray, q: jnp.ndarray, *,
                          interpret: bool = False,
-                         precision: str = "split3") -> jnp.ndarray:
+                         precision: str = "split3",
+                         tiles_per_step: int = 8) -> jnp.ndarray:
     """
     Stage 1 over the TILED-TRANSPOSED single-copy layout: the database
     stored as (n_tiles, d, TILE_N) — row r in tile r // TILE_N, column
@@ -224,7 +272,14 @@ def segment_minima_tiled(db3: jnp.ndarray, db_sq: jnp.ndarray,
     expect_tile = TILE_N // 2 if mode == "split3" else TILE_N
     assert tile_n == expect_tile, (tile_n, expect_tile, mode)
     nseg_t = tile_n // SEG
-    grid = (b // tile_b, n_tiles)
+    # T tiles per grid step amortize DMA-issue/launch overhead (measured
+    # grid-step-overhead-bound at 24K single-tile steps, 100M rows);
+    # VMEM: T x 512KB int8 tiles + double buffering.
+    t_step = tiles_per_step
+    while n_tiles % t_step:
+        t_step //= 2
+    n_steps = n_tiles // t_step
+    grid = (b // tile_b, n_steps)
     q3 = (q.astype(jnp.bfloat16)
           if db3.dtype in (jnp.bfloat16, jnp.int8) else q) \
         .reshape(b // tile_b, tile_b, d)
@@ -236,18 +291,19 @@ def segment_minima_tiled(db3: jnp.ndarray, db_sq: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, tile_b, d), lambda qi, ni: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, tile_n), lambda qi, ni: (ni, 0, 0),
+            pl.BlockSpec((t_step, d, tile_n), lambda qi, ni: (ni, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda qi, ni: (0, ni),
+            pl.BlockSpec((1, t_step * tile_n), lambda qi, ni: (0, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda qi, ni: (0, ni),
+            pl.BlockSpec((1, t_step * tile_n), lambda qi, ni: (0, ni),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_b, nseg_t),
+            (1, tile_b, t_step * nseg_t),
             lambda qi, ni: (ni, qi, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, b, nseg_t), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_steps, b, t_step * nseg_t), jnp.float32),
         interpret=interpret,
     )(q3, db3, db_sq, penalty)
     return jnp.transpose(out, (1, 0, 2)).reshape(b, n // SEG)

@@ -345,7 +345,11 @@ def sq8_topk_blocked(codes_blk: jnp.ndarray, a: jnp.ndarray,
 
     seg = SEG
     s_keep = min(k + 16, nseg)
-    smin, sid = topk_smallest(minima, s_keep)
+    # Wider first-level blocks at capacity scale: blk=16 leaves a
+    # ~50K-wide lax.top_k at 100M rows; blk=128 cuts it 8x (the
+    # exactness argument holds for any block width).
+    smin, sid = topk_smallest(minima, s_keep,
+                              blk=128 if nseg >= (1 << 17) else 16)
     sid = jnp.where(jnp.isinf(smin), -1, sid)
     sid_c = jnp.maximum(sid, 0)
     m_rows = s_keep * seg
