@@ -196,8 +196,12 @@ def test_blocked_stage1_matches_flat(tmp_path):
         jnp.asarray(pen.reshape(n // SEG, SEG)), jnp.asarray(q),
         interpret=True)
     assert got.shape == ref.shape
+    # f32 through the blocked kernel runs the RAW MXU dot (bf16-truncated
+    # on real hardware; the kernel targets int8 capacity tiers where the
+    # cast is exact) — rtol covers the ~2^-8 stage-1 rounding vs the
+    # HIGHEST reference. The int8 comparison below is exact.
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=1e-3, rtol=1e-5)
+                               atol=1e-3, rtol=5e-3)
 
     # int8 codes: exact agreement with the int8 flat mirror.
     codes = rng.integers(-127, 128, size=(n, d)).astype(np.int8)
