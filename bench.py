@@ -103,14 +103,16 @@ def main() -> None:
     # to run (measured 28-50 ms) and a congested window understates the
     # chip by ~2x; the least-contended sample is the honest device
     # figure (same policy as the best-of-5 host baseline below).
-    tpu_qps = 0.0
+    windows = []
     for _ in range(3):
         t0 = time.perf_counter()
         outs = [run(qd) for _ in range(ITERS)]
         for d, r in outs:
             np.asarray(d)
         dt = time.perf_counter() - t0
-        tpu_qps = max(tpu_qps, ITERS * BATCH / dt)
+        windows.append(ITERS * BATCH / dt)
+    tpu_qps = max(windows)
+    tpu_qps_median = sorted(windows)[len(windows) // 2]
 
     # Sanity: self-queries must return themselves (run once, not timed).
     dd, rr = run(jnp.asarray(db[:BATCH]))
@@ -124,11 +126,15 @@ def main() -> None:
                        for _ in range(5))
     host_qps = host_qps_sub * HOST_SUBSAMPLE / N
 
+    # The headline is best-of-3 timing windows (tunnel RTT congestion
+    # understates the chip ~2x in a bad window); the median window is
+    # published alongside so the figure is self-describing.
     print(json.dumps({
-        "metric": "sift1m_flat_l2_knn_qps_b1024",
+        "metric": "sift1m_flat_l2_knn_qps_b1024_bestof3",
         "value": round(tpu_qps, 2),
         "unit": "queries/s",
         "vs_baseline": round(tpu_qps / host_qps, 2),
+        "median_window": round(tpu_qps_median, 2),
     }))
 
 

@@ -158,16 +158,17 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
 
     def _dma_eligible(self) -> bool:
         """Use the Pallas DMA list-scan (ops/pallas_ivf.py): single real
-        TPU chip, euclidean metric, float32 or bfloat16 storage, balanced
+        TPU chip, euclidean metric, float32/bfloat16/sq8 storage (int8
+        codes DMA raw and score via the codec-folded surrogate), balanced
         lists within the kernel's fixed DMA length (minus alignment
         slack)."""
         from smqtk_indexing_tpu.ops.device import tpu_kernel_enabled
         from smqtk_indexing_tpu.ops.pallas_ivf import L_MAX
         return (tpu_kernel_enabled("SMQTK_TPU_NO_DMA_IVF")
                 and self._mesh is None
-                and self.dtype in ("float32", "bfloat16")
+                and self.dtype in ("float32", "bfloat16", "sq8")
                 and self.metric == "euclidean"
-                and 0 < self._l_max_raw <= L_MAX - 16
+                and 0 < self._l_max_raw <= L_MAX - 32
                 and self._capacity >= L_MAX)
 
     def _make_mesh(self):
@@ -368,7 +369,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         # Cap also at the DMA kernel's fixed block length (minus sublane
         # alignment slack) so balanced layouts always qualify for it.
         cap = min(max(int(np.ceil(2.0 * max(n, 1) / c_count)), 32),
-                  _DMA_L - 16)
+                  _DMA_L - 32)
         v_off, v_len, v_orig = [], [], []
         for li in range(c_count):
             length = int(lens[li])
@@ -688,12 +689,14 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     has_dead=has_dead)
             elif self._dma_eligible():
                 from smqtk_indexing_tpu.ops.pallas_ivf import ivf_query_dma
+                dq = (self._sq8_a, self._sq8_b) \
+                    if self.dtype == "sq8" else None
                 dists, rows = ivf_query_dma(
                     self._dev, self._dev_sq, self._dev_valid,
                     self._dev_centroids, self._dev_offsets,
                     self._dev_lens, jnp.asarray(q_p), k=k_dev,
                     n_probe=nprobe, first_virt=first_virt,
-                    nprobe_orig=nprobe_orig, has_dead=has_dead)
+                    nprobe_orig=nprobe_orig, has_dead=has_dead, dq=dq)
             elif self._pq_m(self.dtype) is not None:
                 from smqtk_indexing_tpu.ops.ivf import ivf_query_pq
                 dists, rows = ivf_query_pq(

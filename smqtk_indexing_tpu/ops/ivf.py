@@ -40,6 +40,15 @@ def probe_eligibility(c_scores_raw: jnp.ndarray, lens: jnp.ndarray,
     originals admit a superset (deterministic; the probe budget carries +8
     slack for them).
 
+    Degenerate-tie limitation: the budget's slack covers ONE extra tied
+    original list (times its sublists). If >1 distinct originals tie
+    bitwise at the threshold (possible only with duplicate data yielding
+    byte-identical k-means centroids — never observed with real-valued
+    descriptors), ``top_k`` over the widened-but-finite budget may drop
+    some tied lists' sublists, scanning a deterministic subset of the
+    admitted superset. Results remain valid neighbors; only the
+    tie-breaking order differs from FAISS's.
+
     :param c_scores_raw: (B, C_virtual) UNMASKED centroid surrogate scores
         (ascending better; empty lists included, as FAISS ranks them).
     :param lens: (C_virtual,) sublist lengths.

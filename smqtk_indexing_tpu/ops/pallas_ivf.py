@@ -41,7 +41,7 @@ L_MAX = 512
 PROBES_PER_STEP = 128
 
 
-def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, db_ref, out_ref,
+def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, a_ref, db_ref, out_ref,
                 cand, sems, acc, *, n_probe: int):
     qi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -50,9 +50,10 @@ def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, db_ref, out_ref,
     total = pl.num_programs(0) * steps * PROBES_PER_STEP
 
     def dma_for(i, s):
-        # Starts are 16-aligned by the caller; the multiple_of hint lets
+        # Starts are 32-aligned by the caller (the int8 sublane tile is
+        # 32 rows; 32 also covers f32/bf16); the multiple_of hint lets
         # Mosaic prove sublane-tile divisibility for the dynamic DMA.
-        start = pl.multiple_of(start_ref[i], 16)
+        start = pl.multiple_of(start_ref[i], 32)
         return pltpu.make_async_copy(
             db_ref.at[pl.ds(start, L_MAX), :], cand.at[s],
             sems.at[s])
@@ -94,10 +95,19 @@ def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, db_ref, out_ref,
             # a lane-select (single-lane stores and cross-lane
             # transposes are both Mosaic hazards; one select per probe
             # is pure VPU).
-            block = cand[slot].astype(jnp.float32)  # bf16 cast in VMEM
+            #
+            # One surrogate serves every storage codec: with row scale
+            # ``a`` (ones for float storage; the SQ8 per-dim codec scale
+            # for int8 codes) and query-side t = (q - b_codec) * a,
+            #   ||q - x_hat||^2 - ||q - b_codec||^2
+            #     = sum((a*u)^2) - 2<t, u>
+            # so int8 blocks DMA at 1 byte/dim and score EXACTLY (f32
+            # VPU math over exactly-represented code values).
+            block = cand[slot].astype(jnp.float32)  # cast in VMEM
+            au = block * a_ref[0]
             ip = jnp.sum(block * q_ref[0].astype(jnp.float32), axis=1,
                          keepdims=True)
-            sqv = jnp.sum(block * block, axis=1, keepdims=True)
+            sqv = jnp.sum(au * au, axis=1, keepdims=True)
             scores = sqv - 2.0 * ip                      # (L_MAX, 1)
             rowid = jax.lax.broadcasted_iota(jnp.int32, (L_MAX, 1), 0)
             ok = (rowid >= lo_ref[idx]) & (rowid < hi_ref[idx])
@@ -111,24 +121,30 @@ def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, db_ref, out_ref,
 
 @partial(jax.jit, static_argnames=("n_probe", "interpret"))
 def ivf_list_scores(db: jnp.ndarray,
-                    q: jnp.ndarray, starts: jnp.ndarray, lo: jnp.ndarray,
+                    q: jnp.ndarray, a_row: jnp.ndarray,
+                    starts: jnp.ndarray, lo: jnp.ndarray,
                     hi: jnp.ndarray, *, n_probe: int,
                     interpret: bool = False) -> jnp.ndarray:
     """
-    :param db: (N, d) float32 or bfloat16 database (list-sorted CSR
-        layout; bf16 halves the per-probe DMA traffic).
-    :param q: (B, d) float32 queries.
+    :param db: (N, d) float32, bfloat16 or int8 database (list-sorted CSR
+        layout; bf16 halves, int8 SQ8 codes quarter, the per-probe DMA
+        traffic).
+    :param q: (B, d) float32 queries — for int8 codes the SQ8 query-side
+        ``t = (q - b_codec) * a`` (see ``_ivf_kernel``).
+    :param a_row: (1, 1, d) float32 per-dim row scale — ones for float
+        storage, the SQ8 codec scale for int8 codes.
     :param starts: (B * n_probe,) int32 clamped list start rows
-        (start + L_MAX <= N guaranteed by the caller;
+        (32-aligned; start + L_MAX <= N guaranteed by the caller;
         n_probe % PROBES_PER_STEP == 0 — callers pad with lo == hi
         slots, which skip their DMA and score +inf).
     :param lo/hi: (B * n_probe,) int32 local valid windows within each
         DMA'd block ([lo, hi) relative to the clamped start).
     :return: (B, n_probe * L_MAX) float32 masked L2 surrogate scores
-        (||q||^2 omitted), +inf outside the windows. LAYOUT: flattened
-        from (steps, L_MAX, PROBES_PER_STEP) — probe p's list occupies
-        column p % PROBES_PER_STEP of step p // PROBES_PER_STEP; callers
-        must build row ids in the same order.
+        (||q||^2 resp. ||q - b_codec||^2 omitted), +inf outside the
+        windows. LAYOUT: flattened from (steps, L_MAX, PROBES_PER_STEP) —
+        probe p's list occupies column p % PROBES_PER_STEP of step
+        p // PROBES_PER_STEP; callers must build row ids in the same
+        order.
     """
     n, d = db.shape
     b = q.shape[0]
@@ -142,6 +158,8 @@ def ivf_list_scores(db: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, d), lambda qi, pj, *_: (qi, 0, 0),
                          memory_space=pltpu.VMEM),      # query
+            pl.BlockSpec((1, 1, d), lambda qi, pj, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),      # row scale
             pl.BlockSpec(memory_space=pl.ANY),          # db (manual DMA)
         ],
         out_specs=pl.BlockSpec(
@@ -160,7 +178,7 @@ def ivf_list_scores(db: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct(
             (b * steps, L_MAX, PROBES_PER_STEP), jnp.float32),
         interpret=interpret,
-    )(starts, lo, hi, q3, db)
+    )(starts, lo, hi, q3, a_row, db)
     return out.reshape(b, n_probe * L_MAX)
 
 
@@ -171,15 +189,22 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
                   centroids: jnp.ndarray, offsets: jnp.ndarray,
                   lens: jnp.ndarray, q: jnp.ndarray, *, k: int,
                   n_probe: int, interpret: bool = False, first_virt=None,
-                  nprobe_orig=None, has_dead: bool = True
+                  nprobe_orig=None, has_dead: bool = True, dq=None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Full IVF query with the DMA list-scan: same contract as
     ops/ivf.ivf_query for metric='euclidean' (layouts must satisfy
-    max(lens) <= L_MAX - 16 — the slack absorbs sublane alignment of the
+    max(lens) <= L_MAX - 32 — the slack absorbs sublane alignment of the
     DMA start — and N >= L_MAX). first_virt/nprobe_orig enable the
     FAISS-faithful original-list probe eligibility
     (ops/ivf.probe_eligibility); ineligible budget slots skip their DMA.
+
+    :param dq: Optional (a, b) SQ8 codec arrays when ``db`` holds int8
+        codes — probed blocks DMA as raw codes (1 byte/dim, 4x less HBM
+        traffic than f32) and score via the codec-folded surrogate in
+        ``_ivf_kernel``; winners re-rank exactly from dequantized rows
+        (the reference's 'IVFn,SQ8' served at full kernel speed,
+        faiss.py:190,368-386).
     """
     from smqtk_indexing_tpu.ops.ivf import probe_eligibility
 
@@ -187,6 +212,12 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     b = q.shape[0]
     q = q.astype(jnp.float32)
     q_sq = jnp.sum(q * q, axis=-1)
+    if dq is not None:
+        t = (q - dq[1][None, :]) * dq[0][None, :]
+        a_row = dq[0].reshape(1, 1, d).astype(jnp.float32)
+    else:
+        t = q
+        a_row = jnp.ones((1, 1, d), jnp.float32)
 
     # Probe selection (same surrogate as ops/ivf.ivf_query).
     c = centroids.astype(jnp.float32)
@@ -201,9 +232,10 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     probe_ok = jnp.take_along_axis(c_scores, lists, axis=1) < jnp.inf
     ln = jnp.where(probe_ok, lens[lists], 0)
     c_start = jnp.minimum(raw_start, n - L_MAX)
-    # Sublane-align the DMA start (bf16 tiles are 16 rows; Mosaic rejects
-    # unaligned dynamic DMA starts) — the local window absorbs the shift.
-    c_start = (c_start // 16) * 16
+    # Sublane-align the DMA start (int8 tiles are 32 rows, bf16 16;
+    # Mosaic rejects unaligned dynamic DMA starts) — the local window
+    # absorbs the shift.
+    c_start = (c_start // 32) * 32
     ofs = raw_start - c_start
     # Pad the probe axis to the kernel's per-step tile; pad slots carry
     # lo == hi == 0 (dead: no DMA, +inf scores).
@@ -228,7 +260,7 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     parts = []
     for qlo in range(0, b, b_chunk):       # static unroll
         parts.append(ivf_list_scores(
-            db, q[qlo:qlo + b_chunk],
+            db, t[qlo:qlo + b_chunk], a_row,
             starts2[qlo:qlo + b_chunk].reshape(-1),
             lo2[qlo:qlo + b_chunk].reshape(-1),
             hi2[qlo:qlo + b_chunk].reshape(-1),
@@ -264,4 +296,5 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
             [top_scores, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1)
         top_rows = jnp.concatenate(
             [top_rows, jnp.full((b, pad), -1, jnp.int32)], axis=1)
-    return _exact_selected("euclidean", db, q, q_sq, top_scores, top_rows)
+    return _exact_selected("euclidean", db, q, q_sq, top_scores, top_rows,
+                           dq=dq)

@@ -590,7 +590,14 @@ class HostStreamedVectorStore (VectorStore):
             if self._host is None:
                 raise ValueError("Store is empty.")
             host = self._host
-            valid_host = self._valid_host
+            # Snapshot the liveness mask: remove() flips _valid_host IN
+            # PLACE, so holding a reference would yield a torn view across
+            # streamed blocks mid-removal (the base store's device arrays
+            # are immutable snapshots; this copy restores that semantic).
+            # _host itself is only ever replaced wholesale (concat/new
+            # array), never mutated in place, so the reference is safe —
+            # and copying it here could be tens of GB.
+            valid_host = self._valid_host.copy()
             row2uid = list(self._row2uid)
             n_live = self._n_live
             d = self._dim
