@@ -232,20 +232,37 @@ def ivf_query_pq(codes: jnp.ndarray, codebooks: jnp.ndarray,
     lengths = jnp.where(probe_ok, lens[lists], 0)
 
     kk = min(k + 8, nprobe * l_max)  # margin absorbs bf16 decode noise
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, l_max), 1)
+    # Probes stream through the scan in GROUPS: one probe per step makes
+    # every dequant matmul tiny and pays the scan/gather fixed cost
+    # nprobe times — grouping widens the one-hot MXU dots and the ip
+    # contraction by 8x per step (the per-step candidate block stays
+    # ~l_max*8 rows, well under the streamed-scan chunk budget).
+    group = 1
+    while group < 8 and nprobe % (group * 2) == 0 \
+            and l_max * group * 2 <= 8192:
+        group *= 2
+    g_l = group * l_max
+    iota_l = jax.lax.broadcasted_iota(
+        jnp.int32, (b, group, l_max), 2)
 
     def body(carry, blk):
         bs, br = carry
-        start_j, len_j = blk                              # (B,), (B,)
-        rows_j = start_j[:, None] + iota_l                # (B, L)
-        ok = iota_l < len_j[:, None]
-        rows_c = jnp.clip(rows_j, 0, n - 1)
+        start_j, len_j = blk                              # (G, B) each
+        rows_j = jnp.transpose(start_j)[..., None] + iota_l  # (B, G, L)
+        ok = iota_l < jnp.transpose(len_j)[..., None]
+        rows_c = jnp.clip(rows_j, 0, n - 1).reshape(b, g_l)
+        ok = ok.reshape(b, g_l)
         if has_dead:
             ok = ok & jnp.take(valid, rows_c, axis=0)
-        cj = jnp.take(codes, rows_c, axis=0)              # (B, L, M)
-        x = _dequant(cj.reshape(b * l_max, m_sub),
-                     codebooks).reshape(b, l_max, -1)     # f32 of bf16 cb
-        ip = jnp.sum(x * q[:, None, :], axis=-1)
+        cj = jnp.take(codes, rows_c, axis=0)              # (B, GL, M)
+        x = _dequant(cj.reshape(b * g_l, m_sub),
+                     codebooks).reshape(b, g_l, -1)       # f32 of bf16 cb
+        # Batched MXU contraction (bf16 operands, f32 accumulation); the
+        # decode noise is already bf16-level and the winners re-rank
+        # exactly, so the bf16 query rounding adds nothing new.
+        ip = jnp.einsum("bld,bd->bl", x.astype(jnp.bfloat16),
+                        q.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
         if metric == "inner_product":
             s = -ip
         elif metric == "cosine":
@@ -265,7 +282,8 @@ def ivf_query_pq(codes: jnp.ndarray, codebooks: jnp.ndarray,
             jnp.full((b, kk), -1, jnp.int32))
     (best_s, best_r), _ = jax.lax.scan(
         body, init,
-        (jnp.transpose(starts), jnp.transpose(lengths)))
+        (jnp.transpose(starts).reshape(nprobe // group, group, b),
+         jnp.transpose(lengths).reshape(nprobe // group, group, b)))
 
     # Exact re-rank from exactly (HIGHEST) decoded f32 rows.
     from smqtk_indexing_tpu.ops.scan import exact_rerank_decoded
