@@ -223,7 +223,13 @@ def bench_itq_linear() -> None:
              note="held-out queries; exact re-rank of the pool")
 
 
-def bench_ivf() -> None:
+def bench_ivf(dtypes=("float32", "sq8", "pq16")) -> None:
+    """IVF4096 nprobe sweeps over the storage codecs (the reference's
+    'IVF4096,Flat' / 'IVF4096,SQ8' / 'IVF4096,PQ16' factory configs,
+    faiss.py:190): recall@10 on 128 held-out queries (float64 ground
+    truth) + QPS at B=128 (latency row) and B=1024 (the amortized batch
+    size where the sweep's cheap end is visible past the ~28 ms dispatch
+    floor)."""
     from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
     from smqtk_indexing_tpu.models.nn_index.ivf import (
         IvfNearestNeighborsIndex,
@@ -231,33 +237,43 @@ def bench_ivf() -> None:
 
     n, d = 1_000_000, 96
     db, queries, dataset = _load_or_make("deep_base.fvecs", n, d, 1.0,
-                                         seed=2)
+                                         seed=2, nq=1024)
     n = db.shape[0]
     elems = [DescriptorMemoryElement(i, db[i]) for i in range(n)]
-    idx = IvfNearestNeighborsIndex(n_lists=4096, kmeans_iterations=10,
-                                   max_points_per_centroid=64,
-                                   random_seed=0)
-    t0 = time.perf_counter()
-    idx.build_index(elems)
-    emit(metric="ivf4096_deep1m_build_wall",
-         value=round(time.perf_counter() - t0, 1), unit="s",
-         dataset=dataset)
-
-    nq = queries.shape[0]
-    truth = _exact_ground_truth(db, queries)
-    q_elems = [DescriptorMemoryElement(f"q{i}", queries[i])
-               for i in range(nq)]
-    for nprobe in (1, 2, 4, 8, 16, 32, 64, 128):
-        idx.nprobe = nprobe
-        res = idx.nn_many(q_elems, 10)          # compile + warm
+    nq_r = 128
+    truth = _exact_ground_truth(db, queries[:nq_r])
+    q_recall = [DescriptorMemoryElement(f"q{i}", queries[i])
+                for i in range(nq_r)]
+    q_large = [DescriptorMemoryElement(f"Q{i}", queries[i])
+               for i in range(1024)]
+    for dtype in dtypes:
+        tag = {"float32": "", "sq8": "_sq8", "pq16": "_pq16"}[dtype]
+        idx = IvfNearestNeighborsIndex(n_lists=4096, kmeans_iterations=10,
+                                       max_points_per_centroid=64,
+                                       random_seed=0, dtype=dtype)
         t0 = time.perf_counter()
-        for _ in range(3):
-            res = idx.nn_many(q_elems, 10)
-        dt = (time.perf_counter() - t0) / 3
-        got = [[e.uuid() for e in r] for r, _ in res]
-        emit(metric=f"ivf4096_deep1m_nprobe{nprobe}",
-             value=round(nq / dt, 0), unit="queries/s", dataset=dataset,
-             recall_at_10=round(_recall_at_10(got, truth), 4))
+        idx.build_index(elems)
+        emit(metric=f"ivf4096{tag}_deep1m_build_wall",
+             value=round(time.perf_counter() - t0, 1), unit="s",
+             dataset=dataset)
+
+        for nprobe in (1, 2, 4, 8, 16, 32, 64, 128):
+            idx.nprobe = nprobe
+            res = idx.nn_many(q_recall, 10)          # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(3):
+                res = idx.nn_many(q_recall, 10)
+            dt128 = (time.perf_counter() - t0) / 3
+            got = [[e.uuid() for e in r] for r, _ in res]
+            idx.nn_many(q_large, 10)                 # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(2):
+                idx.nn_many(q_large, 10)
+            dt1024 = (time.perf_counter() - t0) / 2
+            emit(metric=f"ivf4096{tag}_deep1m_nprobe{nprobe}",
+                 value=round(nq_r / dt128, 0), unit="queries/s",
+                 qps_b1024=round(1024 / dt1024, 0), dataset=dataset,
+                 recall_at_10=round(_recall_at_10(got, truth), 4))
 
 
 def bench_mrpt() -> None:
@@ -343,9 +359,13 @@ def bench_sq8() -> None:
 
 
 if __name__ == "__main__":
-    emit(metric="bench_all_start", value=time.time(), unit="epoch_s")
-    bench_itq_linear()
-    bench_ivf()
-    bench_mrpt()
-    bench_sq8()
+    import sys
+    sections = {"itq": bench_itq_linear, "ivf": bench_ivf,
+                "mrpt": bench_mrpt, "sq8": bench_sq8}
+    picked = [a for a in sys.argv[1:] if a in sections] \
+        or list(sections)
+    emit(metric="bench_all_start", value=time.time(), unit="epoch_s",
+         sections=picked)
+    for name in picked:
+        sections[name]()
     emit(metric="bench_all_done", value=time.time(), unit="epoch_s")

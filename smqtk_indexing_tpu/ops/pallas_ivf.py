@@ -298,3 +298,321 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
             [top_rows, jnp.full((b, pad), -1, jnp.int32)], axis=1)
     return _exact_selected("euclidean", db, q, q_sq, top_scores, top_rows,
                            dq=dq)
+
+
+# ---------------------------------------------------------------------------
+# Tiled-transposed layout (capacity tier): IVF over the SAME single-copy
+# (n_tiles, d, TILE_N) array the exhaustive scan uses (ops/pallas_scan
+# .segment_minima_tiled) — one 12.9GB int8 buffer at 100M rows serves both
+# the exhaustive oracle and the IVF fast path.
+# ---------------------------------------------------------------------------
+
+#: Lane width of one tiled-layout DMA window. Sublists are cut at
+#: W_TILED - 128 rows and at tile boundaries by build_tiled_csr, so any
+#: (clamped-to-128-aligned) window start keeps [lo, hi) inside W_TILED.
+W_TILED = 640
+
+#: Probes per grid step of the tiled kernel (sublane dim of the score
+#: accumulator).
+P_STEP_TILED = 64
+
+#: Row capacity of one tile of the tiled-transposed layout (matches
+#: ops/pallas_scan.TILE_N).
+TILE_ROWS = 4096
+
+
+def build_tiled_csr(chunk_lens, chunk_bases, cap: int = W_TILED - 128,
+                    tile: int = TILE_ROWS):
+    """
+    Virtual-sublist CSR over a tiled-transposed layout built in CHUNKS:
+    chunk c's rows occupy global rows [chunk_bases[c], ...) sorted by
+    list id, so original list ``li`` is a union of per-chunk contiguous
+    runs. Each run splits at ``cap`` (so a window of W_TILED covers any
+    sublist after 128-alignment clamping) and at ``tile`` boundaries (a
+    lane-dim DMA cannot cross tiles).
+
+    :param chunk_lens: (n_chunks, C) int — per-chunk per-list row counts.
+    :param chunk_bases: (n_chunks,) int — global first row of each chunk.
+    :return: (v_tile, v_col, v_len, v_orig, first_virt) int32 arrays —
+        sublist tile index / in-tile start column / length / original
+        list id, plus one representative slot per original (empty
+        originals get a dead len-0 slot so FAISS-faithful nprobe ranks
+        them like FAISS does).
+    """
+    import numpy as np
+    chunk_lens = np.asarray(chunk_lens)
+    n_chunks, c_lists = chunk_lens.shape
+    v_off, v_len, v_orig = [], [], []
+    for c in range(n_chunks):
+        lens_c = chunk_lens[c]
+        offs = chunk_bases[c] + np.concatenate(
+            [[0], np.cumsum(lens_c)[:-1]])
+        for li in np.nonzero(lens_c)[0]:
+            start, end = int(offs[li]), int(offs[li] + lens_c[li])
+            while start < end:
+                stop = min(end, start + cap,
+                           (start // tile + 1) * tile)
+                v_off.append(start)
+                v_len.append(stop - start)
+                v_orig.append(li)
+                start = stop
+    v_off = np.asarray(v_off, dtype=np.int64)
+    v_len = np.asarray(v_len, dtype=np.int32)
+    v_orig = np.asarray(v_orig, dtype=np.int32)
+    # Dead slots for all-empty originals (rank, never scan).
+    missing = np.setdiff1d(np.arange(c_lists), v_orig)
+    if missing.size:
+        v_off = np.concatenate([v_off, np.zeros(missing.size, np.int64)])
+        v_len = np.concatenate([v_len, np.zeros(missing.size, np.int32)])
+        v_orig = np.concatenate([v_orig, missing.astype(np.int32)])
+    first_virt = np.full(c_lists, -1, dtype=np.int32)
+    for i, li in enumerate(v_orig):
+        if first_virt[li] < 0:
+            first_virt[li] = i
+    assert (first_virt >= 0).all()
+    return ((v_off // tile).astype(np.int32),
+            (v_off % tile).astype(np.int32), v_len, v_orig, first_virt)
+
+
+def probe_budget(v_orig, nprobe_orig: int, step: int = P_STEP_TILED
+                 ) -> int:
+    """Static probe-slot budget that always covers the ``nprobe_orig``
+    nearest originals' sublists (+1 tied list of slack +8), padded to the
+    kernel's per-step tile."""
+    import numpy as np
+    counts = np.bincount(np.asarray(v_orig))
+    top = np.sort(counts)[::-1][:nprobe_orig + 1]
+    budget = int(top.sum()) + 8
+    return -(-budget // step) * step
+
+
+def _ivf_tiled_kernel(ti_ref, c0_ref, lo_ref, hi_ref, t_ref, db_ref,
+                      s2_ref, out_ref, cand, s2buf, sems, acc, *,
+                      n_probe: int):
+    """Tiled-layout list scan: per probe, DMA one (d, W_TILED) code
+    window + its (1, W_TILED) precomputed row-stat slice, score on the
+    MXU with a 2-pass split-bf16 dot (int8 codes are exact in bf16; the
+    split covers the f32 query side to ~2^-18 — selection noise absorbed
+    by the caller's k+8 margin and exact re-rank), and sublane-select the
+    (1, W) score row into the (P_STEP, W) accumulator."""
+    qi = pl.program_id(0)
+    pj = pl.program_id(1)
+    steps = n_probe // P_STEP_TILED
+    base = (qi * steps + pj) * P_STEP_TILED
+    total = pl.num_programs(0) * steps * P_STEP_TILED
+
+    def dmas_for(i, s):
+        c0 = pl.multiple_of(c0_ref[i], 128)
+        return (pltpu.make_async_copy(
+                    db_ref.at[ti_ref[i], :, pl.ds(c0, W_TILED)],
+                    cand.at[s], sems.at[s, 0]),
+                pltpu.make_async_copy(
+                    s2_ref.at[ti_ref[i], :, pl.ds(c0, W_TILED)],
+                    s2buf.at[s], sems.at[s, 1]))
+
+    def live(i):
+        return hi_ref[i] > lo_ref[i]
+
+    @pl.when((base == 0) & live(0))
+    def _():
+        for cp in dmas_for(0, 0):
+            cp.start()
+
+    acc[:] = jnp.full((P_STEP_TILED, W_TILED), jnp.inf, jnp.float32)
+    row_sel = jax.lax.broadcasted_iota(
+        jnp.int32, (P_STEP_TILED, W_TILED), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W_TILED), 1)
+    t = t_ref[0]                                   # (1, d) float32
+    t_hi = t.astype(jnp.bfloat16)
+    t_lo = (t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def body(j, _):
+        idx = base + j
+        slot = jax.lax.rem(idx, 2)
+        nxt = jax.lax.rem(idx + 1, 2)
+
+        @pl.when((idx + 1 < total) & live(idx + 1))
+        def _():
+            for cp in dmas_for(idx + 1, nxt):
+                cp.start()
+
+        @pl.when(live(idx))
+        def _():
+            for cp in dmas_for(idx, slot):
+                cp.wait()
+            block = cand[slot].astype(jnp.bfloat16)     # (d, W) exact
+            ip = jax.lax.dot_general(
+                t_hi, block, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ip += jax.lax.dot_general(
+                t_lo, block, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (1, W)
+            scores = s2buf[slot] - 2.0 * ip
+            ok = (lane >= lo_ref[idx]) & (lane < hi_ref[idx])
+            row = jnp.where(ok, scores, jnp.inf)
+            acc[:] = jnp.where(row_sel == j, row, acc[:])
+        return 0
+
+    jax.lax.fori_loop(0, P_STEP_TILED, body, 0)
+    out_ref[:] = acc[:].reshape(1, P_STEP_TILED, W_TILED)
+
+
+@partial(jax.jit, static_argnames=("n_probe", "interpret"))
+def ivf_list_scores_tiled(db3: jnp.ndarray, s2t: jnp.ndarray,
+                          t: jnp.ndarray, ti: jnp.ndarray,
+                          c0: jnp.ndarray, lo: jnp.ndarray,
+                          hi: jnp.ndarray, *, n_probe: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """
+    :param db3: (n_tiles, d, TILE_ROWS) int8/bf16/f32 tiled-transposed
+        codes (row r at [r // TILE_ROWS, :, r % TILE_ROWS]).
+    :param s2t: (n_tiles, 1, TILE_ROWS) float32 per-row sum((a*u)^2) in
+        the same layout (precomputed; DMA'd per window beside the codes).
+    :param t: (B, d) float32 query-side codec fold (q - b_codec) * a.
+    :param ti/c0/lo/hi: (B * n_probe,) int32 — tile index, 128-aligned
+        window start column, and local [lo, hi) valid window per probe
+        slot (lo == hi slots skip their DMAs).
+    :return: (B, n_probe * W_TILED) float32 masked surrogate scores
+        (||q - b_codec||^2 omitted); +inf outside windows.
+    """
+    n_tiles, d, tile_n = db3.shape
+    b = t.shape[0]
+    assert n_probe % P_STEP_TILED == 0
+    steps = n_probe // P_STEP_TILED
+    t3 = t.reshape(b, 1, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, steps),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda qi, pj, *_: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),      # t
+            pl.BlockSpec(memory_space=pl.ANY),          # db3 (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),          # s2t (manual DMA)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, P_STEP_TILED, W_TILED),
+            lambda qi, pj, *_: (qi * steps + pj, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, d, W_TILED), db3.dtype),
+            pltpu.VMEM((2, 1, W_TILED), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((P_STEP_TILED, W_TILED), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_ivf_tiled_kernel, n_probe=n_probe),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (b * steps, P_STEP_TILED, W_TILED), jnp.float32),
+        interpret=interpret,
+    )(ti, c0, lo, hi, t3, db3, s2t)
+    return out.reshape(b, n_probe * W_TILED)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "n_probe", "interpret", "nprobe_orig"))
+def ivf_query_dma_tiled(db3: jnp.ndarray, s2t: jnp.ndarray, a: jnp.ndarray,
+                        b_codec: jnp.ndarray, centroids: jnp.ndarray,
+                        v_tile: jnp.ndarray, v_col: jnp.ndarray,
+                        v_len: jnp.ndarray, q: jnp.ndarray, *, k: int,
+                        n_probe: int, first_virt=None, nprobe_orig=None,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Full IVF query over the tiled-transposed SQ8 layout — the capacity
+    configuration (IVF-SQ8 at 100M rows/chip; the reference's
+    'IVF<n>,SQ8' factory config served by FAISS's native list scans,
+    faiss.py:190,368-386). Probe selection ranks the (duplicated)
+    virtual-sublist centroids with FAISS-faithful original-list
+    eligibility; winners re-rank EXACTLY from dequantized f32 rows
+    fetched via the segment DMA gather (no XLA gather ever touches the
+    multi-GB parameter — see ops/pallas_scan.seg_gather_tiled).
+
+    :param centroids: (V, d) float32 virtual centroids (duplicated per
+        sublist of build_tiled_csr's layout).
+    :param v_tile/v_col/v_len: build_tiled_csr's sublist arrays.
+    :return: (dists (B, k) float32 ascending — exact w.r.t. the
+        quantized vectors, rows (B, k) int32; +inf / -1 padding).
+    """
+    from smqtk_indexing_tpu.ops.ivf import probe_eligibility
+    from smqtk_indexing_tpu.ops.pallas_scan import (
+        SEG, seg_gather_tiled, topk_smallest,
+    )
+    from smqtk_indexing_tpu.ops.scan import exact_rerank_decoded
+
+    n_tiles, d, tile_n = db3.shape
+    b = q.shape[0]
+    q = q.astype(jnp.float32)
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
+    t = (q - b_codec[None, :]) * a[None, :]
+
+    c = centroids.astype(jnp.float32)
+    c_sq = jnp.sum(c * c, axis=-1)
+    ip_c = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    c_scores = probe_eligibility(c_sq[None, :] - 2.0 * ip_c, v_len,
+                                 first_virt, nprobe_orig)
+    # The (step-padded) budget can exceed the virtual-slot count at small
+    # scale; surplus slots are dead (lo == hi -> no DMA, +inf scores).
+    n_sel = min(n_probe, c_scores.shape[1])
+    _, lists = jax.lax.top_k(-c_scores, n_sel)            # (B, P_sel)
+
+    probe_ok = jnp.take_along_axis(c_scores, lists, axis=1) < jnp.inf
+    ln = jnp.where(probe_ok, v_len[lists], 0)
+    ti = v_tile[lists]
+    col = v_col[lists]
+    c0 = jnp.minimum((col // 128) * 128, tile_n - W_TILED)
+    lo = col - c0
+    hi = lo + ln
+    if n_sel < n_probe:
+        pad = n_probe - n_sel
+        zeros = jnp.zeros((b, pad), jnp.int32)
+        ti = jnp.concatenate([ti, zeros], axis=1)
+        c0 = jnp.concatenate([c0, zeros], axis=1)
+        lo = jnp.concatenate([lo, zeros], axis=1)
+        hi = jnp.concatenate([hi, zeros], axis=1)
+
+    # SMEM holds 4 (B * P) int32 prefetch arrays; chunk the batch to a
+    # 768KB budget (same policy as ivf_query_dma).
+    b_chunk = b
+    while b_chunk * n_probe * 16 > (3 << 18):
+        b_chunk //= 2
+    b_chunk = max(b_chunk, 8)
+    parts = []
+    for qlo in range(0, b, b_chunk):       # static unroll
+        sl = slice(qlo, qlo + b_chunk)
+        parts.append(ivf_list_scores_tiled(
+            db3, s2t, t[sl], ti[sl].reshape(-1).astype(jnp.int32),
+            c0[sl].reshape(-1).astype(jnp.int32),
+            lo[sl].reshape(-1).astype(jnp.int32),
+            hi[sl].reshape(-1).astype(jnp.int32),
+            n_probe=n_probe, interpret=interpret))
+    scores = parts[0] if len(parts) == 1 \
+        else jnp.concatenate(parts, axis=0)
+
+    # Global row of window lane w of probe slot p.
+    base_row = (ti * tile_n + c0).astype(jnp.int32)       # (B, P)
+    rows = (base_row[..., None]
+            + jax.lax.broadcasted_iota(jnp.int32, (b, n_probe, W_TILED),
+                                       2)).reshape(b, n_probe * W_TILED)
+
+    kk = min(k + 8, n_probe * W_TILED)
+    top_scores, sel = topk_smallest(scores, kk)
+    top_rows = jnp.take_along_axis(rows, sel, axis=1).astype(jnp.int32)
+    top_rows = jnp.where(jnp.isinf(top_scores), -1, top_rows)
+
+    # Exact re-rank: fetch each winner's 128-row segment through the DMA
+    # gather, slice its column, dequantize, exact f32 distance.
+    rows_c = jnp.maximum(top_rows, 0)
+    seg_ids = rows_c // SEG
+    blocks = seg_gather_tiled(db3, seg_ids, interpret=interpret)
+    col_sel = (rows_c % SEG).reshape(b, kk, 1, 1)
+    codes_sel = jnp.take_along_axis(
+        blocks, jnp.broadcast_to(col_sel, (b, kk, d, 1)), axis=3
+    ).reshape(b, kk, d)
+    x = codes_sel.astype(jnp.float32) * a + b_codec
+    dists, out_rows = exact_rerank_decoded(
+        x, q, q_norm, top_scores, top_rows, "euclidean", k)
+    return dists, out_rows

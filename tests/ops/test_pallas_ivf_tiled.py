@@ -1,0 +1,127 @@
+"""Tiled-transposed-layout IVF DMA kernel tests (interpret mode on CPU):
+the capacity configuration (IVF-SQ8 over the single-copy (n_tiles, d,
+4096) array) against float64 brute force on the dequantized codes."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from smqtk_indexing_tpu.ops import sq8 as sq8_ops
+from smqtk_indexing_tpu.ops.pallas_ivf import (
+    P_STEP_TILED, TILE_ROWS, W_TILED, build_tiled_csr, ivf_query_dma_tiled,
+    probe_budget,
+)
+
+
+def _chunked_layout(n_chunks=2, c_lists=16, d=128, seed=0):
+    """Clustered rows written in per-chunk list-sorted order (the way the
+    100M build ingests chunks), plus the codec and CSR arrays."""
+    rng = np.random.default_rng(seed)
+    chunk_rows = TILE_ROWS  # one tile per chunk
+    n = n_chunks * chunk_rows
+    centers = rng.normal(size=(c_lists, d)).astype(np.float32) * 2.0
+    rows = np.empty((n, d), np.float32)
+    chunk_lens = np.zeros((n_chunks, c_lists), np.int64)
+    chunk_bases = np.arange(n_chunks) * chunk_rows
+    assigns = np.empty(n, np.int32)
+    for c in range(n_chunks):
+        a_c = np.sort(rng.integers(0, c_lists, size=chunk_rows))
+        chunk_lens[c] = np.bincount(a_c, minlength=c_lists)
+        rows[c * chunk_rows:(c + 1) * chunk_rows] = (
+            centers[a_c] + rng.normal(size=(chunk_rows, d))
+            .astype(np.float32) * 0.3)
+        assigns[c * chunk_rows:(c + 1) * chunk_rows] = a_c
+
+    a, b = sq8_ops.sq8_train(rows)
+    codes = sq8_ops.sq8_encode_np(rows, a, b)
+    db3 = np.ascontiguousarray(
+        codes.reshape(n_chunks, chunk_rows, d).transpose(0, 2, 1))
+    u = codes.astype(np.float64)
+    s2 = ((a.astype(np.float64) * u) ** 2).sum(1).astype(np.float32)
+    s2t = np.ascontiguousarray(s2.reshape(n_chunks, 1, chunk_rows))
+
+    v_tile, v_col, v_len, v_orig, first_virt = build_tiled_csr(
+        chunk_lens, chunk_bases)
+    cents = np.stack([
+        rows[assigns == li].mean(0) if (assigns == li).any()
+        else np.zeros(d, np.float32)
+        for li in range(c_lists)]).astype(np.float32)
+    dbq = u * a + b  # float64 dequantized reference
+    return (db3, s2t, a, b, cents, v_tile, v_col, v_len, v_orig,
+            first_virt, dbq, assigns)
+
+
+def test_csr_builder_invariants():
+    (db3, s2t, a, b, cents, v_tile, v_col, v_len, v_orig, first_virt,
+     dbq, assigns) = _chunked_layout(n_chunks=3, seed=3)
+    # Sublists fit one DMA window after 128-alignment clamping.
+    assert (v_len <= W_TILED - 128).all()
+    c0 = np.minimum((v_col // 128) * 128, TILE_ROWS - W_TILED)
+    assert ((v_col - c0) + v_len <= W_TILED).all()
+    # No sublist crosses a tile boundary.
+    assert (v_col + v_len <= TILE_ROWS).all()
+    # Every row is covered exactly once, with its own list id.
+    cover = np.zeros(dbq.shape[0], np.int32)
+    for ti, co, ln, orig in zip(v_tile, v_col, v_len, v_orig):
+        rows = ti * TILE_ROWS + co + np.arange(ln)
+        cover[rows] += 1
+        assert (assigns[rows] == orig).all()
+    assert (cover == 1).all()
+    assert (first_virt >= 0).all()
+    assert (v_orig[first_virt] == np.arange(len(first_virt))).all()
+
+
+def test_tiled_full_probe_is_exact():
+    (db3, s2t, a, b, cents, v_tile, v_col, v_len, v_orig, first_virt,
+     dbq, assigns) = _chunked_layout()
+    rng = np.random.default_rng(1)
+    bq, k = 8, 8
+    q = (dbq[rng.integers(0, dbq.shape[0], bq)]
+         + rng.normal(size=(bq, dbq.shape[1])) * 0.1).astype(np.float32)
+    n_virt = len(v_len)
+    budget = -(-n_virt // P_STEP_TILED) * P_STEP_TILED
+    cents_v = cents[v_orig]
+    dd, rr = ivf_query_dma_tiled(
+        jnp.asarray(db3), jnp.asarray(s2t), jnp.asarray(a),
+        jnp.asarray(b), jnp.asarray(cents_v), jnp.asarray(v_tile),
+        jnp.asarray(v_col), jnp.asarray(v_len), jnp.asarray(q), k=k,
+        n_probe=budget, interpret=True)
+    d2 = np.sqrt(((q[:, None, :].astype(np.float64)
+                   - dbq[None, :, :]) ** 2).sum(-1))
+    ref_rows = np.argsort(d2, axis=1)[:, :k]
+    assert np.array_equal(np.asarray(rr), ref_rows)
+    np.testing.assert_allclose(
+        np.asarray(dd), np.take_along_axis(d2, ref_rows, axis=1),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_tiled_faithful_nprobe_matches_per_list_bruteforce():
+    (db3, s2t, a, b, cents, v_tile, v_col, v_len, v_orig, first_virt,
+     dbq, assigns) = _chunked_layout(seed=7)
+    rng = np.random.default_rng(2)
+    bq, k, nprobe = 8, 4, 3
+    q = (dbq[rng.integers(0, dbq.shape[0], bq)]
+         + rng.normal(size=(bq, dbq.shape[1])) * 0.1).astype(np.float32)
+    budget = probe_budget(v_orig, nprobe)
+    cents_v = cents[v_orig]
+    dd, rr = ivf_query_dma_tiled(
+        jnp.asarray(db3), jnp.asarray(s2t), jnp.asarray(a),
+        jnp.asarray(b), jnp.asarray(cents_v), jnp.asarray(v_tile),
+        jnp.asarray(v_col), jnp.asarray(v_len), jnp.asarray(q), k=k,
+        n_probe=budget, first_virt=jnp.asarray(first_virt),
+        nprobe_orig=nprobe, interpret=True)
+    rr = np.asarray(rr)
+    dd = np.asarray(dd)
+    # FAISS-faithful reference: rank ORIGINAL lists by centroid L2, scan
+    # exactly the nprobe nearest lists' rows, exact distances.
+    c_d2 = ((q[:, None, :].astype(np.float64)
+             - cents[None, :, :]) ** 2).sum(-1)
+    for bi in range(bq):
+        probed = np.argsort(c_d2[bi])[:nprobe]
+        mask = np.isin(assigns, probed)
+        cand = np.flatnonzero(mask)
+        d2 = np.sqrt(((q[bi].astype(np.float64)
+                       - dbq[cand]) ** 2).sum(-1))
+        order = cand[np.argsort(d2)][:k]
+        assert np.array_equal(rr[bi], order), bi
+        np.testing.assert_allclose(dd[bi], np.sort(d2)[:k],
+                                   rtol=1e-4, atol=1e-4)
