@@ -21,6 +21,22 @@ import jax.numpy as jnp
 ASSIGN_CHUNK = 16384
 
 
+def _pad_to_chunks(x: jnp.ndarray, w, chunk: int):
+    """Zero-pad rows (and the weight/validity vector) to a chunk multiple
+    so the streaming reshape is always exact (1M-row trainers hit the
+    old N % chunk truncation)."""
+    n = x.shape[0]
+    n_pad = -(-n // chunk) * chunk if n > chunk else n
+    if n_pad == n:
+        return x, w, 0
+    pad = n_pad - n
+    x = jnp.concatenate(
+        [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
+    if w is not None:
+        w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)], axis=0)
+    return x, w, pad
+
+
 def _assign_block(x: jnp.ndarray, x_sq: jnp.ndarray, c: jnp.ndarray,
                   c_sq: jnp.ndarray) -> jnp.ndarray:
     """(B, d) rows -> (B,) nearest-centroid ids (L2; ||x||² constant omitted
@@ -40,7 +56,8 @@ def kmeans_lloyd(x: jnp.ndarray, valid: jnp.ndarray, init: jnp.ndarray, *,
     Lloyd's algorithm on a (N, d) float32 matrix (zero-padded rows masked by
     ``valid``).
 
-    :param x: (N, d) training rows; N % chunk == 0 or N <= chunk.
+    :param x: (N, d) training rows (any N — rows pad internally to a
+        chunk multiple; padding is masked out of updates).
     :param valid: (N,) bool mask of real rows.
     :param init: (C, d) initial centroids.
     :param n_iter: Lloyd iterations (static).
@@ -51,11 +68,12 @@ def kmeans_lloyd(x: jnp.ndarray, valid: jnp.ndarray, init: jnp.ndarray, *,
     n, d = x.shape
     c_count = init.shape[0]
     x = x.astype(jnp.float32)
-    x_sq = jnp.sum(x * x, axis=-1)
     w = valid.astype(jnp.float32)
+    x, w, pad = _pad_to_chunks(x, w, chunk)
+    x_sq = jnp.sum(x * x, axis=-1)
 
-    num_chunks = max(n // chunk, 1)
-    eff_chunk = n // num_chunks
+    num_chunks = x.shape[0] // min(chunk, x.shape[0])
+    eff_chunk = x.shape[0] // num_chunks
     x_c = x.reshape(num_chunks, eff_chunk, d)
     xsq_c = x_sq.reshape(num_chunks, eff_chunk)
     w_c = w.reshape(num_chunks, eff_chunk)
@@ -91,7 +109,7 @@ def kmeans_lloyd(x: jnp.ndarray, valid: jnp.ndarray, init: jnp.ndarray, *,
         return None, _assign_block(xb, xsqb, c, c_sq)
 
     _, assigns = jax.lax.scan(assign_body, None, (x_c, xsq_c, w_c))
-    return c, assigns.reshape(n)
+    return c, assigns.reshape(-1)[:n]
 
 
 @partial(jax.jit, static_argnames=("chunk",))
@@ -102,8 +120,9 @@ def kmeans_assign(x: jnp.ndarray, centroids: jnp.ndarray, *,
     x = x.astype(jnp.float32)
     c = centroids.astype(jnp.float32)
     c_sq = jnp.sum(c * c, axis=-1)
-    num_chunks = max(n // chunk, 1)
-    eff_chunk = n // num_chunks
+    x, _, _ = _pad_to_chunks(x, None, chunk)
+    num_chunks = x.shape[0] // min(chunk, x.shape[0])
+    eff_chunk = x.shape[0] // num_chunks
     x_c = x.reshape(num_chunks, eff_chunk, d)
     xsq_c = jnp.sum(x * x, axis=-1).reshape(num_chunks, eff_chunk)
 
@@ -112,4 +131,4 @@ def kmeans_assign(x: jnp.ndarray, centroids: jnp.ndarray, *,
         return None, _assign_block(xb, xsqb, c, c_sq)
 
     _, assigns = jax.lax.scan(body, None, (x_c, xsq_c))
-    return assigns.reshape(n)
+    return assigns.reshape(-1)[:n]
