@@ -574,6 +574,22 @@ def ivf_query_dma_tiled(db3: jnp.ndarray, s2t: jnp.ndarray, a: jnp.ndarray,
         lo = jnp.concatenate([lo, zeros], axis=1)
         hi = jnp.concatenate([hi, zeros], axis=1)
 
+    return _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0,
+                              lo, hi, k=k, n_probe=n_probe,
+                              interpret=interpret)
+
+
+def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,
+                       *, k: int, n_probe: int, interpret: bool):
+    """Shared tail of the tiled IVF query: kernel scan over the selected
+    probe windows, top-k, exact re-rank via the segment DMA gather."""
+    from smqtk_indexing_tpu.ops.pallas_scan import (
+        SEG, seg_gather_tiled, topk_smallest,
+    )
+    from smqtk_indexing_tpu.ops.scan import exact_rerank_decoded
+
+    n_tiles, d, tile_n = db3.shape
+    b = q.shape[0]
     # SMEM holds 4 (B * P) int32 prefetch arrays; chunk the batch to a
     # 768KB budget (same policy as ivf_query_dma).
     b_chunk = b
@@ -616,3 +632,81 @@ def ivf_query_dma_tiled(db3: jnp.ndarray, s2t: jnp.ndarray, a: jnp.ndarray,
     dists, out_rows = exact_rerank_decoded(
         x, q, q_norm, top_scores, top_rows, "euclidean", k)
     return dists, out_rows
+
+
+def build_slot_table(v_orig, c_lists: int):
+    """(C, S_max) int32 table mapping each original list to its sublist
+    slot ids (-1 padded) — the probe-selection form that ranks ORIGINAL
+    centroids only (the chunked capacity layout splits every list ~once
+    per chunk, so ranking the duplicated virtual centroids would cost a
+    V~=chunks*C-wide matmul + top_k per batch)."""
+    import numpy as np
+    v_orig = np.asarray(v_orig)
+    counts = np.bincount(v_orig, minlength=c_lists)
+    s_max = int(counts.max())
+    table = np.full((c_lists, s_max), -1, dtype=np.int32)
+    fill = np.zeros(c_lists, dtype=np.int64)
+    for slot, li in enumerate(v_orig):
+        table[li, fill[li]] = slot
+        fill[li] += 1
+    return table
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe_orig", "interpret"))
+def ivf_query_dma_tiled_table(db3: jnp.ndarray, s2t: jnp.ndarray,
+                              a: jnp.ndarray, b_codec: jnp.ndarray,
+                              centroids: jnp.ndarray,
+                              slot_table: jnp.ndarray,
+                              v_tile: jnp.ndarray, v_col: jnp.ndarray,
+                              v_len: jnp.ndarray, q: jnp.ndarray, *,
+                              k: int, nprobe_orig: int,
+                              interpret: bool = False
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Tiled IVF query with ORIGINAL-centroid probe selection: rank the
+    (C, d) original centroids, take exactly the ``nprobe_orig`` nearest
+    (FAISS-faithful by construction — no virtual-slot eligibility
+    thresholding needed), and expand each via ``slot_table`` to its
+    sublist windows. The probe budget is nprobe_orig * S_max with dead
+    pad slots skipping their DMAs — at 100M scale this replaces a
+    ~262K-wide duplicated-centroid matmul + top_k per batch with a
+    16K-wide one.
+    """
+    n_tiles, d, tile_n = db3.shape
+    b = q.shape[0]
+    q = q.astype(jnp.float32)
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
+    t = (q - b_codec[None, :]) * a[None, :]
+
+    c = centroids.astype(jnp.float32)
+    c_sq = jnp.sum(c * c, axis=-1)
+    ip_c = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    c_scores = c_sq[None, :] - 2.0 * ip_c
+    _, lists = jax.lax.top_k(-c_scores, nprobe_orig)      # (B, n_orig)
+
+    slots = slot_table[lists]                    # (B, n_orig, S_max)
+    s_max = slot_table.shape[1]
+    dead = slots < 0
+    slots_c = jnp.maximum(slots, 0)
+    ln = jnp.where(dead, 0, v_len[slots_c])
+    ti = jnp.where(dead, 0, v_tile[slots_c])
+    col = jnp.where(dead, 0, v_col[slots_c])
+    c0 = jnp.minimum((col // 128) * 128, tile_n - W_TILED)
+    lo = col - c0
+    hi = lo + ln
+    # Pad the flattened budget to the kernel's per-step tile.
+    p_raw = nprobe_orig * s_max
+    n_probe = -(-p_raw // P_STEP_TILED) * P_STEP_TILED
+    pad = n_probe - p_raw
+
+    def flat(x):
+        x = x.reshape(b, p_raw)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((b, pad), jnp.int32)], axis=1)
+        return x
+
+    return _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t,
+                              flat(ti), flat(c0), flat(lo), flat(hi),
+                              k=k, n_probe=n_probe, interpret=interpret)

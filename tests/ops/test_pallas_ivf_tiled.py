@@ -125,3 +125,34 @@ def test_tiled_faithful_nprobe_matches_per_list_bruteforce():
         assert np.array_equal(rr[bi], order), bi
         np.testing.assert_allclose(dd[bi], np.sort(d2)[:k],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_tiled_table_selection_matches_virtual_path():
+    # Original-centroid + slot-table selection (the 100M configuration)
+    # must agree with the virtual-centroid faithful path (no centroid
+    # ties on random data).
+    from smqtk_indexing_tpu.ops.pallas_ivf import (
+        build_slot_table, ivf_query_dma_tiled_table,
+    )
+    (db3, s2t, a, b, cents, v_tile, v_col, v_len, v_orig, first_virt,
+     dbq, assigns) = _chunked_layout(n_chunks=3, c_lists=16, seed=13)
+    rng = np.random.default_rng(4)
+    bq, k, nprobe = 8, 8, 3
+    q = (dbq[rng.integers(0, dbq.shape[0], bq)]
+         + rng.normal(size=(bq, dbq.shape[1])) * 0.1).astype(np.float32)
+    budget = probe_budget(v_orig, nprobe)
+    d_v, r_v = ivf_query_dma_tiled(
+        jnp.asarray(db3), jnp.asarray(s2t), jnp.asarray(a),
+        jnp.asarray(b), jnp.asarray(cents[v_orig]), jnp.asarray(v_tile),
+        jnp.asarray(v_col), jnp.asarray(v_len), jnp.asarray(q), k=k,
+        n_probe=budget, first_virt=jnp.asarray(first_virt),
+        nprobe_orig=nprobe, interpret=True)
+    table = build_slot_table(v_orig, cents.shape[0])
+    d_t, r_t = ivf_query_dma_tiled_table(
+        jnp.asarray(db3), jnp.asarray(s2t), jnp.asarray(a),
+        jnp.asarray(b), jnp.asarray(cents), jnp.asarray(table),
+        jnp.asarray(v_tile), jnp.asarray(v_col), jnp.asarray(v_len),
+        jnp.asarray(q), k=k, nprobe_orig=nprobe, interpret=True)
+    assert np.array_equal(np.asarray(r_t), np.asarray(r_v))
+    np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_v),
+                               rtol=1e-5, atol=1e-5)
