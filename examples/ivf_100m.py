@@ -1,0 +1,252 @@
+"""
+IVF-SQ8 at 100M vectors on one chip — the capacity configuration that
+actually serves a corpus this size (the reference composes it as FAISS
+'IVF16384,SQ8', /root/reference/smqtk_indexing/impls/nn_index/faiss.py:190,
+368-386, with query-time ``ivf_nprobe`` :715-749).
+
+Everything happens ON DEVICE (the tunnel moves ~20MB/s; a 12.9GB upload is
+infeasible):
+
+1. k-means trains 16384 coarse centroids on a 1M-row sample
+   (ops/kmeans.kmeans_lloyd).
+2. The corpus ingests in 16 chunks of ~6.3M rows, two passes per chunk:
+   pass 1 generates rows and records their nearest-centroid assignment;
+   pass 2 REGENERATES them in assignment-sorted order (deterministic
+   per-row PRNG keyed by global row id — sorting 6.3M rows by gathering a
+   768MB int8 block would transiently double the chunk, regeneration
+   costs only FLOPs) and emits (d, 4096) tile-transposed int8 SQ8 code
+   tiles straight into the donated 12.9GB buffer. No relayout of the big
+   array ever happens.
+3. build_tiled_csr records each (chunk, list) run as virtual sublists cut
+   at the DMA window cap and tile boundaries; build_slot_table maps
+   originals -> sublists for the faithful probe selection.
+4. Held-out queries (fresh mixture draws, never inserted) get ground
+   truth from the EXHAUSTIVE tiled SQ8 scan over the same buffer
+   (ops/sq8.sq8_topk_blocked — the on-chip oracle, also the QPS baseline
+   the IVF path must beat 10x), then the nprobe sweep runs through
+   ops/pallas_ivf.ivf_query_dma_tiled_table.
+
+Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site python \
+    examples/ivf_100m.py
+"""
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import os
+
+#: SMQTK_IVF100M_MINI=1 shrinks every scale knob ~1000x so the identical
+#: program (build passes, CSR, kernels in interpret mode) smoke-runs on
+#: CPU in under a minute.
+MINI = bool(os.environ.get("SMQTK_IVF100M_MINI"))
+
+D = 128
+TILE = 4096
+N_CHUNKS = 4 if MINI else 16
+TILES_PER_CHUNK = 4 if MINI else 1536
+CHUNK = TILES_PER_CHUNK * TILE           # 6,291,456 at full scale
+N = N_CHUNKS * CHUNK                     # 100,663,296 at full scale
+C_LISTS = 64 if MINI else 16384
+L_GEN = C_LISTS                          # generation mixture components
+SIGMA = 0.25
+A_SCALE = 1.0 / 16.0                     # codec: x ~= a*u, b = 0
+SUB = 4096                               # generation substep rows
+TRAIN_ROWS = (1 << 14) if MINI else (1 << 20)
+KM_ITERS = 4 if MINI else 8
+B = 32 if MINI else 128                  # query batch
+K = 16
+INTERP = MINI                            # Pallas interpret mode on CPU
+
+_KEY = jax.random.PRNGKey(42)
+_CKEY = jax.random.PRNGKey(7)
+
+
+def _gen_rows(centers: jnp.ndarray, row_ids: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic per-row generation keyed by GLOBAL row id, so pass 2
+    can regenerate any row in any order: mixture component via a Knuth
+    multiplicative hash of the id, noise via a folded-in PRNG key."""
+    cidx = (row_ids.astype(jnp.uint32) * jnp.uint32(2654435761)
+            % jnp.uint32(L_GEN)).astype(jnp.int32)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(_KEY, row_ids)
+    noise = jax.vmap(lambda k: jax.random.normal(k, (D,)))(keys)
+    return centers[cidx] + noise * SIGMA
+
+
+@jax.jit
+def _make_centers() -> jnp.ndarray:
+    return jax.random.normal(_CKEY, (L_GEN, D), jnp.float32)
+
+
+@jax.jit
+def _train_sample(centers: jnp.ndarray) -> jnp.ndarray:
+    """1M training rows spread across the whole id range (held-in: these
+    ids are real corpus rows)."""
+    stride = N // TRAIN_ROWS
+
+    def body(_, si):
+        ids = si * (SUB * stride) + jnp.arange(SUB, dtype=jnp.int32) \
+            * stride
+        return None, _gen_rows(centers, ids)
+
+    _, rows = jax.lax.scan(body, None,
+                           jnp.arange(TRAIN_ROWS // SUB, dtype=jnp.int32))
+    return rows.reshape(TRAIN_ROWS, D)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _ingest_chunk(big, s2big, cents, centers, ci):
+    """One chunk: assign (pass 1), argsort, sorted regeneration into
+    tile-transposed int8 (pass 2), write into the donated buffers.
+    Returns per-list row counts for the host-side CSR build."""
+    base = ci * CHUNK
+    c_sq = jnp.sum(cents * cents, axis=-1)
+
+    def assign_body(_, si):
+        ids = base + si * SUB + jnp.arange(SUB, dtype=jnp.int32)
+        rows = _gen_rows(centers, ids)
+        # precision=HIGHEST: bf16-truncated assignment would desync from
+        # the f32 query-time probe ranking near cell boundaries.
+        ip = jnp.dot(rows, cents.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        return None, jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=1) \
+            .astype(jnp.int32)
+
+    _, asg = jax.lax.scan(assign_body, None,
+                          jnp.arange(CHUNK // SUB, dtype=jnp.int32))
+    asg = asg.reshape(CHUNK)
+    order = jnp.argsort(asg, stable=True).astype(jnp.int32)
+
+    def gen_body(_, ti):
+        src = jax.lax.dynamic_slice(order, (ti * TILE,), (TILE,))
+        rows = _gen_rows(centers, base + src)            # (TILE, D)
+        u = jnp.clip(jnp.rint(rows / A_SCALE), -127, 127)
+        codes_t = u.astype(jnp.int8).T                   # (D, TILE)
+        s2 = jnp.sum((A_SCALE * u) ** 2, axis=-1)        # (TILE,)
+        return None, (codes_t, s2)
+
+    _, (tiles, s2rows) = jax.lax.scan(
+        gen_body, None, jnp.arange(TILES_PER_CHUNK, dtype=jnp.int32))
+    big = jax.lax.dynamic_update_slice(
+        big, tiles, (ci * TILES_PER_CHUNK, 0, 0))
+    s2big = jax.lax.dynamic_update_slice(
+        s2big, s2rows.reshape(TILES_PER_CHUNK, 1, TILE),
+        (ci * TILES_PER_CHUNK, 0, 0))
+    lens = jax.ops.segment_sum(jnp.ones_like(asg), asg,
+                               num_segments=C_LISTS)
+    return big, s2big, lens
+
+
+def main() -> None:
+    assert MINI or jax.default_backend() != "cpu", \
+        "full-scale demo needs a real accelerator (12.9GB resident codes)"
+    from smqtk_indexing_tpu.ops import sq8
+    from smqtk_indexing_tpu.ops.kmeans import kmeans_lloyd
+    from smqtk_indexing_tpu.ops.pallas_ivf import (
+        build_slot_table, build_tiled_csr, ivf_query_dma_tiled_table,
+    )
+
+    emit = lambda **kw: print(json.dumps(kw), flush=True)  # noqa: E731
+
+    centers = _make_centers()
+    t0 = time.perf_counter()
+    sample = _train_sample(centers)
+    cents, _ = kmeans_lloyd(sample, jnp.ones(TRAIN_ROWS, bool),
+                            sample[:C_LISTS], n_iter=KM_ITERS)
+    cents.block_until_ready()
+    del sample
+    train_s = time.perf_counter() - t0
+    emit(metric="ivf16384_100m_kmeans_train_wall",
+         value=round(train_s, 1), unit="s", train_rows=TRAIN_ROWS,
+         n_lists=C_LISTS)
+
+    t0 = time.perf_counter()
+    big = jnp.zeros((N_CHUNKS * TILES_PER_CHUNK, D, TILE), jnp.int8)
+    s2big = jnp.zeros((N_CHUNKS * TILES_PER_CHUNK, 1, TILE), jnp.float32)
+    chunk_lens = np.zeros((N_CHUNKS, C_LISTS), np.int64)
+    for ci in range(N_CHUNKS):
+        big, s2big, lens = _ingest_chunk(big, s2big, cents, centers,
+                                         jnp.int32(ci))
+        chunk_lens[ci] = np.asarray(lens)
+    build_s = time.perf_counter() - t0
+    assert chunk_lens.sum() == N
+    emit(metric="ivf16384_100m_build_wall", value=round(build_s, 1),
+         unit="s", rows=N,
+         hbm_gb=round((N * D + N * 4) / 2 ** 30, 2))
+
+    chunk_bases = np.arange(N_CHUNKS, dtype=np.int64) * CHUNK
+    v_tile, v_col, v_len, v_orig, first_virt = build_tiled_csr(
+        chunk_lens, chunk_bases)
+    table = build_slot_table(v_orig, C_LISTS)
+    emit(metric="ivf16384_100m_layout", value=len(v_len), unit="sublists",
+         s_max=int(table.shape[1]),
+         mean_sublist_rows=round(float(v_len.mean()), 1),
+         max_list_rows=int(chunk_lens.sum(0).max()))
+    v_tile_d = jnp.asarray(v_tile)
+    v_col_d = jnp.asarray(v_col)
+    v_len_d = jnp.asarray(v_len)
+    table_d = jnp.asarray(table)
+
+    # Held-out queries: fresh mixture draws (never inserted — corpus rows
+    # are keyed by row id; these use an independent host RNG).
+    rng = np.random.default_rng(123)
+    centers_np = np.asarray(centers)
+    q_np = (centers_np[rng.integers(0, L_GEN, B)]
+            + rng.normal(size=(B, D)) * SIGMA).astype(np.float32)
+    qd = jnp.asarray(q_np)
+    a_vec = jnp.full((D,), A_SCALE, jnp.float32)
+    b_vec = jnp.zeros((D,), jnp.float32)
+
+    # Exhaustive oracle over the SAME tiled buffer: ground truth + the
+    # QPS baseline the IVF path must beat.
+    s2_rows = s2big.reshape(N)
+    valid = jnp.ones((N,), bool)
+    t0 = time.perf_counter()
+    dd_o, rr_o = sq8.sq8_topk_blocked(big, a_vec, b_vec, s2_rows, valid,
+                                      qd, k=K, interpret=INTERP)
+    truth = np.asarray(rr_o)[:, :10]
+    cold = time.perf_counter() - t0
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        dd_o, rr_o = sq8.sq8_topk_blocked(big, a_vec, b_vec, s2_rows,
+                                          valid, qd, k=K,
+                                          interpret=INTERP)
+    np.asarray(rr_o)
+    exh_dt = (time.perf_counter() - t0) / reps
+    exh_qps = B / exh_dt
+    emit(metric="sq8_100m_exhaustive_scan_b128", value=round(exh_qps, 1),
+         unit="queries/s", batch_ms=round(exh_dt * 1e3, 1),
+         cold_incl_compile_s=round(cold, 1))
+
+    for nprobe in (4, 8, 16, 32):
+        run = partial(ivf_query_dma_tiled_table, big, s2big, a_vec,
+                      b_vec, cents, table_d, v_tile_d, v_col_d, v_len_d,
+                      qd, k=K, nprobe_orig=nprobe, interpret=INTERP)
+        t0 = time.perf_counter()
+        dd, rr = run()
+        got = np.asarray(rr)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            dd, rr = run()
+        got = np.asarray(rr)[:, :10]
+        dt = (time.perf_counter() - t0) / reps
+        recall = float(np.mean([
+            len(set(g.tolist()) & set(t.tolist())) / 10.0
+            for g, t in zip(got, truth)]))
+        emit(metric=f"ivf16384_sq8_100m_nprobe{nprobe}_b128",
+             value=round(B / dt, 1), unit="queries/s",
+             recall_at_10=round(recall, 4),
+             batch_ms=round(dt * 1e3, 2),
+             speedup_vs_exhaustive=round((B / dt) / exh_qps, 1),
+             cold_incl_compile_s=round(cold, 1))
+
+
+if __name__ == "__main__":
+    main()
