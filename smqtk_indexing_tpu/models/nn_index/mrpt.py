@@ -148,6 +148,12 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
         self._dev_leaf_local = None
         self._dev_off_local = None
         self._leaf_max_sh = 0
+        # leaf-ordered SQ8 mirror state (TPU fast path; ops/mrpt
+        # .mrpt_query_mirror)
+        self._mirror = None
+        self._mir_a = None
+        self._mir_b = None
+        self._leaf_flat = None
 
     def get_config(self) -> Dict[str, Any]:
         c = self.get_default_config()
@@ -255,6 +261,33 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
         self._dev_splits = jnp.asarray(self._splits_np)
         self._dev_leaf = jnp.asarray(leaf_pad)
         self._dev_offsets = jnp.asarray(self._offsets_np)
+        self._maybe_build_mirror(leaf_pad, n)
+
+    #: Mirror residency budget (bytes): T leaf-ordered int8 copies.
+    MIRROR_BUDGET = 8 << 30
+
+    def _maybe_build_mirror(self, leaf_pad: np.ndarray, n: int) -> None:
+        """Per-tree leaf-ordered SQ8 mirrors (heavy-config fast path):
+        candidate fetches become contiguous block DMAs through the shared
+        list-scan kernel instead of scattered f32 row gathers — the
+        measured cost center at GIST t32/d6. Int8 costs T bytes/dim of
+        extra residency; SMQTK_TPU_NO_MRPT_MIRROR=1 disables."""
+        from smqtk_indexing_tpu.ops.device import tpu_kernel_enabled
+        from smqtk_indexing_tpu.ops.pallas_ivf import L_MAX
+        d_pad = self._bases_np.shape[1]
+        if not (tpu_kernel_enabled("SMQTK_TPU_NO_MRPT_MIRROR")
+                and self._capacity >= L_MAX
+                and self.num_trees * self._capacity * d_pad
+                <= self.MIRROR_BUDGET):
+            return
+        from smqtk_indexing_tpu.ops import sq8 as sq8_ops
+        self._mir_a, self._mir_b, codes_dev, _, _ = \
+            sq8_ops.sq8_build_store(
+                self._host, np.ones(n, dtype=bool), self._capacity,
+                d_pad, self._dim)
+        self._leaf_flat = jnp.asarray(
+            leaf_pad.reshape(-1).astype(np.int32))
+        self._mirror = jnp.take(codes_dev, self._leaf_flat, axis=0)
 
     # ------------------------------------------------------------------
     # persistence
@@ -415,6 +448,16 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev_leaf_local, self._dev_off_local,
                     replicate(self._mesh, jnp.asarray(q_p)), k=k_dev,
                     depth=self._depth_eff, leaf_max=self._leaf_max_sh)
+            elif self._mirror is not None and k_dev <= 64:
+                # Leaf-mirror DMA path (large k falls back: its selection
+                # margin scales k * num_trees).
+                from smqtk_indexing_tpu.ops.mrpt import mrpt_query_mirror
+                dists, rows = mrpt_query_mirror(
+                    self._dev, self._dev_sq, self._dev_bases,
+                    self._dev_splits, self._mirror, self._mir_a,
+                    self._mir_b, self._leaf_flat, self._dev_offsets,
+                    jnp.asarray(q_p), k=k_dev, depth=self._depth_eff,
+                    leaf_max=self._leaf_max)
             else:
                 dists, rows = mrpt_query(
                     self._dev, self._dev_sq, self._dev_valid,

@@ -280,3 +280,122 @@ def mrpt_query(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
         r_fin = jnp.concatenate(
             [r_fin, jnp.full((b, pad), -1, jnp.int32)], axis=1)
     return d_fin[:, :k], r_fin[:, :k]
+
+
+@partial(jax.jit, static_argnames=("k", "depth", "leaf_max", "interpret"))
+def mrpt_query_mirror(db: jnp.ndarray, db_sq: jnp.ndarray,
+                      bases: jnp.ndarray, splits: jnp.ndarray,
+                      mirror: jnp.ndarray, mir_a: jnp.ndarray,
+                      mir_b: jnp.ndarray, leaf_flat: jnp.ndarray,
+                      offsets: jnp.ndarray, q: jnp.ndarray, *, k: int,
+                      depth: int, leaf_max: int, interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    MRPT query over per-tree LEAF-ORDERED SQ8 mirrors: every (query,
+    tree) candidate fetch is a CONTIGUOUS block DMA through the shared
+    row-major list-scan kernel (ops/pallas_ivf.ivf_list_scores) instead
+    of a scattered row gather over the f32 database — the gather was the
+    measured cost center of heavy configs (t32/d6 GIST). Candidate SET
+    is identical to :func:`mrpt_query` (same leaves); the top-k
+    selection inside the union runs on quantized scores with a k+8
+    margin, then winners re-rank exactly from the raw f32 rows, so
+    reported distances are exact and selection noise is bounded by the
+    SQ8 codec at the rank-k boundary (the same error contract as
+    ops/sq8.sq8_topk).
+
+    :param mirror: (T * capacity, d) int8 — tree t's SQ8 codes in leaf
+        order at rows [t * capacity, t * capacity + n).
+    :param mir_a/mir_b: (d,) SQ8 codec (padding dims epsilon/0).
+    :param leaf_flat: (T * capacity,) int32 mirror row -> original row.
+    :param offsets: (2^depth + 1,) shared leaf boundaries (rows in
+        [0, n]).
+    :return: (dists (B, k) ascending, rows (B, k) int32; +inf/-1 pads).
+    """
+    from smqtk_indexing_tpu.ops.pallas_ivf import (
+        L_MAX, PROBES_PER_STEP, ivf_list_scores,
+    )
+    from smqtk_indexing_tpu.ops.pallas_scan import topk_smallest
+
+    tn, d = mirror.shape
+    t_count = bases.shape[0]
+    cap = tn // t_count
+    b = q.shape[0]
+    q = q.astype(jnp.float32)
+    q_sq = jnp.sum(q * q, axis=-1)
+
+    proj = jnp.einsum("bd,tdl->btl", q, bases, precision=_HI)
+    leaves = descend_leaves(proj, splits, depth)             # (B, T)
+
+    starts = offsets[leaves]                                 # (B, T)
+    lengths = offsets[leaves + 1] - starts
+    # Split each leaf into fixed sub-windows of the kernel's DMA length
+    # (minus alignment slack).
+    sub_cap = L_MAX - 32
+    n_sub = -(-leaf_max // sub_cap)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (b, t_count, n_sub), 2)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (b, t_count, n_sub), 1)
+    g_start = (t_idx * cap + starts[..., None] + jj * sub_cap)
+    ln = jnp.clip(lengths[..., None] - jj * sub_cap, 0, sub_cap)
+    p_raw = t_count * n_sub
+    n_probe = -(-p_raw // PROBES_PER_STEP) * PROBES_PER_STEP
+    pad = n_probe - p_raw
+    g_start = g_start.reshape(b, p_raw)
+    ln = ln.reshape(b, p_raw)
+    if pad:
+        zeros = jnp.zeros((b, pad), jnp.int32)
+        g_start = jnp.concatenate([g_start, zeros], axis=1)
+        ln = jnp.concatenate([ln, zeros], axis=1)
+    c_start = jnp.minimum(g_start, tn - L_MAX)
+    c_start = (c_start // 32) * 32
+    lo = (g_start - c_start).astype(jnp.int32)
+    hi = (lo + ln).astype(jnp.int32)
+    c_start = c_start.astype(jnp.int32)
+
+    t_q = (q - mir_b[None, :]) * mir_a[None, :]
+    a_row = mir_a.reshape(1, 1, d).astype(jnp.float32)
+    b_chunk = b
+    while b_chunk * n_probe * 12 > (3 << 18):
+        b_chunk //= 2
+    b_chunk = max(b_chunk, 8)
+    parts = []
+    for qlo in range(0, b, b_chunk):       # static unroll
+        sl = slice(qlo, qlo + b_chunk)
+        parts.append(ivf_list_scores(
+            mirror, t_q[sl], a_row, c_start[sl].reshape(-1),
+            lo[sl].reshape(-1), hi[sl].reshape(-1), n_probe=n_probe,
+            interpret=interpret))
+    scores = parts[0] if len(parts) == 1 \
+        else jnp.concatenate(parts, axis=0)
+
+    # Kernel output layout: probe p -> lane p % PPS of step p // PPS.
+    steps = n_probe // PROBES_PER_STEP
+    c4 = c_start.reshape(b, steps, 1, PROBES_PER_STEP)
+    local = jax.lax.broadcasted_iota(
+        jnp.int32, (b, steps, L_MAX, PROBES_PER_STEP), 2)
+    mrows = (c4 + local).reshape(b, n_probe * L_MAX)
+
+    # One physical row appears in up to T trees with BITWISE-identical
+    # scores; k*T winners therefore always contain k distinct rows.
+    k_sel = min((k + 8) * t_count, n_probe * L_MAX)
+    sv, sel = topk_smallest(scores, k_sel)
+    sel_mrows = jnp.take_along_axis(mrows, sel, axis=1)
+    orig = jnp.take(leaf_flat, jnp.clip(sel_mrows, 0, tn - 1), axis=0)
+    orig = jnp.where(jnp.isinf(sv), -1, orig)
+
+    # Dedupe across trees among the winners (sort by id; duplicate
+    # scores are bitwise equal so masking any repeat is safe).
+    order = jnp.argsort(jnp.where(orig < 0, tn, orig), axis=1)
+    ids_s = jnp.take_along_axis(orig, order, axis=1)
+    sc_s = jnp.take_along_axis(sv, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), ids_s[:, 1:] == ids_s[:, :-1]], axis=1)
+    sc_s = jnp.where(dup | (ids_s < 0), jnp.inf, sc_s)
+
+    kk = min(k + 8, k_sel)
+    neg, sel2 = jax.lax.top_k(-sc_s, kk)
+    best_s = -neg
+    best_r = jnp.take_along_axis(ids_s, sel2, axis=1).astype(jnp.int32)
+    best_r = jnp.where(jnp.isinf(best_s), -1, best_r)
+    d_fin, r_fin = _exact_selected("euclidean", db, q, q_sq, best_s,
+                                   best_r)
+    return d_fin[:, :k], r_fin[:, :k]
