@@ -10,9 +10,11 @@ float64 exact scan. Recall curves are therefore real tradeoff curves: the
 cheap end of each sweep sits well below 1.0 and rises monotonically with
 probe effort.
 
-Configs (synthetic data at the published shapes; drop real .fvecs files in
-$SMQTK_TPU_DATA to use them via native.read_vecs — column `dataset` says
-which was used):
+Configs (synthetic data at the published shapes — this environment has no
+network egress and no real corpora on disk, recorded in BASELINE.md; on a
+connected machine drop the TexMex .fvecs files in $SMQTK_TPU_DATA and
+every config switches to them via native.read_vecs — column `dataset`
+says which was used):
 
 1. Exhaustive flat L2, SIFT1M-shaped (1M x 128): exact QPS (see bench.py).
 2. ItqFunctor 128-bit + Hamming engines, SIFT1M-shaped: ITQ fit wall time,
