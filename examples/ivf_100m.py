@@ -85,13 +85,14 @@ def _make_centers() -> jnp.ndarray:
 
 @jax.jit
 def _train_sample(centers: jnp.ndarray) -> jnp.ndarray:
-    """1M training rows spread across the whole id range (held-in: these
-    ids are real corpus rows)."""
-    stride = N // TRAIN_ROWS
+    """1M training rows: CONTIGUOUS corpus ids (real rows). Strided ids
+    are a trap here — ids sharing a factor f alias the multiplicative
+    component hash to gcd-limited residues (measured: stride 96 made the
+    sample cover only 512 of 16384 mixture components, k-means then left
+    497K-row mega-lists); consecutive ids hash uniformly."""
 
     def body(_, si):
-        ids = si * (SUB * stride) + jnp.arange(SUB, dtype=jnp.int32) \
-            * stride
+        ids = si * SUB + jnp.arange(SUB, dtype=jnp.int32)
         return None, _gen_rows(centers, ids)
 
     _, rows = jax.lax.scan(body, None,

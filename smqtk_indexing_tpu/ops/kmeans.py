@@ -96,9 +96,24 @@ def kmeans_lloyd(x: jnp.ndarray, valid: jnp.ndarray, init: jnp.ndarray, *,
             (jnp.zeros((c_count, d), jnp.float32),
              jnp.zeros((c_count,), jnp.float32)),
             (x_c, xsq_c, w_c))
-        # Empty clusters keep their previous centroid.
-        return jnp.where(counts[:, None] > 0,
-                         sums / jnp.maximum(counts[:, None], 1.0), c)
+        new_c = jnp.where(counts[:, None] > 0,
+                          sums / jnp.maximum(counts[:, None], 1.0), c)
+        # Empty-cluster splitting (the FAISS clustering behavior): each
+        # empty cell adopts a deterministically perturbed copy of a
+        # large cluster's centroid (rank-r empty takes the rank-r
+        # largest donor, cycling), so mass cannot pile into mega-lists
+        # when the init under-covers the data — without this, a skewed
+        # init leaves duplicate dead centroids and 100x-mean lists
+        # (measured at the 100M IVF build).
+        empty = counts <= 0
+        donors = jnp.argsort(-counts)
+        rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
+        donor_idx = donors[jnp.clip(rank, 0, c_count - 1) % c_count]
+        sign = 1.0 - 2.0 * (
+            (jnp.arange(c_count)[:, None] + jnp.arange(d)[None, :]) % 2
+        ).astype(jnp.float32)
+        split = new_c[donor_idx] * (1.0 + 1e-4 * sign)
+        return jnp.where(empty[:, None], split, new_c)
 
     c = jax.lax.fori_loop(0, n_iter, lloyd_step, init.astype(jnp.float32))
 

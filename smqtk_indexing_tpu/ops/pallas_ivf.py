@@ -590,33 +590,40 @@ def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,
 
     n_tiles, d, tile_n = db3.shape
     b = q.shape[0]
-    # SMEM holds 4 (B * P) int32 prefetch arrays; chunk the batch to a
-    # 768KB budget (same policy as ivf_query_dma).
+    # Chunk the batch BOTH for the kernel's SMEM scalar-prefetch budget
+    # (4 int32 arrays of B * P) and for HBM: the (b_chunk, P * W) score
+    # and row-id blocks live only per chunk — at a 100M-scale probe
+    # budget the full-batch blocks measured 2.4GB each (OOM).
+    kk = min(k + 8, n_probe * W_TILED)
     b_chunk = b
-    while b_chunk * n_probe * 16 > (3 << 18):
+    while b_chunk * n_probe * 16 > (3 << 18) \
+            or b_chunk * n_probe * W_TILED * 8 > (1 << 30):
         b_chunk //= 2
     b_chunk = max(b_chunk, 8)
-    parts = []
+    ts_parts, tr_parts = [], []
     for qlo in range(0, b, b_chunk):       # static unroll
         sl = slice(qlo, qlo + b_chunk)
-        parts.append(ivf_list_scores_tiled(
+        bc = min(b_chunk, b - qlo)
+        scores = ivf_list_scores_tiled(
             db3, s2t, t[sl], ti[sl].reshape(-1).astype(jnp.int32),
             c0[sl].reshape(-1).astype(jnp.int32),
             lo[sl].reshape(-1).astype(jnp.int32),
             hi[sl].reshape(-1).astype(jnp.int32),
-            n_probe=n_probe, interpret=interpret))
-    scores = parts[0] if len(parts) == 1 \
-        else jnp.concatenate(parts, axis=0)
-
-    # Global row of window lane w of probe slot p.
-    base_row = (ti * tile_n + c0).astype(jnp.int32)       # (B, P)
-    rows = (base_row[..., None]
-            + jax.lax.broadcasted_iota(jnp.int32, (b, n_probe, W_TILED),
-                                       2)).reshape(b, n_probe * W_TILED)
-
-    kk = min(k + 8, n_probe * W_TILED)
-    top_scores, sel = topk_smallest(scores, kk)
-    top_rows = jnp.take_along_axis(rows, sel, axis=1).astype(jnp.int32)
+            n_probe=n_probe, interpret=interpret)
+        # Global row of window lane w of probe slot p.
+        base_row = (ti[sl] * tile_n + c0[sl]).astype(jnp.int32)
+        rows = (base_row[..., None]
+                + jax.lax.broadcasted_iota(
+                    jnp.int32, (bc, n_probe, W_TILED), 2)
+                ).reshape(bc, n_probe * W_TILED)
+        tsc, sel = topk_smallest(scores, kk)
+        ts_parts.append(tsc)
+        tr_parts.append(
+            jnp.take_along_axis(rows, sel, axis=1).astype(jnp.int32))
+    top_scores = ts_parts[0] if len(ts_parts) == 1 \
+        else jnp.concatenate(ts_parts, axis=0)
+    top_rows = tr_parts[0] if len(tr_parts) == 1 \
+        else jnp.concatenate(tr_parts, axis=0)
     top_rows = jnp.where(jnp.isinf(top_scores), -1, top_rows)
 
     # Exact re-rank: fetch each winner's 128-row segment through the DMA
