@@ -1,0 +1,99 @@
+"""
+Stage breakdown of the 100M exhaustive tiled SQ8 scan (VERDICT round-3
+item: close the gap from ~56 ms/batch toward the ~16 ms HBM light-speed
+of one 12.9GB pass).
+
+Builds the capacity corpus on device (random codes — stage timing does
+not depend on data values), then times, each pipelined PIPE dispatches
+deep (the tunnel's ~28 ms dispatch RTT otherwise dominates any
+single-dispatch number):
+
+  stage1      segment_minima_tiled alone (the 12.9GB streaming pass)
+  stage1+sel  + topk_smallest over the (B, N/128) minima
+  full        sq8_topk_blocked end to end (adds the segment DMA gather,
+              candidate re-rank and final top-k)
+
+Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site python \
+    tools/profile_100m.py [tiles_per_step ...]
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smqtk_indexing_tpu.ops import sq8
+from smqtk_indexing_tpu.ops.pallas_scan import (
+    segment_minima_tiled, topk_smallest,
+)
+
+CHUNK = 65536
+N_CHUNKS = 1536
+N = CHUNK * N_CHUNKS
+D = 128
+B = 128
+K = 16
+PIPE = 8
+
+
+@jax.jit
+def _build(key):
+    n_tiles = N // 4096
+    keys = jax.random.split(key, n_tiles)
+
+    def body(_, kk):
+        codes_t = jax.random.randint(kk, (D, 4096), -127, 128,
+                                     dtype=jnp.int8)
+        s2 = jnp.sum((codes_t.astype(jnp.float32) / 64.0) ** 2, axis=0)
+        return None, (codes_t, s2)
+
+    _, (codes, s2) = jax.lax.scan(body, None, keys)
+    return codes, s2.reshape(N)
+
+
+def timed(label, fn, *args, **kw):
+    out = fn(*args, **kw)
+    jax.tree_util.tree_map(np.asarray, out)          # warm + compile
+    t0 = time.perf_counter()
+    outs = [fn(*args, **kw) for _ in range(PIPE)]
+    for o in outs:
+        jax.tree_util.tree_map(np.asarray, o)
+    dt = (time.perf_counter() - t0) / PIPE
+    print(json.dumps({"stage": label, "batch_ms": round(dt * 1e3, 2),
+                      "qps": round(B / dt, 1)}), flush=True)
+    return dt
+
+
+def main() -> None:
+    assert jax.default_backend() != "cpu"
+    a = jnp.full((D,), 1.0 / 64.0, jnp.float32)
+    b = jnp.zeros((D,), jnp.float32)
+    codes, s2 = _build(jax.random.PRNGKey(0))
+    s2.block_until_ready()
+    valid = jnp.ones((N,), bool)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    t = q * a[None, :]
+    sq_row = s2.reshape(1, N)
+    pen = jnp.zeros((1, N), jnp.float32)
+
+    tps_list = [int(x) for x in sys.argv[1:]] or [8]
+    for tps in tps_list:
+        timed(f"stage1_tps{tps}", segment_minima_tiled, codes, sq_row,
+              pen, t, tiles_per_step=tps)
+
+    @jax.jit
+    def stage1_sel(codes, sq_row, pen, t):
+        minima = segment_minima_tiled(codes, sq_row, pen, t)
+        return topk_smallest(minima, K + 16, blk=128)
+
+    timed("stage1+sel", stage1_sel, codes, sq_row, pen, t)
+    timed("full", sq8.sq8_topk_blocked, codes, a, b, s2, valid, q, k=K)
+
+
+if __name__ == "__main__":
+    main()
