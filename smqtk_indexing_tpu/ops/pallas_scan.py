@@ -309,19 +309,32 @@ def segment_minima_tiled(db3: jnp.ndarray, db_sq: jnp.ndarray,
     return jnp.transpose(out, (1, 0, 2)).reshape(b, n // SEG)
 
 
-def _seg_gather_kernel(ti_ref, c0_ref, db_ref, out_ref, buf, sem):
-    """Copy one (d, SEG) column slice of the tiled layout per grid step
-    (strided 2-D DMA; the DMA engine handles the row stride natively)."""
+#: Concurrent (d, SEG) slice DMAs issued per grid step of the segment
+#: gather — one DMA per step left the engine idle between ~16KB copies
+#: (measured: the gather dominated large-batch re-ranks at 100M).
+GATHER_GRP = 32
+
+
+def _seg_gather_kernel(ti_ref, c0_ref, db_ref, out_ref, buf, sems, *,
+                       grp: int):
+    """Copy ``grp`` (d, SEG) column slices of the tiled layout per grid
+    step, all in flight together (strided 2-D DMAs; the engine handles
+    the row stride natively)."""
     i = pl.program_id(0)
-    d = db_ref.shape[1]
-    # Starts are SEG-aligned by construction; the multiple_of hint lets
-    # Mosaic prove lane-tile divisibility for the dynamic DMA.
-    c0 = pl.multiple_of(c0_ref[i], SEG)
-    cp = pltpu.make_async_copy(
-        db_ref.at[ti_ref[i], :, pl.ds(c0, SEG)], buf, sem)
-    cp.start()
-    cp.wait()
-    out_ref[:] = buf[:].reshape(1, d, SEG)
+    base = i * grp
+    cps = []
+    for j in range(grp):
+        # Starts are SEG-aligned by construction; the multiple_of hint
+        # lets Mosaic prove lane-tile divisibility for the dynamic DMA.
+        c0 = pl.multiple_of(c0_ref[base + j], SEG)
+        cp = pltpu.make_async_copy(
+            db_ref.at[ti_ref[base + j], :, pl.ds(c0, SEG)], buf.at[j],
+            sems.at[j])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+    out_ref[:] = buf[:]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -343,24 +356,28 @@ def seg_gather_tiled(db3: jnp.ndarray, sid: jnp.ndarray, *,
     nseg_t = tile_n // SEG
     b, s_keep = sid.shape
     flat = sid.reshape(-1)
+    total = b * s_keep
+    grp = GATHER_GRP
+    while total % grp:
+        grp //= 2
     ti = (flat // nseg_t).astype(jnp.int32)
     c0 = ((flat % nseg_t) * SEG).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b * s_keep,),
+        grid=(total // grp,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, d, SEG), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((grp, d, SEG), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((d, SEG), db3.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((grp, d, SEG), db3.dtype),
+            pltpu.SemaphoreType.DMA((grp,)),
         ],
     )
     out = pl.pallas_call(
-        _seg_gather_kernel,
+        partial(_seg_gather_kernel, grp=grp),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * s_keep, d, SEG), db3.dtype),
+        out_shape=jax.ShapeDtypeStruct((total, d, SEG), db3.dtype),
         interpret=interpret,
     )(ti, c0, db3)
     return out.reshape(b, s_keep, d, SEG)
@@ -671,3 +688,152 @@ def flat_topk_fused(db: jnp.ndarray, db_sq: jnp.ndarray,
     out_rows = jnp.take_along_axis(rows2, sel2, axis=1).astype(jnp.int32)
     out_rows = jnp.where(jnp.isinf(out_d), -1, out_rows)
     return out_d, out_rows
+
+
+def _scan_kernel_tiled2(q_ref, db_ref, sq_ref, pen_ref, out_ref,
+                        out2_ref, *, mode, bw: int):
+    """Tiled-layout scan step emitting BOTH per-128-row segment minima
+    and per-``bw``-segment coarse block minima: selection then runs
+    hierarchically on the bw-times-smaller second output without ever
+    transposing the (n_steps, B, G) minima array (a 403MB relayout at
+    100M rows, measured ~21 ms/batch; the in-kernel coarse reduce costs
+    ~1 ms). Blocks stream through the standard auto-pipelined in_specs —
+    a manual double-buffered DMA variant measured 2.3x SLOWER (the
+    Mosaic pipeline already overlaps; negative result kept here).
+
+    bw=128 reduces the CONCATENATED minima with a lane-aligned minor dim
+    (Mosaic rejects rank-splitting reshapes whose minor dim is not a
+    multiple of the 128-lane width, and score-level 16-seg reduces blew
+    the scoped-VMEM budget at 8 tiles/step); bw=16 (small layouts where
+    G < 128) reduces each score block at 2048-lane granularity."""
+    b = q_ref.shape[1]
+    q = q_ref[0]
+    full = db_ref[:]
+    t_count = full.shape[0]
+    tile_n = full.shape[2]
+    nseg_sub = tile_n // SEG
+    sub_outs, sub_bm = [], []
+    for j in range(t_count):
+        tile = full[j]
+        sq_j = sq_ref[:, j * tile_n:(j + 1) * tile_n]
+        pen_j = pen_ref[:, j * tile_n:(j + 1) * tile_n]
+        ip = _tile_ip(q, tile, mode)
+        scores = sq_j - 2.0 * ip + pen_j
+        sub_outs.append(jnp.min(scores.reshape(b, nseg_sub, SEG),
+                                axis=-1))
+        if bw == 16:
+            sub_bm.append(jnp.min(
+                scores.reshape(b, tile_n // (16 * SEG), 16 * SEG),
+                axis=-1))
+    out = sub_outs[0] if t_count == 1 \
+        else jnp.concatenate(sub_outs, axis=-1)
+    g = t_count * nseg_sub
+    if bw == 16:
+        bm = sub_bm[0] if t_count == 1 \
+            else jnp.concatenate(sub_bm, axis=-1)
+    else:
+        bm = jnp.min(out.reshape(b, g // bw, bw), axis=-1)
+    out_ref[:] = out.reshape(1, b, g)
+    out2_ref[:] = bm.reshape(1, b, g // bw)
+
+
+@partial(jax.jit,
+         static_argnames=("interpret", "precision", "tiles_per_step"))
+def segment_minima_tiled2(db3: jnp.ndarray, db_sq: jnp.ndarray,
+                          penalty: jnp.ndarray, q: jnp.ndarray, *,
+                          interpret: bool = False,
+                          precision: str = "split3",
+                          tiles_per_step: int = 8):
+    """:func:`segment_minima_tiled` variant returning the STEP-MAJOR
+    minima plus in-kernel coarse block minima:
+    ((n_steps, B, G) f32, (n_steps, B, G // bw) f32, bw in {128, 16}) with
+    G = tiles_per_step * tile_n // SEG. Use :func:`topk_segments_stepmajor`
+    to select — segment ids match the transposed convention."""
+    n_tiles, d, tile_n = db3.shape
+    b = q.shape[0]
+    assert precision in PRECISIONS
+    tile_b = min(TILE_B, b)
+    assert b % tile_b == 0
+    mode = "native" if db3.dtype in (jnp.bfloat16, jnp.int8) \
+        else precision
+    expect_tile = TILE_N // 2 if mode == "split3" else TILE_N
+    assert tile_n == expect_tile, (tile_n, expect_tile, mode)
+    nseg_t = tile_n // SEG
+    t_step = tiles_per_step
+    while n_tiles % t_step:
+        t_step //= 2
+    g = t_step * nseg_t
+    bw = 128 if g % 128 == 0 else 16
+    assert g % bw == 0
+    n_steps = n_tiles // t_step
+    grid = (b // tile_b, n_steps)
+    q3 = (q.astype(jnp.bfloat16)
+          if db3.dtype in (jnp.bfloat16, jnp.int8) else q) \
+        .reshape(b // tile_b, tile_b, d)
+
+    kernel = partial(_scan_kernel_tiled2, mode=mode, bw=bw)
+    out, out2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_b, d), lambda qi, ni: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_step, d, tile_n), lambda qi, ni: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_step * tile_n), lambda qi, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_step * tile_n), lambda qi, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_b, g), lambda qi, ni: (ni, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, g // bw),
+                         lambda qi, ni: (ni, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_steps, b, g), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, b, g // bw), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q3, db3, db_sq, penalty)
+    return out, out2
+
+
+def topk_segments_stepmajor(m1: jnp.ndarray, m2: jnp.ndarray,
+                            s_keep: int
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Exact top-``s_keep`` smallest SEGMENT minima from the step-major
+    dual output of :func:`segment_minima_tiled2`: rank the (bw-times
+    smaller) block minima, then refine inside the winning blocks with one small
+    flat gather — the block-min pre-filter is exact by the same argument
+    as :func:`topk_smallest` (at most s_keep blocks can hold a
+    top-s_keep minimum). Returned ids use the GLOBAL segment order of
+    the transposed minima convention (step * G + g).
+
+    :return: (values ascending, segment ids), both (B, s_keep).
+    """
+    s_steps, b, g = m1.shape
+    gb = m2.shape[2]
+    bw = g // gb
+    bm = jnp.transpose(m2, (1, 0, 2)).reshape(b, s_steps * gb)
+    s_eff = min(s_keep, s_steps * gb)
+    _, bidx = jax.lax.top_k(-bm, s_eff)                  # (B, s_eff)
+    step = bidx // gb
+    grp = bidx % gb
+    # Refine with BLOCK-shaped row gathers: m1 viewed as (S*B*GB, bw)
+    # makes each winning block one contiguous row, so XLA gathers whole
+    # bw-element slices — a flat element-wise gather of the same values
+    # lowers to s_eff*bw scalar gathers (measured ~17 ms/batch at 100M).
+    m1r = m1.reshape(s_steps * b * gb, bw)
+    qrow = jnp.arange(b, dtype=jnp.int32)[:, None]
+    rowid = (step * b + qrow) * gb + grp                 # (B, s_eff)
+    cand = jnp.take(m1r, rowid, axis=0).reshape(b, s_eff * bw)
+    seg = ((step * g + grp * bw)[..., None]
+           + jnp.arange(bw, dtype=jnp.int32)[None, None, :]) \
+        .reshape(b, s_eff * bw)
+    k_out = min(s_keep, s_eff * bw)
+    neg, sel = jax.lax.top_k(-cand, k_out)
+    return -neg, jnp.take_along_axis(seg, sel, axis=1)

@@ -312,7 +312,8 @@ def sq8_topk_blocked(codes_blk: jnp.ndarray, a: jnp.ndarray,
     :return: (dists (B, k) ascending, ROW ids (B, k) int32).
     """
     from smqtk_indexing_tpu.ops.pallas_scan import (
-        SEG, segment_minima_blocked, segment_minima_tiled, topk_smallest,
+        SEG, segment_minima_blocked, segment_minima_tiled2,
+        topk_segments_stepmajor, topk_smallest,
     )
     from smqtk_indexing_tpu.ops.scan import exact_rerank_decoded
 
@@ -334,22 +335,22 @@ def sq8_topk_blocked(codes_blk: jnp.ndarray, a: jnp.ndarray,
     sq_flat = s2 if metric == "euclidean" \
         else jnp.zeros((n,), jnp.float32)
     pen_flat = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32)
+    seg = SEG
+    s_keep = min(k + 16, nseg)
     if tiled:
-        minima = segment_minima_tiled(
+        # Dual-output stage 1: selection runs hierarchically on the
+        # in-kernel 16-segment block minima in STEP-MAJOR layout — the
+        # transposed full-minima reduce cost ~21 ms/batch at 100M
+        # (tools/profile_100m.py).
+        m1, m2 = segment_minima_tiled2(
             codes_blk, sq_flat.reshape(1, n), pen_flat.reshape(1, n), t,
             interpret=interpret)
+        smin, sid = topk_segments_stepmajor(m1, m2, s_keep)
     else:
         minima = segment_minima_blocked(
             codes_blk, sq_flat.reshape(nseg, SEG),
             pen_flat.reshape(nseg, SEG), t, interpret=interpret)
-
-    seg = SEG
-    s_keep = min(k + 16, nseg)
-    # Wider first-level blocks at capacity scale: blk=16 leaves a
-    # ~50K-wide lax.top_k at 100M rows; blk=128 cuts it 8x (the
-    # exactness argument holds for any block width).
-    smin, sid = topk_smallest(minima, s_keep,
-                              blk=128 if nseg >= (1 << 17) else 16)
+        smin, sid = topk_smallest(minima, s_keep, blk=16)
     sid = jnp.where(jnp.isinf(smin), -1, sid)
     sid_c = jnp.maximum(sid, 0)
     m_rows = s_keep * seg

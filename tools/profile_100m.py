@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import sys
+from functools import partial
 import time
 
 import jax
@@ -83,8 +84,27 @@ def main() -> None:
 
     tps_list = [int(x) for x in sys.argv[1:]] or [8]
     for tps in tps_list:
-        timed(f"stage1_tps{tps}", segment_minima_tiled, codes, sq_row,
+        # Reduce the (B, N/128) minima to (B,) INSIDE the jit: 8
+        # pipelined 403MB outputs OOM beside the 12.9GB codes, and
+        # materializing them through the ~20MB/s tunnel would swamp the
+        # timing anyway.
+        @partial(jax.jit, static_argnames=("tiles_per_step",))
+        def stage1_sum(codes, sq_row, pen, t, tiles_per_step):
+            return jnp.min(segment_minima_tiled(
+                codes, sq_row, pen, t,
+                tiles_per_step=tiles_per_step), axis=1)
+
+        timed(f"stage1_tps{tps}", stage1_sum, codes, sq_row,
               pen, t, tiles_per_step=tps)
+
+    @jax.jit
+    def stage1_blockmin(codes, sq_row, pen, t):
+        # Isolate the blocked first reduce (includes the full-width
+        # transpose the minima layout forces) from the top_k itself.
+        minima = segment_minima_tiled(codes, sq_row, pen, t)
+        return jnp.min(minima.reshape(B, -1, 128), axis=2)
+
+    timed("stage1+blockmin", stage1_blockmin, codes, sq_row, pen, t)
 
     @jax.jit
     def stage1_sel(codes, sq_row, pen, t):
