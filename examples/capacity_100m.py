@@ -188,6 +188,34 @@ def main() -> None:
     assert recall == 1.0, f"planted recall {recall} != 1.0"
     assert margin > 1.0, f"weak margin {margin}"
 
+    # Amortized serving row: the scan is one 12.9GB pass + ~0.2 ms/query
+    # of MXU work (measured marginal cost), so larger batches amortize
+    # the pass (B=256 with 4 tiles/step; tile_b=512 score blocks exceed
+    # scoped VMEM).
+    b_big = 256
+    q_big = jnp.asarray(np.concatenate(
+        [q_np, (rng.normal(size=(b_big - B, D)) * 0.5)
+         .astype(np.float32)]))
+    if TILED:
+        def scan_big():
+            return sq8.sq8_topk_blocked(codes, a, b, s2, valid, q_big,
+                                        k=16)
+    else:
+        def scan_big():
+            return sq8.sq8_topk(codes, a, b, s2, nrm, valid, q_big,
+                                k=16)
+    dd, rr = scan_big()
+    np.asarray(rr)
+    t1 = time.perf_counter()
+    for _ in range(reps):
+        dd, rr = scan_big()
+    np.asarray(rr)
+    dt_big = (time.perf_counter() - t1) / reps
+    print(json.dumps({
+        "metric": "sq8_100m_scan_b256", "value": round(b_big / dt_big, 1),
+        "unit": "queries/s",
+        "batch_ms": round(dt_big * 1e3, 1)}), flush=True)
+
 
 if __name__ == "__main__":
     main()
