@@ -275,7 +275,16 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
         from smqtk_indexing_tpu.ops.device import tpu_kernel_enabled
         from smqtk_indexing_tpu.ops.pallas_ivf import L_MAX
         d_pad = self._bases_np.shape[1]
+        # Gate on the ACTUAL placement of the uploaded arrays, not just
+        # the default backend: tests (and users) may pin computation to
+        # CPU via jax.default_device while the default backend is still
+        # the TPU — the Pallas kernel cannot run there.
+        try:
+            on_tpu = next(iter(self._dev.devices())).platform == "tpu"
+        except Exception:  # pragma: no cover - exotic array types
+            on_tpu = False
         if not (tpu_kernel_enabled("SMQTK_TPU_NO_MRPT_MIRROR")
+                and on_tpu
                 and self._capacity >= L_MAX
                 and self.num_trees * self._capacity * d_pad
                 <= self.MIRROR_BUDGET):
