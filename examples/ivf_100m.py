@@ -24,7 +24,10 @@ infeasible):
    truth from the EXHAUSTIVE tiled SQ8 scan over the same buffer
    (ops/sq8.sq8_topk_blocked — the on-chip oracle, also the QPS baseline
    the IVF path must beat 10x), then the nprobe sweep runs through
-   ops/pallas_ivf.ivf_query_dma_tiled_table.
+   ops/pallas_ivf.ivf_query_dma_tiled_table with rerank="score"
+   (distances straight from the kernel surrogate — the winner-segment
+   gather measured ~100 ms/batch at B=1024, and the surrogate's
+   cancellation bound sits well below the codec step).
 
 Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site python \
     examples/ivf_100m.py
@@ -237,7 +240,8 @@ def main() -> None:
     for nprobe in (4, 8, 16, 32):
         run = partial(ivf_query_dma_tiled_table, big, s2big, a_vec,
                       b_vec, cents, table_d, v_tile_d, v_col_d, v_len_d,
-                      qd, k=K, nprobe_orig=nprobe, interpret=INTERP)
+                      qd, k=K, nprobe_orig=nprobe, interpret=INTERP,
+                      rerank="score")
         t0 = time.perf_counter()
         dd, rr = run()
         got = np.asarray(rr)
@@ -253,7 +257,7 @@ def main() -> None:
         run_l = partial(ivf_query_dma_tiled_table, big, s2big, a_vec,
                         b_vec, cents, table_d, v_tile_d, v_col_d,
                         v_len_d, qd_large, k=K, nprobe_orig=nprobe,
-                        interpret=INTERP)
+                        interpret=INTERP, rerank="score")
         dd, rr = run_l()
         np.asarray(rr)
         t0 = time.perf_counter()

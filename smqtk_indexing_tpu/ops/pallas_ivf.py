@@ -580,9 +580,23 @@ def ivf_query_dma_tiled(db3: jnp.ndarray, s2t: jnp.ndarray, a: jnp.ndarray,
 
 
 def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,
-                       *, k: int, n_probe: int, interpret: bool):
+                       *, k: int, n_probe: int, interpret: bool,
+                       rerank: str = "gather"):
     """Shared tail of the tiled IVF query: kernel scan over the selected
-    probe windows, top-k, exact re-rank via the segment DMA gather."""
+    probe windows, top-k, then finalization per ``rerank``:
+
+    - "gather": fetch each winner's 128-row segment through the DMA
+      gather, dequantize, exact f32 distance (bit-faithful to the
+      quantized vectors).
+    - "score": distances come straight from the kernel surrogate
+      (sqrt(score + ||q - b_codec||^2)) — the additive cancellation
+      bound is ~2^-18 * (||q - b||^2 + s2) on the SQUARED distance
+      (~5e-4 absolute on unit-scale data, well below the SQ8
+      quantization step; rankings use the same surrogate either way).
+      At 100M/B=1024 the winner-segment gather measured ~100 ms/batch
+      (24K scattered 16KB blocks), the dominant serving cost; "score"
+      removes it entirely.
+    """
     from smqtk_indexing_tpu.ops.pallas_scan import (
         SEG, seg_gather_tiled, topk_smallest,
     )
@@ -626,6 +640,13 @@ def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,
         else jnp.concatenate(tr_parts, axis=0)
     top_rows = jnp.where(jnp.isinf(top_scores), -1, top_rows)
 
+    if rerank == "score":
+        rq = q - b_codec[None, :]
+        r_sq = jnp.sum(rq * rq, axis=-1)
+        dists = jnp.sqrt(jnp.maximum(top_scores + r_sq[:, None], 0.0))
+        dists = jnp.where(top_rows < 0, jnp.inf, dists)
+        return dists[:, :k], top_rows[:, :k]
+
     # Exact re-rank: fetch each winner's 128-row segment through the DMA
     # gather, slice its column, dequantize, exact f32 distance.
     rows_c = jnp.maximum(top_rows, 0)
@@ -659,7 +680,8 @@ def build_slot_table(v_orig, c_lists: int):
     return table
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe_orig", "interpret"))
+@partial(jax.jit, static_argnames=("k", "nprobe_orig", "interpret",
+                                   "rerank"))
 def ivf_query_dma_tiled_table(db3: jnp.ndarray, s2t: jnp.ndarray,
                               a: jnp.ndarray, b_codec: jnp.ndarray,
                               centroids: jnp.ndarray,
@@ -667,7 +689,8 @@ def ivf_query_dma_tiled_table(db3: jnp.ndarray, s2t: jnp.ndarray,
                               v_tile: jnp.ndarray, v_col: jnp.ndarray,
                               v_len: jnp.ndarray, q: jnp.ndarray, *,
                               k: int, nprobe_orig: int,
-                              interpret: bool = False
+                              interpret: bool = False,
+                              rerank: str = "gather"
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Tiled IVF query with ORIGINAL-centroid probe selection: rank the
@@ -716,4 +739,5 @@ def ivf_query_dma_tiled_table(db3: jnp.ndarray, s2t: jnp.ndarray,
 
     return _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t,
                               flat(ti), flat(c0), flat(lo), flat(hi),
-                              k=k, n_probe=n_probe, interpret=interpret)
+                              k=k, n_probe=n_probe, interpret=interpret,
+                              rerank=rerank)

@@ -156,3 +156,31 @@ def test_tiled_table_selection_matches_virtual_path():
     assert np.array_equal(np.asarray(r_t), np.asarray(r_v))
     np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_v),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_score_rerank_matches_gather():
+    # rerank="score" must return the same rows as the exact gather path;
+    # distances carry the surrogate's cancellation-bounded noise
+    # (~2^-18 * (||q - b||^2 + s2) absolute on the squared distance —
+    # ~5e-4 on unit-scale data, well below the SQ8 quantization step).
+    from smqtk_indexing_tpu.ops.pallas_ivf import (
+        build_slot_table, ivf_query_dma_tiled_table,
+    )
+    (db3, s2t, a, b, cents, v_tile, v_col, v_len, v_orig, first_virt,
+     dbq, assigns) = _chunked_layout(n_chunks=3, c_lists=16, seed=21)
+    rng = np.random.default_rng(6)
+    bq, k, nprobe = 8, 8, 4
+    q = (dbq[rng.integers(0, dbq.shape[0], bq)]
+         + rng.normal(size=(bq, dbq.shape[1])) * 0.1).astype(np.float32)
+    table = build_slot_table(v_orig, cents.shape[0])
+    args = (jnp.asarray(db3), jnp.asarray(s2t), jnp.asarray(a),
+            jnp.asarray(b), jnp.asarray(cents), jnp.asarray(table),
+            jnp.asarray(v_tile), jnp.asarray(v_col), jnp.asarray(v_len),
+            jnp.asarray(q))
+    d_g, r_g = ivf_query_dma_tiled_table(
+        *args, k=k, nprobe_orig=nprobe, interpret=True)
+    d_s, r_s = ivf_query_dma_tiled_table(
+        *args, k=k, nprobe_orig=nprobe, interpret=True, rerank="score")
+    assert np.array_equal(np.asarray(r_s), np.asarray(r_g))
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_g),
+                               rtol=2e-3, atol=2e-3)
