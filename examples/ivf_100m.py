@@ -237,7 +237,11 @@ def main() -> None:
     # batches at 100M is only possible through the IVF tier, so the
     # amortized-row speedup compares against the exhaustive scan's own
     # best (B=128) figure.
-    for nprobe in (4, 8, 16, 32):
+    # nprobe sweep stops at 16: recall is 1.0 from nprobe=4 on this
+    # mixture, and at B=1024/nprobe=32 the statically-unrolled batch
+    # chunks' score transients exceed the ~2.5GB HBM slack beside the
+    # 12.9GB corpus (measured 409MB over).
+    for nprobe in (2, 4, 8, 16):
         run = partial(ivf_query_dma_tiled_table, big, s2big, a_vec,
                       b_vec, cents, table_d, v_tile_d, v_col_d, v_len_d,
                       qd, k=K, nprobe_orig=nprobe, interpret=INTERP,
