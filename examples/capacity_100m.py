@@ -190,8 +190,8 @@ def main() -> None:
 
     # Amortized serving row: the scan is one 12.9GB pass + ~0.2 ms/query
     # of MXU work (measured marginal cost), so larger batches amortize
-    # the pass (B=256 with 4 tiles/step; tile_b=512 score blocks exceed
-    # scoped VMEM).
+    # the pass. B=256 is the knee: B=512 measured 2636 qps (per-query
+    # MXU marginal cost grows with the query-tile width).
     b_big = 256
     q_big = jnp.asarray(np.concatenate(
         [q_np, (rng.normal(size=(b_big - B, D)) * 0.5)

@@ -796,6 +796,12 @@ def segment_minima_tiled2(db3: jnp.ndarray, db_sq: jnp.ndarray,
             jax.ShapeDtypeStruct((n_steps, b, g), jnp.float32),
             jax.ShapeDtypeStruct((n_steps, b, g // bw), jnp.float32),
         ],
+        # Raise the scoped-VMEM cap from the conservative 16MB default
+        # (v5e has 128MB): large query tiles' score blocks exceeded it
+        # (measured OOM at tile_b=512, and at 8 tiles/step with the dual
+        # output). Measured no slowdown at any tile size.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(q3, db3, db_sq, penalty)
     return out, out2

@@ -342,13 +342,9 @@ def sq8_topk_blocked(codes_blk: jnp.ndarray, a: jnp.ndarray,
         # in-kernel 16-segment block minima in STEP-MAJOR layout — the
         # transposed full-minima reduce cost ~21 ms/batch at 100M
         # (tools/profile_100m.py).
-        # Large query tiles shrink the db block per step to fit the
-        # scoped-VMEM budget (the (tile_b, 4096) f32 score block scales
-        # with the batch; measured OOM at tile_b=512 with 8 tiles/step).
-        tps = 8 if bq <= 128 else (4 if bq <= 256 else 2)
         m1, m2 = segment_minima_tiled2(
             codes_blk, sq_flat.reshape(1, n), pen_flat.reshape(1, n), t,
-            interpret=interpret, tiles_per_step=tps)
+            interpret=interpret)
         smin, sid = topk_segments_stepmajor(m1, m2, s_keep)
     else:
         minima = segment_minima_blocked(
