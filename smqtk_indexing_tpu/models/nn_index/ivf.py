@@ -25,7 +25,6 @@ import threading
 import warnings
 from typing import Any, Dict, Hashable, Iterable, List, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -512,13 +512,14 @@ def ivf_list_scores_tiled(db3: jnp.ndarray, s2t: jnp.ndarray,
 
 
 @partial(jax.jit,
-         static_argnames=("k", "n_probe", "interpret", "nprobe_orig"))
+         static_argnames=("k", "n_probe", "interpret", "nprobe_orig",
+                          "rerank"))
 def ivf_query_dma_tiled(db3: jnp.ndarray, s2t: jnp.ndarray, a: jnp.ndarray,
                         b_codec: jnp.ndarray, centroids: jnp.ndarray,
                         v_tile: jnp.ndarray, v_col: jnp.ndarray,
                         v_len: jnp.ndarray, q: jnp.ndarray, *, k: int,
                         n_probe: int, first_virt=None, nprobe_orig=None,
-                        interpret: bool = False
+                        interpret: bool = False, rerank: str = "gather"
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Full IVF query over the tiled-transposed SQ8 layout — the capacity
@@ -576,7 +577,7 @@ def ivf_query_dma_tiled(db3: jnp.ndarray, s2t: jnp.ndarray, a: jnp.ndarray,
 
     return _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0,
                               lo, hi, k=k, n_probe=n_probe,
-                              interpret=interpret)
+                              interpret=interpret, rerank=rerank)
 
 
 def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,

@@ -24,7 +24,6 @@ SQ8 — recall is measured against the float ground truth by the benchmarks).
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Tuple
 
