@@ -33,21 +33,32 @@ from smqtk_indexing_tpu.ops.scan import _exact_selected
 #: XLA path when l_max exceeds this.
 L_MAX = 512
 
-#: Probes scored per grid step. Each step emits one FULL (L_MAX, 128)
+def _pow2_at_least_ivf(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+#: MAX probes scored per grid step. Each step emits one (L_MAX, pps)
 #: score tile (probes on lanes) — a per-probe (L_MAX, 1) output column
 #: tile-pads its size-1 lane dim 128x (measured: 16GB HBM for a
 #: 512-probe batch, OOM), and the padding is written, so score traffic
-#: was 128x the useful bytes.
+#: was 128x the useful bytes. Small probe budgets use a NARROWER step
+#: (pps = budget): padding the budget to 128 made the per-step scalar
+#: loop iterate mostly-dead slots — measured ~0.5 us per dead iteration,
+#: 65-100 ms/batch at B=1024 with a 32-slot budget, the Deep1M serving
+#: ceiling.
 PROBES_PER_STEP = 128
 
 
 def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, a_ref, db_ref, out_ref,
-                cand, sems, acc, *, n_probe: int):
+                cand, sems, acc, *, n_probe: int, pps: int):
     qi = pl.program_id(0)
     pj = pl.program_id(1)
-    steps = n_probe // PROBES_PER_STEP
-    base = (qi * steps + pj) * PROBES_PER_STEP
-    total = pl.num_programs(0) * steps * PROBES_PER_STEP
+    steps = n_probe // pps
+    base = (qi * steps + pj) * pps
+    total = pl.num_programs(0) * steps * pps
 
     def dma_for(i, s):
         # Starts are 32-aligned by the caller (the int8 sublane tile is
@@ -70,9 +81,8 @@ def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, a_ref, db_ref, out_ref,
     def _():
         dma_for(0, 0).start()
 
-    acc[:] = jnp.full((L_MAX, PROBES_PER_STEP), jnp.inf, jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (L_MAX, PROBES_PER_STEP),
-                                    1)
+    acc[:] = jnp.full((L_MAX, pps), jnp.inf, jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (L_MAX, pps), 1)
 
     def body(j, _):
         idx = base + j
@@ -115,8 +125,8 @@ def _ivf_kernel(start_ref, lo_ref, hi_ref, q_ref, a_ref, db_ref, out_ref,
             acc[:] = jnp.where(lane == j, col, acc[:])
         return 0
 
-    jax.lax.fori_loop(0, PROBES_PER_STEP, body, 0)
-    out_ref[:] = acc[:].reshape(1, L_MAX, PROBES_PER_STEP)
+    jax.lax.fori_loop(0, pps, body, 0)
+    out_ref[:] = acc[:].reshape(1, L_MAX, pps)
 
 
 @partial(jax.jit, static_argnames=("n_probe", "interpret"))
@@ -148,8 +158,9 @@ def ivf_list_scores(db: jnp.ndarray,
     """
     n, d = db.shape
     b = q.shape[0]
-    assert n_probe % PROBES_PER_STEP == 0
-    steps = n_probe // PROBES_PER_STEP
+    pps = min(PROBES_PER_STEP, n_probe)
+    assert n_probe % pps == 0
+    steps = n_probe // pps
     q3 = q.reshape(b, 1, d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -163,20 +174,20 @@ def ivf_list_scores(db: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),          # db (manual DMA)
         ],
         out_specs=pl.BlockSpec(
-            (1, L_MAX, PROBES_PER_STEP),
+            (1, L_MAX, pps),
             lambda qi, pj, *_: (qi * steps + pj, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, L_MAX, d), db.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((L_MAX, PROBES_PER_STEP), jnp.float32),
+            pltpu.VMEM((L_MAX, pps), jnp.float32),
         ],
     )
     out = pl.pallas_call(
-        partial(_ivf_kernel, n_probe=n_probe),
+        partial(_ivf_kernel, n_probe=n_probe, pps=pps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (b * steps, L_MAX, PROBES_PER_STEP), jnp.float32),
+            (b * steps, L_MAX, pps), jnp.float32),
         interpret=interpret,
     )(starts, lo, hi, q3, a_row, db)
     return out.reshape(b, n_probe * L_MAX)
@@ -238,8 +249,10 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     c_start = (c_start // 32) * 32
     ofs = raw_start - c_start
     # Pad the probe axis to the kernel's per-step tile; pad slots carry
-    # lo == hi == 0 (dead: no DMA, +inf scores).
-    p8 = -(-n_probe // PROBES_PER_STEP) * PROBES_PER_STEP
+    # lo == hi == 0 (dead: no DMA, +inf scores). Budgets under 128 use a
+    # narrower step so the per-step scalar loop never walks dead pad.
+    pps = min(PROBES_PER_STEP, _pow2_at_least_ivf(n_probe))
+    p8 = -(-n_probe // pps) * pps
     pad = p8 - n_probe
     if pad:
         zeros = jnp.zeros((b, pad), jnp.int32)
@@ -268,12 +281,12 @@ def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
     scores = parts[0] if len(parts) == 1 \
         else jnp.concatenate(parts, axis=0)
 
-    # Row mapping matching the kernel's (steps, L_MAX, PROBES_PER_STEP)
-    # output layout: probe p lives in lane p % PPS of step p // PPS.
-    steps = p8 // PROBES_PER_STEP
-    c4 = c_start.reshape(b, steps, 1, PROBES_PER_STEP)
+    # Row mapping matching the kernel's (steps, L_MAX, pps) output
+    # layout: probe p lives in lane p % pps of step p // pps.
+    steps = p8 // pps
+    c4 = c_start.reshape(b, steps, 1, pps)
     local = jax.lax.broadcasted_iota(
-        jnp.int32, (b, steps, L_MAX, PROBES_PER_STEP), 2)
+        jnp.int32, (b, steps, L_MAX, pps), 2)
     rows = (c4 + local).reshape(b, p8 * L_MAX)
     if has_dead:
         # Dead rows (masked by the store) must not win. This is an
