@@ -36,6 +36,9 @@ from smqtk_indexing_tpu.data.descriptor import (
     DescriptorElement, DescriptorSet, MemoryDescriptorSet,
 )
 from smqtk_indexing_tpu.data.exceptions import ReadOnlyError
+from smqtk_indexing_tpu.models.nn_index._results import (
+    assemble_results_from_uids,
+)
 from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
     NearestNeighborsIndex, NNResult,
 )
@@ -326,11 +329,8 @@ class AutotunedNearestNeighborsIndex (NearestNeighborsIndex):
             q = np.vstack([d.vector() for d in ds]).astype(np.float32)
             dists, uid_lists, _ = self._store.knn(
                 q, n, metric=self._store_metric())
-            out: List[NNResult] = []
-            for b, uids in enumerate(uid_lists):
-                elems = tuple(
-                    self.descriptor_set.get_many_descriptors(uids))
-                out.append((elems, tuple(float(x) for x in dists[b])))
+            out = assemble_results_from_uids(dists, uid_lists,
+                                             self.descriptor_set)
         shortest = min(len(r[0]) for r in out)
         if shortest < n:
             warnings.warn(

@@ -29,6 +29,9 @@ from smqtk_indexing_tpu.data.descriptor import (
     DescriptorElement, DescriptorSet, MemoryDescriptorSet,
 )
 from smqtk_indexing_tpu.data.exceptions import ReadOnlyError
+from smqtk_indexing_tpu.models.nn_index._results import (
+    assemble_results_from_uids,
+)
 from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
     NearestNeighborsIndex, NNResult,
 )
@@ -272,11 +275,8 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         with self._model_lock, trace_span("flat.query"):
             COUNTERS.add("flat.queries", len(ds))
             dists, uid_lists, _ = self._store.knn(q, n, metric=self.metric)
-            out: List[NNResult] = []
-            for b, uids in enumerate(uid_lists):
-                elems = tuple(
-                    self.descriptor_set.get_many_descriptors(uids))
-                out.append((elems, tuple(float(x) for x in dists[b])))
+            out = assemble_results_from_uids(dists, uid_lists,
+                                             self.descriptor_set)
         # Per-query minimum (not just query 0), matching ivf.py/mrpt.py.
         shortest = min((len(o[0]) for o in out), default=n)
         if shortest < n:

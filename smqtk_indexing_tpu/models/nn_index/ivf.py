@@ -36,6 +36,7 @@ from smqtk_indexing_tpu.data.descriptor import (
     DescriptorElement, DescriptorSet, MemoryDescriptorSet,
 )
 from smqtk_indexing_tpu.data.exceptions import ReadOnlyError
+from smqtk_indexing_tpu.models.nn_index._results import assemble_results
 from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
     NearestNeighborsIndex, NNResult,
 )
@@ -720,17 +721,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     has_dead=has_dead)
             dists = np.asarray(dists)[:b, :k_eff]
             rows = np.asarray(rows)[:b, :k_eff]
-            out: List[NNResult] = []
-            for bi in range(b):
-                # Unfilled slots (not enough candidates in probed lists)
-                # carry row -1; trim them.
-                good = rows[bi] >= 0
-                r = rows[bi][good]
-                uid_list = [self._row2uid[i] for i in r]
-                elems = tuple(
-                    self.descriptor_set.get_many_descriptors(uid_list))
-                out.append((elems,
-                            tuple(float(x) for x in dists[bi][good])))
+            # Unfilled slots (not enough candidates in probed lists)
+            # carry row -1; the assembler trims them.
+            out = assemble_results(dists, rows, self._row2uid,
+                                   self.descriptor_set)
         shortest = min(len(r[0]) for r in out)
         if shortest < n:
             if n > self._n_live:

@@ -357,7 +357,7 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
             except AttributeError:  # pragma: no cover - legacy HashIndex
                 near_per_q = [hi.nn(c, n) for c in q_codes]
 
-            cand_elems_per_q = []
+            cand_uids_per_q: List[List[Hashable]] = []
             for near_codes, _ in near_per_q:
                 cand_uids: List[Hashable] = []
                 seen: Set[Hashable] = set()
@@ -367,8 +367,16 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
                         if u not in seen:
                             seen.add(u)
                             cand_uids.append(u)
-                cand_elems_per_q.append(list(
-                    self.descriptor_set.get_many_descriptors(cand_uids)))
+                cand_uids_per_q.append(cand_uids)
+            # ONE storage fetch for the whole batch, regrouped per query
+            # (per-query calls measured tens of ms at serving batches).
+            flat_elems = list(self.descriptor_set.get_many_descriptors(
+                [u for ul in cand_uids_per_q for u in ul]))
+            cand_elems_per_q = []
+            pos = 0
+            for ul in cand_uids_per_q:
+                cand_elems_per_q.append(flat_elems[pos:pos + len(ul)])
+                pos += len(ul)
             COUNTERS.add("lsh.queries", len(ds))
             COUNTERS.add("lsh.candidates",
                          sum(len(c) for c in cand_elems_per_q))

@@ -31,6 +31,7 @@ from smqtk_indexing_tpu.data.descriptor import (
     DescriptorElement, DescriptorSet, MemoryDescriptorSet,
 )
 from smqtk_indexing_tpu.data.exceptions import ReadOnlyError
+from smqtk_indexing_tpu.models.nn_index._results import assemble_results
 from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
     NearestNeighborsIndex, NNResult,
 )
@@ -475,15 +476,8 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
                     depth=self._depth_eff, leaf_max=self._leaf_max)
             dists = np.asarray(dists)[:b, :k_eff]
             rows = np.asarray(rows)[:b, :k_eff]
-            out: List[NNResult] = []
-            for bi in range(b):
-                good = rows[bi] >= 0
-                r = rows[bi][good]
-                uid_list = [self._row2uid[i] for i in r]
-                elems = tuple(
-                    self.descriptor_set.get_many_descriptors(uid_list))
-                out.append((elems,
-                            tuple(float(x) for x in dists[bi][good])))
+            out = assemble_results(dists, rows, self._row2uid,
+                                   self.descriptor_set)
         shortest = min(len(r[0]) for r in out)
         if shortest < n:
             # Reference under-fill warning (mrpt.py:503-508).
