@@ -74,6 +74,24 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
     :param dtype: Device storage codec ('float32' | 'bfloat16' | 'sq8' —
         int8 scalar quantization, 4x capacity; the reference's 'IVFn,SQ8'
         factory codec, faiss.py:190).
+    :param storage: Host-mirror strategy. 'rows' (default) keeps float32
+        originals host-side (exact distances, any metric/codec). 'code'
+        is the CAPACITY tier: the host mirror itself is int8 codes (4x
+        smaller — 12.8GB instead of 51GB at 100M x 128), persistence
+        saves/reloads codes (never float originals), and queries run
+        through the tiled-transposed Pallas DMA list-scan — the same
+        single-copy device layout as the 100M demo (examples/ivf_100m.py).
+        Requires dtype='sq8', metric='euclidean', single device. The
+        codec is trained once at build and reused by updates (FAISS
+        ScalarQuantizer semantics: train() fixes the codec, adds encode
+        with it — faiss.py:368-386).
+    :param rerank: Finalization for the 'code' tier. 'exact' (default)
+        fetches winners through the DMA segment gather and reports
+        distances exact w.r.t. the quantized vectors; 'score' takes
+        distances straight from the kernel surrogate (~5e-4 absolute
+        noise on unit-scale data, below the SQ8 codec step) — it removes
+        the winner-segment gather, the dominant serving cost at capacity
+        (~100 ms/batch at 100M, B=1024).
     :param read_only: Refuse mutations when True.
     """
 
@@ -120,6 +138,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         max_points_per_centroid: int = 256,
         random_seed: Optional[int] = None,
         dtype: str = "float32",
+        storage: str = "rows",
+        rerank: str = "exact",
         read_only: bool = False,
         n_devices: Optional[int] = None,
     ):
@@ -127,6 +147,26 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         if metric not in METRICS:
             raise ValueError(
                 f"metric must be one of {METRICS}, got {metric!r}")
+        if storage not in ("rows", "code"):
+            raise ValueError(
+                f"storage must be 'rows' | 'code', got {storage!r}")
+        if rerank not in ("exact", "score"):
+            raise ValueError(
+                f"rerank must be 'exact' | 'score', got {rerank!r}")
+        if storage == "code":
+            if dtype != "sq8":
+                raise ValueError(
+                    "storage='code' (code-resident capacity tier) "
+                    f"requires dtype='sq8', got {dtype!r}")
+            if metric != "euclidean":
+                raise ValueError(
+                    "storage='code' serves euclidean only (the tiled "
+                    f"list-scan surrogate form), got {metric!r}")
+            if n_devices is not None and n_devices > 1:
+                raise ValueError(
+                    "storage='code' is single-device (the tiled layout "
+                    "is the one-chip capacity configuration); use "
+                    "storage='rows' with n_devices for mesh sharding.")
         self.descriptor_set = descriptor_set if descriptor_set is not None \
             else MemoryDescriptorSet()
         self.index_element = index_element
@@ -142,6 +182,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 "dtype must be 'float32' | 'bfloat16' | 'sq8' | 'pq<M>', "
                 f"got {dtype!r}")
         self.dtype = dtype
+        self.storage = storage
+        self.rerank = rerank
         self.read_only = bool(read_only)
         self.n_devices = n_devices
 
@@ -208,6 +250,16 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         # sq8 codec (trained per build over the live rows)
         self._sq8_a = None
         self._sq8_b = None
+        # 'code' tier: host codec (np (dim,) f32; trained ONCE, reused by
+        # updates) + tiled-transposed device state.
+        self._code_a: Optional[np.ndarray] = None
+        self._code_b: Optional[np.ndarray] = None
+        self._dev3 = None            # (n_tiles, d_pad, TILE_ROWS) int8
+        self._s2t = None             # (n_tiles, 1, TILE_ROWS) f32 (+inf
+        self._v_tile = None          #  poisons removed rows)
+        self._v_col = None
+        self._v_len = None
+        self._slot_table = None
         # pq codec (codebooks + the round-robin dim interleave; see
         # ops/store.py for why padding demands the interleave)
         self._pq_cb_dev = None
@@ -229,6 +281,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             "max_points_per_centroid": self.max_points_per_centroid,
             "random_seed": self.random_seed,
             "dtype": self.dtype,
+            "storage": self.storage,
+            "rerank": self.rerank,
             "read_only": self.read_only,
             "n_devices": self.n_devices,
         })
@@ -288,7 +342,13 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
     def _layout(self, mat: np.ndarray, uids: Sequence[Hashable],
                 assigns: np.ndarray,
                 valid: Optional[np.ndarray] = None) -> None:
-        """Sort rows by list id, rebuild CSR offsets, upload to device."""
+        """Sort rows by list id, rebuild CSR offsets, upload to device.
+
+        'code' tier: ``mat`` may arrive as float32 originals (initial
+        build — the codec trains here, once) or as int8 codes (re-layout
+        after update/removal compaction); the host mirror is ALWAYS the
+        int8 codes.
+        """
         order = np.argsort(assigns, kind="stable")
         mat = mat[order]
         assigns = assigns[order]
@@ -298,14 +358,81 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         else:
             valid = valid[order]
 
-        self._host = np.ascontiguousarray(mat, dtype=np.float32)
+        if self.storage == "code":
+            if mat.dtype != np.int8:
+                from smqtk_indexing_tpu.ops.sq8 import (
+                    sq8_encode_np, sq8_train,
+                )
+                if self._code_a is None:
+                    live = mat[valid] if not valid.all() else mat
+                    self._code_a, self._code_b = sq8_train(live)
+                mat = sq8_encode_np(np.asarray(mat, np.float32),
+                                    self._code_a, self._code_b)
+            self._host = np.ascontiguousarray(mat)
+        else:
+            self._host = np.ascontiguousarray(mat, dtype=np.float32)
         self._valid_host = valid
         self._row2uid = list(uids)
         self._uid2row = {u: i for i, u in enumerate(uids)
                          if valid[i]}
         self._assign_host = assigns
         self._n_live = int(valid.sum())
-        self._upload()
+        if self.storage == "code":
+            self._upload_tiled()
+        else:
+            self._upload()
+
+    def _upload_tiled(self) -> None:
+        """'code' tier device build: the single-copy tiled-transposed
+        layout (rows tile-major, dims contiguous — the DMA kernels' form,
+        ops/pallas_ivf.TILE_ROWS) + per-row surrogate stats (+inf on dead
+        rows so removed entries can never win a scan), sublist CSR and the
+        original->sublist slot table for table-form probe selection."""
+        from smqtk_indexing_tpu.ops.pallas_ivf import (
+            TILE_ROWS, build_slot_table, build_tiled_csr,
+        )
+        n = self._host.shape[0]
+        dim = self._dim
+        d_pad = self._centroids_np.shape[1]
+        n_tiles = max(1, -(-n // TILE_ROWS))
+        n_pad = n_tiles * TILE_ROWS
+        codes = np.zeros((n_pad, d_pad), dtype=np.int8)
+        codes[:n, :dim] = self._host
+        # Padding dims: epsilon scale / zero offset (zero codes and query
+        # dims contribute nothing to any score term — ops/sq8.py).
+        a_p = np.full(d_pad, 1e-12, dtype=np.float32)
+        b_p = np.zeros(d_pad, dtype=np.float32)
+        a_p[:dim] = self._code_a
+        b_p[:dim] = self._code_b
+        u = codes.astype(np.float32)
+        s2 = np.einsum("nd,nd->n", u * a_p, u * a_p)
+        # Dead rows (and alignment padding) poison their surrogate: the
+        # kernel's score s2 - 2<t,u> goes +inf, so selection skips them
+        # without a separate liveness gather.
+        dead = np.ones(n_pad, dtype=bool)
+        dead[:n] = ~self._valid_host
+        s2[dead] = np.inf
+        tiles = codes.reshape(n_tiles, TILE_ROWS, d_pad) \
+            .transpose(0, 2, 1)
+        self._dev3 = jnp.asarray(np.ascontiguousarray(tiles))
+        self._s2t = jnp.asarray(s2.reshape(n_tiles, 1, TILE_ROWS))
+        self._sq8_a = jnp.asarray(a_p)
+        self._sq8_b = jnp.asarray(b_p)
+        c_count = self._centroids_np.shape[0]
+        lens = np.bincount(self._assign_host,
+                           minlength=c_count).astype(np.int64)
+        v_tile, v_col, v_len, v_orig, _ = build_tiled_csr(
+            lens[None, :], np.zeros(1, dtype=np.int64))
+        table = build_slot_table(v_orig, c_count)
+        self._v_tile = jnp.asarray(v_tile)
+        self._v_col = jnp.asarray(v_col)
+        self._v_len = jnp.asarray(v_len)
+        self._slot_table = jnp.asarray(table)
+        self._dev_centroids = jnp.asarray(
+            self._centroids_np.astype(np.float32))
+        self._capacity = n_pad
+        self._n_virtual = len(v_len)
+        self._mesh = None
 
     def _upload(self) -> None:
         n = self._host.shape[0]
@@ -449,18 +576,27 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         if self.index_element.is_read_only():
             raise ReadOnlyError(
                 f"Index element {self.index_element} is read-only.")
-        header = json.dumps({"metric": self.metric}).encode()
+        header = json.dumps({"metric": self.metric,
+                             "storage": self.storage}).encode()
         bio = io.BytesIO()
         if self._host is None:
             np.savez(bio, empty=np.array(True))
         else:
             keep = np.flatnonzero(self._valid_host)
+            extra = {}
+            if self._code_a is not None:
+                # 'code' tier: the payload is the int8 codes + the codec
+                # that decodes them — float originals are never persisted
+                # (rebuild-from-codes; FAISS serializes SQ codes the same
+                # way, faiss.py:368-386).
+                extra = {"code_a": self._code_a, "code_b": self._code_b}
             np.savez(bio,
                      matrix=self._host[keep],
                      uids=np.array([self._row2uid[i] for i in keep],
                                    dtype=object),
                      centroids=self._centroids_np,
-                     assigns=self._assign_host[keep])
+                     assigns=self._assign_host[keep],
+                     **extra)
         body = bio.getvalue()
         self.index_element.set_bytes(
             len(header).to_bytes(8, "big") + header + body)
@@ -484,7 +620,20 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             uids = list(z["uids"])
             self._centroids_np = z["centroids"]
             assigns = z["assigns"].astype(np.int32)
+            code_a = z["code_a"] if "code_a" in z else None
+            code_b = z["code_b"] if "code_b" in z else None
         self._dim = int(mat.shape[1])
+        if mat.dtype == np.int8:
+            if self.storage == "code":
+                # Codes + codec restore directly (no float originals ever
+                # existed on disk — the capacity contract).
+                self._code_a, self._code_b = code_a, code_b
+            else:
+                # Payload written by a 'code' instance, loaded by a
+                # 'rows' one: decode to float (lossy only by the SQ8
+                # step the codes already carry).
+                mat = mat.astype(np.float32) * code_a[None, :] \
+                    + code_b[None, :]
         self._layout(mat, uids, assigns)
         if self.descriptor_set.count() != self._n_live:
             LOG.warning(
@@ -496,8 +645,18 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             )
             self.descriptor_set.clear()
             self.descriptor_set.add_many_descriptors(
-                DescriptorMemoryElement(self._row2uid[i], self._host[i])
+                DescriptorMemoryElement(self._row2uid[i],
+                                        self._row_vector(i))
                 for i in np.flatnonzero(self._valid_host))
+
+    def _row_vector(self, i: int) -> np.ndarray:
+        """Float view of host row ``i`` (decodes the int8 mirror on the
+        'code' tier — the only float these rows have; originals are not
+        retained at capacity)."""
+        if self.storage == "code":
+            return (self._host[i].astype(np.float32) * self._code_a
+                    + self._code_b)
+        return self._host[i]
 
     # ------------------------------------------------------------------
     # index API
@@ -518,6 +677,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             mat = np.vstack([by_uid[u].vector() for u in uids]) \
                 .astype(np.float32)
             self._dim = int(mat.shape[1])
+            # Full build retrains the codec too (FAISS train() semantics).
+            self._code_a = self._code_b = None
             with trace_span("ivf.train"):
                 self._centroids_np = self._train_centroids(mat)
             assigns = self._assign(mat)
@@ -545,6 +706,13 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     .astype(np.float32)
                 new_assigns = self._assign(new_mat)
                 keep = np.flatnonzero(self._valid_host)
+                if self.storage == "code":
+                    # Updates encode with the build-time codec (FAISS
+                    # ScalarQuantizer adds never retrain) so the merged
+                    # mirror stays int8 end to end.
+                    from smqtk_indexing_tpu.ops.sq8 import sq8_encode_np
+                    new_mat = sq8_encode_np(new_mat, self._code_a,
+                                            self._code_b)
                 mat = np.concatenate([self._host[keep], new_mat])
                 uids = [self._row2uid[i] for i in keep] + fresh
                 assigns = np.concatenate(
@@ -570,15 +738,25 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             if self._n_live == 0:
                 centroids = self._centroids_np
                 dim = self._dim
+                code_ab = (self._code_a, self._code_b)
                 self._reset_state()
                 self._centroids_np = centroids
                 self._dim = dim
+                self._code_a, self._code_b = code_ab
             elif self._n_live < self._host.shape[0] // 2 \
                     and self._host.shape[0] > 1024:
                 keep = np.flatnonzero(self._valid_host)
                 self._layout(self._host[keep],
                              [self._row2uid[i] for i in keep],
                              self._assign_host[keep])
+            elif self.storage == "code":
+                # Poison the removed rows' surrogate stats in place: the
+                # tiled kernel scores s2 - 2<t,u>, so +inf rows can never
+                # be selected (no liveness gather exists on this path).
+                from smqtk_indexing_tpu.ops.pallas_ivf import TILE_ROWS
+                r = np.asarray(rows, dtype=np.int64)
+                self._s2t = self._s2t.at[
+                    r // TILE_ROWS, 0, r % TILE_ROWS].set(np.inf)
             else:
                 valid = np.zeros(self._capacity, dtype=bool)
                 valid[:len(self._valid_host)] = self._valid_host
@@ -655,7 +833,25 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             # No removed rows -> the kernels skip the per-row liveness
             # gather (large and scattered at high probe budgets).
             has_dead = not bool(self._valid_host.all())
-            if self._mesh is not None \
+            if self.storage == "code":
+                # Capacity tier: the tiled-transposed DMA list-scan with
+                # original-centroid table probe selection (the 100M demo's
+                # serving path, now behind the public model API). Dead
+                # rows are +inf-poisoned in _s2t, so no liveness gather.
+                import jax
+                from smqtk_indexing_tpu.ops.pallas_ivf import (
+                    ivf_query_dma_tiled_table,
+                )
+                nprobe_o = min(self.nprobe, self._centroids_np.shape[0])
+                dists, rows = ivf_query_dma_tiled_table(
+                    self._dev3, self._s2t, self._sq8_a, self._sq8_b,
+                    self._dev_centroids, self._slot_table,
+                    self._v_tile, self._v_col, self._v_len,
+                    jnp.asarray(q_p), k=k_dev, nprobe_orig=nprobe_o,
+                    interpret=jax.default_backend() != "tpu",
+                    rerank="score" if self.rerank == "score"
+                    else "gather")
+            elif self._mesh is not None \
                     and self._pq_m(self.dtype) is not None:
                 from smqtk_indexing_tpu.parallel.mesh import replicate
                 from smqtk_indexing_tpu.parallel.sharded_ivf import (
