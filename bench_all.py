@@ -225,7 +225,20 @@ def bench_itq_linear() -> None:
              note="held-out queries; exact re-rank of the pool")
 
 
-def bench_ivf(dtypes=("float32", "sq8", "pq16")) -> None:
+#: bench_ivf variant tags -> (dtype, storage, rerank).
+_IVF_VARIANTS = {
+    "": ("float32", "rows", "exact"),
+    "_sq8": ("sq8", "rows", "exact"),
+    "_pq16": ("pq16", "rows", "exact"),
+    # The capacity model tier (int8 host mirror + tiled-transposed DMA
+    # scan through the public API — the 100M/chip configuration at 1M).
+    "_code": ("sq8", "code", "exact"),
+    "_code_score": ("sq8", "code", "score"),
+}
+
+
+def bench_ivf(tags=("", "_sq8", "_pq16"),
+              nprobes=(1, 2, 4, 8, 16, 32, 64, 128)) -> None:
     """IVF4096 nprobe sweeps over the storage codecs (the reference's
     'IVF4096,Flat' / 'IVF4096,SQ8' / 'IVF4096,PQ16' factory configs,
     faiss.py:190): recall@10 on 128 held-out queries (float64 ground
@@ -248,18 +261,19 @@ def bench_ivf(dtypes=("float32", "sq8", "pq16")) -> None:
                 for i in range(nq_r)]
     q_large = [DescriptorMemoryElement(f"Q{i}", queries[i])
                for i in range(1024)]
-    for dtype in dtypes:
-        tag = {"float32": "", "sq8": "_sq8", "pq16": "_pq16"}[dtype]
+    for tag in tags:
+        dtype, storage, rerank = _IVF_VARIANTS[tag]
         idx = IvfNearestNeighborsIndex(n_lists=4096, kmeans_iterations=10,
                                        max_points_per_centroid=64,
-                                       random_seed=0, dtype=dtype)
+                                       random_seed=0, dtype=dtype,
+                                       storage=storage, rerank=rerank)
         t0 = time.perf_counter()
         idx.build_index(elems)
         emit(metric=f"ivf4096{tag}_deep1m_build_wall",
              value=round(time.perf_counter() - t0, 1), unit="s",
              dataset=dataset)
 
-        for nprobe in (1, 2, 4, 8, 16, 32, 64, 128):
+        for nprobe in nprobes:
             idx.nprobe = nprobe
             res = idx.nn_many(q_recall, 10)          # compile + warm
             t0 = time.perf_counter()
@@ -363,7 +377,13 @@ def bench_sq8() -> None:
 if __name__ == "__main__":
     import sys
     sections = {"itq": bench_itq_linear, "ivf": bench_ivf,
-                "mrpt": bench_mrpt, "sq8": bench_sq8}
+                "mrpt": bench_mrpt, "sq8": bench_sq8,
+                # Focused same-window A/B: rows-sq8 vs the code tier
+                # (exact and score finalization) — tunnel variance makes
+                # cross-window comparisons unreliable past ~15%.
+                "ivf_code": lambda: bench_ivf(
+                    ("_sq8", "_code", "_code_score"),
+                    nprobes=(1, 4, 16, 64))}
     picked = [a for a in sys.argv[1:] if a in sections] \
         or list(sections)
     emit(metric="bench_all_start", value=time.time(), unit="epoch_s",
