@@ -81,10 +81,14 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         saves/reloads codes (never float originals), and queries run
         through the tiled-transposed Pallas DMA list-scan — the same
         single-copy device layout as the 100M demo (examples/ivf_100m.py).
-        Requires dtype='sq8', metric='euclidean', single device. The
-        codec is trained once at build and reused by updates (FAISS
-        ScalarQuantizer semantics: train() fixes the codec, adds encode
-        with it — faiss.py:368-386).
+        Requires dtype='sq8' or 'pq<M>', metric='euclidean', single
+        device. With 'pq<M>' the mirror is (n, M) uint8 PQ codes (16
+        bytes/vector at PQ16 — the ~800M-vectors/chip ceiling) and the
+        scan is the in-kernel ADC one-hot MXU dot
+        (ops/pallas_ivf.ivf_query_dma_tiled_table_pq). The codec is
+        trained once at build and reused by updates (FAISS quantizer
+        semantics: train() fixes the codec, adds encode with it —
+        faiss.py:368-386).
     :param rerank: Finalization for the 'code' tier. 'exact' (default)
         fetches winners through the DMA segment gather and reports
         distances exact w.r.t. the quantized vectors; 'score' takes
@@ -154,10 +158,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             raise ValueError(
                 f"rerank must be 'exact' | 'score', got {rerank!r}")
         if storage == "code":
-            if dtype != "sq8":
+            if dtype != "sq8" and self._pq_m(dtype) is None:
                 raise ValueError(
                     "storage='code' (code-resident capacity tier) "
-                    f"requires dtype='sq8', got {dtype!r}")
+                    f"requires dtype='sq8' or 'pq<M>', got {dtype!r}")
             if metric != "euclidean":
                 raise ValueError(
                     "storage='code' serves euclidean only (the tiled "
@@ -197,6 +201,25 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         import re
         m = re.fullmatch(r"pq(\d+)", dtype_name)
         return int(m.group(1)) if m else None
+
+    def _pq_grid(self):
+        """(m, d_codec, perm) of the 'code' tier's PQ codec grid —
+        deterministic from the lane-padded dim, so it never needs
+        persisting (ops/pq.pq_build_store uses the same construction)."""
+        from smqtk_indexing_tpu.ops.pq import pq_codec_dim
+        m = self._pq_m(self.dtype)
+        d_pad = self._centroids_np.shape[1]
+        d_codec = pq_codec_dim(d_pad, m)
+        perm = np.argsort(np.arange(d_codec) % m,
+                          kind="stable").astype(np.int32)
+        return m, d_codec, perm
+
+    def _pq_prep_rows(self, mat: np.ndarray) -> np.ndarray:
+        """Float rows -> codec-grid (n, d_codec) interleaved float32."""
+        from smqtk_indexing_tpu.ops.device import pad_rows_np
+        _, d_codec, perm = self._pq_grid()
+        return pad_rows_np(np.asarray(mat, np.float32),
+                           mat.shape[0], d_codec)[:, perm]
 
     def _dma_eligible(self) -> bool:
         """Use the Pallas DMA list-scan (ops/pallas_ivf.py): single real
@@ -250,10 +273,14 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         # sq8 codec (trained per build over the live rows)
         self._sq8_a = None
         self._sq8_b = None
-        # 'code' tier: host codec (np (dim,) f32; trained ONCE, reused by
-        # updates) + tiled-transposed device state.
+        # 'code' tier: host codec (np (dim,) f32 for sq8 / (M, 256, dsub)
+        # codebooks for pq; trained ONCE, reused by updates) +
+        # tiled-transposed device state.
         self._code_a: Optional[np.ndarray] = None
         self._code_b: Optional[np.ndarray] = None
+        self._code_cb: Optional[np.ndarray] = None
+        self._cb_dev = None
+        self._perm_dev = None
         self._dev3 = None            # (n_tiles, d_pad, TILE_ROWS) int8
         self._s2t = None             # (n_tiles, 1, TILE_ROWS) f32 (+inf
         self._v_tile = None          #  poisons removed rows)
@@ -359,7 +386,18 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             valid = valid[order]
 
         if self.storage == "code":
-            if mat.dtype != np.int8:
+            if self._pq_m(self.dtype) is not None:
+                if mat.dtype != np.uint8:
+                    from smqtk_indexing_tpu.ops.pq import (
+                        pq_encode_np, pq_train,
+                    )
+                    m, _, _ = self._pq_grid()
+                    rows_c = self._pq_prep_rows(mat)
+                    if self._code_cb is None:
+                        live = rows_c[valid] if not valid.all() else rows_c
+                        self._code_cb = pq_train(live, m)
+                    mat = pq_encode_np(rows_c, self._code_cb)
+            elif mat.dtype != np.int8:
                 from smqtk_indexing_tpu.ops.sq8 import (
                     sq8_encode_np, sq8_train,
                 )
@@ -396,28 +434,45 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         d_pad = self._centroids_np.shape[1]
         n_tiles = max(1, -(-n // TILE_ROWS))
         n_pad = n_tiles * TILE_ROWS
-        codes = np.zeros((n_pad, d_pad), dtype=np.int8)
-        codes[:n, :dim] = self._host
-        # Padding dims: epsilon scale / zero offset (zero codes and query
-        # dims contribute nothing to any score term — ops/sq8.py).
-        a_p = np.full(d_pad, 1e-12, dtype=np.float32)
-        b_p = np.zeros(d_pad, dtype=np.float32)
-        a_p[:dim] = self._code_a
-        b_p[:dim] = self._code_b
-        u = codes.astype(np.float32)
-        s2 = np.einsum("nd,nd->n", u * a_p, u * a_p)
         # Dead rows (and alignment padding) poison their surrogate: the
-        # kernel's score s2 - 2<t,u> goes +inf, so selection skips them
-        # without a separate liveness gather.
+        # kernels score s2 - 2<lut/t, codes>, so +inf rows can never be
+        # selected — no separate liveness gather exists on this path.
         dead = np.ones(n_pad, dtype=bool)
         dead[:n] = ~self._valid_host
-        s2[dead] = np.inf
-        tiles = codes.reshape(n_tiles, TILE_ROWS, d_pad) \
-            .transpose(0, 2, 1)
+        if self._pq_m(self.dtype) is not None:
+            m, _, perm = self._pq_grid()
+            codes = np.zeros((n_pad, m), dtype=np.uint8)
+            codes[:n] = self._host
+            cb_sq = (self._code_cb.astype(np.float64) ** 2).sum(-1)
+            s2 = np.zeros(n_pad, dtype=np.float64)
+            for mi in range(m):
+                s2 += cb_sq[mi][codes[:, mi]]
+            s2 = s2.astype(np.float32)
+            s2[dead] = np.inf
+            # uint8 codes bit-reinterpreted to int8 (Mosaic's proven
+            # int8 DMA path; the kernel masks back with & 0xFF).
+            tiles = codes.view(np.int8).reshape(n_tiles, TILE_ROWS, m) \
+                .transpose(0, 2, 1)
+            self._cb_dev = jnp.asarray(self._code_cb.astype(np.float32))
+            self._perm_dev = jnp.asarray(perm)
+        else:
+            codes = np.zeros((n_pad, d_pad), dtype=np.int8)
+            codes[:n, :dim] = self._host
+            # Padding dims: epsilon scale / zero offset (zero codes and
+            # query dims contribute nothing to any score term — ops/sq8).
+            a_p = np.full(d_pad, 1e-12, dtype=np.float32)
+            b_p = np.zeros(d_pad, dtype=np.float32)
+            a_p[:dim] = self._code_a
+            b_p[:dim] = self._code_b
+            u = codes.astype(np.float32)
+            s2 = np.einsum("nd,nd->n", u * a_p, u * a_p)
+            s2[dead] = np.inf
+            tiles = codes.reshape(n_tiles, TILE_ROWS, d_pad) \
+                .transpose(0, 2, 1)
+            self._sq8_a = jnp.asarray(a_p)
+            self._sq8_b = jnp.asarray(b_p)
         self._dev3 = jnp.asarray(np.ascontiguousarray(tiles))
         self._s2t = jnp.asarray(s2.reshape(n_tiles, 1, TILE_ROWS))
-        self._sq8_a = jnp.asarray(a_p)
-        self._sq8_b = jnp.asarray(b_p)
         c_count = self._centroids_np.shape[0]
         lens = np.bincount(self._assign_host,
                            minlength=c_count).astype(np.int64)
@@ -577,7 +632,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             raise ReadOnlyError(
                 f"Index element {self.index_element} is read-only.")
         header = json.dumps({"metric": self.metric,
-                             "storage": self.storage}).encode()
+                             "storage": self.storage,
+                             "dim": self._dim}).encode()
         bio = io.BytesIO()
         if self._host is None:
             np.savez(bio, empty=np.array(True))
@@ -590,6 +646,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 # (rebuild-from-codes; FAISS serializes SQ codes the same
                 # way, faiss.py:368-386).
                 extra = {"code_a": self._code_a, "code_b": self._code_b}
+            elif self._code_cb is not None:
+                # PQ 'code' tier: uint8 codes + codebooks (the dim
+                # interleave is deterministic from the padded dim —
+                # _pq_grid — so only the codebooks persist).
+                extra = {"code_cb": self._code_cb}
             np.savez(bio,
                      matrix=self._host[keep],
                      uids=np.array([self._row2uid[i] for i in keep],
@@ -622,18 +683,43 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             assigns = z["assigns"].astype(np.int32)
             code_a = z["code_a"] if "code_a" in z else None
             code_b = z["code_b"] if "code_b" in z else None
-        self._dim = int(mat.shape[1])
-        if mat.dtype == np.int8:
-            if self.storage == "code":
+            code_cb = z["code_cb"] if "code_cb" in z else None
+        if mat.dtype == np.uint8 and code_cb is not None:
+            # PQ-code payload: the row width is the subquantizer count,
+            # not the descriptor dim — recover dim from the centroids'
+            # unpadded prefix recorded at save (the decode below needs
+            # it either way).
+            self._dim = int(header.get("dim",
+                                       self._centroids_np.shape[1]))
+        else:
+            self._dim = int(mat.shape[1])
+        if mat.dtype == np.int8 and code_a is not None:
+            if self.storage == "code" \
+                    and self._pq_m(self.dtype) is None:
                 # Codes + codec restore directly (no float originals ever
                 # existed on disk — the capacity contract).
                 self._code_a, self._code_b = code_a, code_b
             else:
                 # Payload written by a 'code' instance, loaded by a
-                # 'rows' one: decode to float (lossy only by the SQ8
-                # step the codes already carry).
+                # 'rows' (or differently-coded) one: decode to float
+                # (lossy only by the SQ8 step the codes already carry).
                 mat = mat.astype(np.float32) * code_a[None, :] \
                     + code_b[None, :]
+        elif mat.dtype == np.uint8 and code_cb is not None:
+            if self.storage == "code" \
+                    and self._pq_m(self.dtype) is not None:
+                # The serialized index defines the codec (FAISS read
+                # semantics): adopt the payload's codebooks.
+                self._code_cb = np.asarray(code_cb, np.float32)
+            else:
+                from smqtk_indexing_tpu.ops.pq import pq_decode_np
+                x_c = pq_decode_np(mat, np.asarray(code_cb, np.float32))
+                d_codec = x_c.shape[1]
+                m_pay = code_cb.shape[0]
+                perm = np.argsort(np.arange(d_codec) % m_pay,
+                                  kind="stable")
+                mat = np.ascontiguousarray(
+                    x_c[:, np.argsort(perm)][:, :self._dim])
         self._layout(mat, uids, assigns)
         if self.descriptor_set.count() != self._n_live:
             LOG.warning(
@@ -650,10 +736,15 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 for i in np.flatnonzero(self._valid_host))
 
     def _row_vector(self, i: int) -> np.ndarray:
-        """Float view of host row ``i`` (decodes the int8 mirror on the
+        """Float view of host row ``i`` (decodes the code mirror on the
         'code' tier — the only float these rows have; originals are not
         retained at capacity)."""
         if self.storage == "code":
+            if self._pq_m(self.dtype) is not None:
+                from smqtk_indexing_tpu.ops.pq import pq_decode_np
+                _, _, perm = self._pq_grid()
+                x_c = pq_decode_np(self._host[i:i + 1], self._code_cb)
+                return x_c[0, np.argsort(perm)][:self._dim]
             return (self._host[i].astype(np.float32) * self._code_a
                     + self._code_b)
         return self._host[i]
@@ -678,7 +769,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 .astype(np.float32)
             self._dim = int(mat.shape[1])
             # Full build retrains the codec too (FAISS train() semantics).
-            self._code_a = self._code_b = None
+            self._code_a = self._code_b = self._code_cb = None
             with trace_span("ivf.train"):
                 self._centroids_np = self._train_centroids(mat)
             assigns = self._assign(mat)
@@ -708,11 +799,18 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 keep = np.flatnonzero(self._valid_host)
                 if self.storage == "code":
                     # Updates encode with the build-time codec (FAISS
-                    # ScalarQuantizer adds never retrain) so the merged
-                    # mirror stays int8 end to end.
-                    from smqtk_indexing_tpu.ops.sq8 import sq8_encode_np
-                    new_mat = sq8_encode_np(new_mat, self._code_a,
-                                            self._code_b)
+                    # quantizer adds never retrain) so the merged mirror
+                    # stays codes end to end.
+                    if self._pq_m(self.dtype) is not None:
+                        from smqtk_indexing_tpu.ops.pq import pq_encode_np
+                        new_mat = pq_encode_np(
+                            self._pq_prep_rows(new_mat), self._code_cb)
+                    else:
+                        from smqtk_indexing_tpu.ops.sq8 import (
+                            sq8_encode_np,
+                        )
+                        new_mat = sq8_encode_np(new_mat, self._code_a,
+                                                self._code_b)
                 mat = np.concatenate([self._host[keep], new_mat])
                 uids = [self._row2uid[i] for i in keep] + fresh
                 assigns = np.concatenate(
@@ -738,11 +836,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             if self._n_live == 0:
                 centroids = self._centroids_np
                 dim = self._dim
-                code_ab = (self._code_a, self._code_b)
+                code_ab = (self._code_a, self._code_b, self._code_cb)
                 self._reset_state()
                 self._centroids_np = centroids
                 self._dim = dim
-                self._code_a, self._code_b = code_ab
+                self._code_a, self._code_b, self._code_cb = code_ab
             elif self._n_live < self._host.shape[0] // 2 \
                     and self._host.shape[0] > 1024:
                 keep = np.flatnonzero(self._valid_host)
@@ -841,16 +939,26 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 import jax
                 from smqtk_indexing_tpu.ops.pallas_ivf import (
                     ivf_query_dma_tiled_table,
+                    ivf_query_dma_tiled_table_pq,
                 )
                 nprobe_o = min(self.nprobe, self._centroids_np.shape[0])
-                dists, rows = ivf_query_dma_tiled_table(
-                    self._dev3, self._s2t, self._sq8_a, self._sq8_b,
-                    self._dev_centroids, self._slot_table,
-                    self._v_tile, self._v_col, self._v_len,
-                    jnp.asarray(q_p), k=k_dev, nprobe_orig=nprobe_o,
-                    interpret=jax.default_backend() != "tpu",
-                    rerank="score" if self.rerank == "score"
-                    else "gather")
+                rr = "score" if self.rerank == "score" else "gather"
+                interp = jax.default_backend() != "tpu"
+                if self._pq_m(self.dtype) is not None:
+                    dists, rows = ivf_query_dma_tiled_table_pq(
+                        self._dev3, self._s2t, self._cb_dev,
+                        self._perm_dev, self._dev_centroids,
+                        self._slot_table, self._v_tile, self._v_col,
+                        self._v_len, jnp.asarray(q_p), k=k_dev,
+                        nprobe_orig=nprobe_o, interpret=interp,
+                        rerank=rr)
+                else:
+                    dists, rows = ivf_query_dma_tiled_table(
+                        self._dev3, self._s2t, self._sq8_a, self._sq8_b,
+                        self._dev_centroids, self._slot_table,
+                        self._v_tile, self._v_col, self._v_len,
+                        jnp.asarray(q_p), k=k_dev, nprobe_orig=nprobe_o,
+                        interpret=interp, rerank=rr)
             elif self._mesh is not None \
                     and self._pq_m(self.dtype) is not None:
                 from smqtk_indexing_tpu.parallel.mesh import replicate

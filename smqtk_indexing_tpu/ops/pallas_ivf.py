@@ -676,6 +676,294 @@ def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,
     return dists, out_rows
 
 
+# ---------------------------------------------------------------------------
+# PQ over the tiled-transposed layout: (n_tiles, M, TILE_ROWS) int8 code
+# tiles (uint8 PQ codes bit-reinterpreted — Mosaic's proven int8 path),
+# scored in-kernel by ADC-as-one-hot on the MXU. FAISS serves 'IVF<n>,PQ<M>'
+# through native ADC list scans (faiss.py:190,368-386); the TPU has no
+# hardware table-gather, so the per-row LUT sum
+#   ip(w) = sum_m T[m, code(m, w)]
+# becomes one (1, M*256) x (M*256, W) MXU dot against the one-hot code
+# expansion built on the VPU (one compare per (m, v, w) — amortized over
+# nothing, but ~2.6M bools/probe is ~3-5 us of VPU, on par with the DMA).
+# ---------------------------------------------------------------------------
+
+
+def _ivf_tiled_pq_kernel(ti_ref, c0_ref, lo_ref, hi_ref, lut_ref, db_ref,
+                         s2_ref, out_ref, cand, s2buf, sems, acc, *,
+                         n_probe: int):
+    """PQ tiled list scan: per probe, DMA one (M, W_TILED) code window +
+    its (1, W_TILED) reconstruction-norm slice, expand codes to a one-hot
+    (M*256, W) bf16 block (exact in bf16), and take the per-query ADC LUT
+    sum as a split-bf16 MXU dot (LUT f32 covered to ~2^-18 — selection
+    noise absorbed by the caller's k+8 margin and the exact re-rank)."""
+    qi = pl.program_id(0)
+    pj = pl.program_id(1)
+    steps = n_probe // P_STEP_TILED
+    base = (qi * steps + pj) * P_STEP_TILED
+    total = pl.num_programs(0) * steps * P_STEP_TILED
+    m_sub = cand.shape[1]
+
+    def dmas_for(i, s):
+        c0 = pl.multiple_of(c0_ref[i], 128)
+        return (pltpu.make_async_copy(
+                    db_ref.at[ti_ref[i], :, pl.ds(c0, W_TILED)],
+                    cand.at[s], sems.at[s, 0]),
+                pltpu.make_async_copy(
+                    s2_ref.at[ti_ref[i], :, pl.ds(c0, W_TILED)],
+                    s2buf.at[s], sems.at[s, 1]))
+
+    def live(i):
+        return hi_ref[i] > lo_ref[i]
+
+    @pl.when((base == 0) & live(0))
+    def _():
+        for cp in dmas_for(0, 0):
+            cp.start()
+
+    acc[:] = jnp.full((P_STEP_TILED, W_TILED), jnp.inf, jnp.float32)
+    row_sel = jax.lax.broadcasted_iota(
+        jnp.int32, (P_STEP_TILED, W_TILED), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W_TILED), 1)
+    lut = lut_ref[0]                               # (1, M*256) float32
+    lut_hi = lut.astype(jnp.bfloat16)
+    lut_lo = (lut - lut_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    iota_v = jax.lax.broadcasted_iota(
+        jnp.int32, (m_sub, 256, W_TILED), 1)
+
+    def body(j, _):
+        idx = base + j
+        slot = jax.lax.rem(idx, 2)
+        nxt = jax.lax.rem(idx + 1, 2)
+
+        @pl.when((idx + 1 < total) & live(idx + 1))
+        def _():
+            for cp in dmas_for(idx + 1, nxt):
+                cp.start()
+
+        @pl.when(live(idx))
+        def _():
+            for cp in dmas_for(idx, slot):
+                cp.wait()
+            # int8 bit pattern -> original uint8 code value 0..255.
+            codes = cand[slot].astype(jnp.int32) & 0xFF       # (M, W)
+            oh = (codes.reshape(m_sub, 1, W_TILED) == iota_v) \
+                .astype(jnp.bfloat16)                 # (M, 256, W) exact
+            oh2 = oh.reshape(m_sub * 256, W_TILED)
+            ip = jax.lax.dot_general(
+                lut_hi, oh2, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ip += jax.lax.dot_general(
+                lut_lo, oh2, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (1, W)
+            scores = s2buf[slot] - 2.0 * ip
+            ok = (lane >= lo_ref[idx]) & (lane < hi_ref[idx])
+            row = jnp.where(ok, scores, jnp.inf)
+            acc[:] = jnp.where(row_sel == j, row, acc[:])
+        return 0
+
+    jax.lax.fori_loop(0, P_STEP_TILED, body, 0)
+    out_ref[:] = acc[:].reshape(1, P_STEP_TILED, W_TILED)
+
+
+@partial(jax.jit, static_argnames=("n_probe", "interpret"))
+def ivf_list_scores_tiled_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
+                             lut: jnp.ndarray, ti: jnp.ndarray,
+                             c0: jnp.ndarray, lo: jnp.ndarray,
+                             hi: jnp.ndarray, *, n_probe: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    """
+    :param db3c: (n_tiles, M, TILE_ROWS) int8 PQ code tiles (uint8 codes
+        bit-reinterpreted to int8; row r at [r // TILE_ROWS, :,
+        r % TILE_ROWS]).
+    :param s2t: (n_tiles, 1, TILE_ROWS) float32 squared reconstruction
+        norms (+inf poisons dead rows).
+    :param lut: (B, M*256) float32 per-query ADC table
+        lut[b, m*256 + v] = <q_m, codebook[m, v]> on the codec dim grid.
+    :param ti/c0/lo/hi: As :func:`ivf_list_scores_tiled`.
+    :return: (B, n_probe * W_TILED) float32 masked surrogate scores
+        (||q||^2 omitted); +inf outside windows.
+    """
+    n_tiles, m_sub, tile_n = db3c.shape
+    b = lut.shape[0]
+    assert n_probe % P_STEP_TILED == 0
+    steps = n_probe // P_STEP_TILED
+    lut3 = lut.reshape(b, 1, m_sub * 256)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, steps),
+        in_specs=[
+            pl.BlockSpec((1, 1, m_sub * 256),
+                         lambda qi, pj, *_: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),      # lut
+            pl.BlockSpec(memory_space=pl.ANY),          # db3c (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),          # s2t (manual DMA)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, P_STEP_TILED, W_TILED),
+            lambda qi, pj, *_: (qi * steps + pj, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, m_sub, W_TILED), db3c.dtype),
+            pltpu.VMEM((2, 1, W_TILED), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((P_STEP_TILED, W_TILED), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_ivf_tiled_pq_kernel, n_probe=n_probe),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (b * steps, P_STEP_TILED, W_TILED), jnp.float32),
+        interpret=interpret,
+    )(ti, c0, lo, hi, lut3, db3c, s2t)
+    return out.reshape(b, n_probe * W_TILED)
+
+
+def _tiled_scan_finish_pq(db3c, s2t, codebooks, q_c, lut, ti, c0, lo, hi,
+                          *, k: int, n_probe: int, interpret: bool,
+                          rerank: str = "gather"):
+    """PQ counterpart of :func:`_tiled_scan_finish`: chunked kernel scan
+    + top-k over the probe windows, then finalization per ``rerank`` —
+    "gather" fetches winner code segments through the DMA gather, decodes
+    exactly (f32 one-hot dequant), and reports distances exact w.r.t. the
+    reconstruction; "score" reconstructs sqrt(score + ||q||^2) from the
+    kernel surrogate."""
+    from smqtk_indexing_tpu.ops.pallas_scan import (
+        SEG, seg_gather_tiled, topk_smallest,
+    )
+    from smqtk_indexing_tpu.ops.pq import _dequant
+    from smqtk_indexing_tpu.ops.scan import exact_rerank_decoded
+
+    n_tiles, m_sub, tile_n = db3c.shape
+    b = q_c.shape[0]
+    q_sq = jnp.sum(q_c * q_c, axis=-1)
+    q_norm = jnp.sqrt(q_sq)
+    kk = min(k + 8, n_probe * W_TILED)
+    b_chunk = b
+    while b_chunk * n_probe * 16 > (3 << 18) \
+            or b_chunk * n_probe * W_TILED * 8 > (1 << 30):
+        b_chunk //= 2
+    b_chunk = max(b_chunk, 8)
+    ts_parts, tr_parts = [], []
+    for qlo in range(0, b, b_chunk):       # static unroll
+        sl = slice(qlo, qlo + b_chunk)
+        bc = min(b_chunk, b - qlo)
+        scores = ivf_list_scores_tiled_pq(
+            db3c, s2t, lut[sl], ti[sl].reshape(-1).astype(jnp.int32),
+            c0[sl].reshape(-1).astype(jnp.int32),
+            lo[sl].reshape(-1).astype(jnp.int32),
+            hi[sl].reshape(-1).astype(jnp.int32),
+            n_probe=n_probe, interpret=interpret)
+        base_row = (ti[sl] * tile_n + c0[sl]).astype(jnp.int32)
+        rows = (base_row[..., None]
+                + jax.lax.broadcasted_iota(
+                    jnp.int32, (bc, n_probe, W_TILED), 2)
+                ).reshape(bc, n_probe * W_TILED)
+        tsc, sel = topk_smallest(scores, kk)
+        ts_parts.append(tsc)
+        tr_parts.append(
+            jnp.take_along_axis(rows, sel, axis=1).astype(jnp.int32))
+    top_scores = ts_parts[0] if len(ts_parts) == 1 \
+        else jnp.concatenate(ts_parts, axis=0)
+    top_rows = tr_parts[0] if len(tr_parts) == 1 \
+        else jnp.concatenate(tr_parts, axis=0)
+    top_rows = jnp.where(jnp.isinf(top_scores), -1, top_rows)
+
+    if rerank == "score":
+        dists = jnp.sqrt(jnp.maximum(top_scores + q_sq[:, None], 0.0))
+        dists = jnp.where(top_rows < 0, jnp.inf, dists)
+        return dists[:, :k], top_rows[:, :k]
+
+    rows_c = jnp.maximum(top_rows, 0)
+    seg_ids = rows_c // SEG
+    blocks = seg_gather_tiled(db3c, seg_ids, interpret=interpret)
+    col_sel = (rows_c % SEG).reshape(b, kk, 1, 1)
+    codes_sel = jnp.take_along_axis(
+        blocks, jnp.broadcast_to(col_sel, (b, kk, m_sub, 1)), axis=3
+    ).reshape(b, kk, m_sub)
+    codes_u = codes_sel.astype(jnp.int32) & 0xFF
+    x = _dequant(codes_u.reshape(b * kk, m_sub), codebooks,
+                 dtype=jnp.float32).reshape(b, kk, -1)
+    return exact_rerank_decoded(x, q_c, q_norm, top_scores, top_rows,
+                                "euclidean", k)
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe_orig", "interpret",
+                                   "rerank"))
+def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
+                                 codebooks: jnp.ndarray,
+                                 perm: jnp.ndarray,
+                                 centroids: jnp.ndarray,
+                                 slot_table: jnp.ndarray,
+                                 v_tile: jnp.ndarray, v_col: jnp.ndarray,
+                                 v_len: jnp.ndarray, q: jnp.ndarray, *,
+                                 k: int, nprobe_orig: int,
+                                 interpret: bool = False,
+                                 rerank: str = "gather"
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Tiled IVF-PQ query with original-centroid probe selection — the
+    reference's 'IVF<n>,PQ<M>' capacity configuration (faiss.py:190)
+    served at DMA-kernel speed. Probe selection ranks the (C, d)
+    original centroids in the ORIGINAL dim order; the ADC LUT and the
+    exact decode work on the codec grid (``perm``-interleaved dims —
+    L2 distances are permutation invariant).
+
+    :param codebooks: (M, 256, dsub) float32 (codec-grid subspaces).
+    :param perm: (d_codec,) int32 dim interleave (ops/pq.pq_build_store).
+    :param q: (B, d_pad) float32 queries, original (lane-padded) order.
+    """
+    n_tiles, m_sub, tile_n = db3c.shape
+    b, d_pad = q.shape
+    d_codec = perm.shape[0]
+    q = q.astype(jnp.float32)
+    if d_codec > d_pad:
+        q_ext = jnp.concatenate(
+            [q, jnp.zeros((b, d_codec - d_pad), jnp.float32)], axis=1)
+    else:
+        q_ext = q
+    q_c = jnp.take(q_ext, perm, axis=1)             # codec grid
+    dsub = d_codec // m_sub
+    lut = jnp.einsum(
+        "bms,mvs->bmv", q_c.reshape(b, m_sub, dsub), codebooks,
+        precision=jax.lax.Precision.HIGHEST).reshape(b, m_sub * 256)
+
+    c = centroids.astype(jnp.float32)
+    c_sq = jnp.sum(c * c, axis=-1)
+    ip_c = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    c_scores = c_sq[None, :] - 2.0 * ip_c
+    _, lists = jax.lax.top_k(-c_scores, nprobe_orig)      # (B, n_orig)
+
+    slots = slot_table[lists]                    # (B, n_orig, S_max)
+    s_max = slot_table.shape[1]
+    dead = slots < 0
+    slots_c = jnp.maximum(slots, 0)
+    ln = jnp.where(dead, 0, v_len[slots_c])
+    ti = jnp.where(dead, 0, v_tile[slots_c])
+    col = jnp.where(dead, 0, v_col[slots_c])
+    c0 = jnp.minimum((col // 128) * 128, tile_n - W_TILED)
+    lo = col - c0
+    hi = lo + ln
+    p_raw = nprobe_orig * s_max
+    n_probe = -(-p_raw // P_STEP_TILED) * P_STEP_TILED
+    pad = n_probe - p_raw
+
+    def flat(x):
+        x = x.reshape(b, p_raw)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((b, pad), jnp.int32)], axis=1)
+        return x
+
+    return _tiled_scan_finish_pq(db3c, s2t, codebooks, q_c, lut,
+                                 flat(ti), flat(c0), flat(lo), flat(hi),
+                                 k=k, n_probe=n_probe,
+                                 interpret=interpret, rerank=rerank)
+
+
 def build_slot_table(v_orig, c_lists: int):
     """(C, S_max) int32 table mapping each original list to its sublist
     slot ids (-1 padded) — the probe-selection form that ranks ORIGINAL

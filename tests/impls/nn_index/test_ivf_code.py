@@ -38,10 +38,23 @@ def _code_index(**kw):
     return IvfNearestNeighborsIndex(dtype="sq8", storage="code", **kw)
 
 
+def _pq_code_index(**kw):
+    kw.setdefault("n_lists", 4)
+    kw.setdefault("nprobe", 4)
+    kw.setdefault("kmeans_iterations", 6)
+    kw.setdefault("random_seed", 0)
+    kw.setdefault("dtype", "pq4")
+    return IvfNearestNeighborsIndex(storage="code", **kw)
+
+
 class TestIvfCodeTierConfig:
     def test_requires_sq8(self):
         with pytest.raises(ValueError, match="dtype='sq8'"):
             IvfNearestNeighborsIndex(storage="code", dtype="float32")
+
+    def test_accepts_pq(self):
+        i = IvfNearestNeighborsIndex(storage="code", dtype="pq4")
+        assert i.dtype == "pq4"
 
     def test_requires_euclidean(self):
         with pytest.raises(ValueError, match="euclidean"):
@@ -196,6 +209,94 @@ class TestIvfCodeTierPersistence:
         assert [e.uuid() for e in r0] == [e.uuid() for e in r1]
         np.testing.assert_allclose(d0, d1, atol=1e-5)
 
+class TestIvfCodeTierPq:
+    """PQ 'code' tier: (n, M) uint8 host mirror served by the in-kernel
+    ADC one-hot tiled DMA scan (interpret mode on CPU)."""
+
+    def test_host_mirror_is_pq_codes(self):
+        elems = _clustered()
+        i = _pq_code_index()
+        i.build_index(elems)
+        assert i._host.dtype == np.uint8
+        assert i._host.shape[1] == 4
+        assert i._code_cb is not None and i._code_cb.shape[:2] == (4, 256)
+
+    def test_self_retrieval(self):
+        elems = _clustered()
+        i = _pq_code_index(nprobe=4)
+        i.build_index(elems)
+        assert i.count() == len(elems)
+        for j in (0, 77, 159):
+            res, dists = i.nn(elems[j], 3)
+            # PQ distances are exact w.r.t. the reconstruction; on this
+            # well-separated mixture the self row still wins.
+            assert res[0].uuid() == elems[j].uuid()
+            assert list(dists) == sorted(dists)
+
+    def test_matches_pq_rows_tier_at_full_probe(self):
+        # Same data: the PQ code tier at nprobe == n_lists must return
+        # the same neighbor SETS as exhaustive float64 brute force over
+        # its own reconstructions (the codec is the only loss).
+        from smqtk_indexing_tpu.ops.pq import pq_decode_np
+        elems = _clustered(seed=3)
+        i = _pq_code_index()
+        i.build_index(elems)
+        _, _, perm = i._pq_grid()
+        dbq = pq_decode_np(i._host, i._code_cb).astype(np.float64)
+        q = np.asarray(elems[60].vector(), np.float64) + 0.05
+        q_c = np.zeros(len(perm))
+        q_c[:len(q)] = q
+        q_c = q_c[perm]
+        d2 = np.sqrt(((q_c[None, :] - dbq) ** 2).sum(-1))
+        ref = [i._row2uid[r] for r in np.argsort(d2)[:5]]
+        res, dists = i.nn(_elem("q", q.astype(np.float32)), 5)
+        assert [e.uuid() for e in res] == ref
+        np.testing.assert_allclose(dists, np.sort(d2)[:5], atol=1e-4)
+
+    def test_update_and_removal(self):
+        elems = _clustered()
+        i = _pq_code_index()
+        i.build_index(elems[:120])
+        cb0 = i._code_cb.copy()
+        i.update_index(elems[120:])
+        np.testing.assert_array_equal(i._code_cb, cb0)  # codec fixed
+        assert i.count() == len(elems)
+        victim = elems[7]
+        i.remove_from_index([victim.uuid()])
+        res, _ = i.nn(victim, 3)
+        assert victim.uuid() not in [e.uuid() for e in res]
+
+    def test_roundtrip(self):
+        elems = _clustered()
+        ie = DataMemoryElement(readonly=False)
+        i = _pq_code_index(index_element=ie)
+        i.build_index(elems)
+        q = _elem("q", np.asarray(elems[33].vector()) + 0.05)
+        r0, d0 = i.nn(q, 5)
+        j = _pq_code_index(index_element=ie)
+        assert j.count() == len(elems)
+        assert j._host.dtype == np.uint8
+        np.testing.assert_array_equal(j._code_cb, i._code_cb)
+        r1, d1 = j.nn(q, 5)
+        assert [e.uuid() for e in r0] == [e.uuid() for e in r1]
+        np.testing.assert_allclose(d0, d1, atol=1e-5)
+
+    def test_cross_load_pq_codes_into_rows_instance(self):
+        elems = _clustered()
+        ie = DataMemoryElement(readonly=False)
+        i = _pq_code_index(index_element=ie)
+        i.build_index(elems)
+        j = IvfNearestNeighborsIndex(
+            index_element=ie, n_lists=4, nprobe=4, kmeans_iterations=6,
+            random_seed=0)
+        assert j.count() == len(elems)
+        assert j._host.dtype == np.float32
+        assert j._host.shape[1] == 16  # decoded back to descriptor dim
+        res, dists = j.nn(elems[20], 1)
+        assert res[0].uuid() == elems[20].uuid()
+
+
+class TestIvfCodeTierPersistenceCross:
     def test_cross_load_into_rows_instance(self):
         # A rows-tier instance loading a code payload decodes the codes
         # to floats and serves normally (lossy only by the SQ8 step).
