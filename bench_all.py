@@ -234,6 +234,10 @@ _IVF_VARIANTS = {
     # scan through the public API — the 100M/chip configuration at 1M).
     "_code": ("sq8", "code", "exact"),
     "_code_score": ("sq8", "code", "score"),
+    # PQ16 code tier: (n, 16) uint8 mirror, in-kernel ADC one-hot MXU
+    # scan (16 B/vector — the ~800M-vectors/chip ceiling).
+    "_code_pq16": ("pq16", "code", "exact"),
+    "_code_pq16_score": ("pq16", "code", "score"),
 }
 
 
@@ -383,6 +387,11 @@ if __name__ == "__main__":
                 # cross-window comparisons unreliable past ~15%.
                 "ivf_code": lambda: bench_ivf(
                     ("_sq8", "_code", "_code_score"),
+                    nprobes=(1, 4, 16, 64)),
+                # PQ counterpart A/B: rows-pq16 (XLA dequant scan) vs
+                # the tiled ADC DMA kernel, exact + score finalization.
+                "ivf_code_pq": lambda: bench_ivf(
+                    ("_pq16", "_code_pq16", "_code_pq16_score"),
                     nprobes=(1, 4, 16, 64))}
     picked = [a for a in sys.argv[1:] if a in sections] \
         or list(sections)

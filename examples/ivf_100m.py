@@ -28,6 +28,15 @@ infeasible):
    (distances straight from the kernel surrogate — the winner-segment
    gather measured ~100 ms/batch at B=1024, and the surrogate's
    cancellation bound sits well below the codec step).
+5. PQ16 phase (skip: SMQTK_IVF100M_NO_PQ=1): the SQ8 buffer is freed and
+   the SAME corpus (identical row ids -> identical data and k-means
+   assignments) rebuilds as (n_tiles, 16, 4096) uint8 PQ codes —
+   **1.6 GB for 100M vectors**, the ~800M-vectors/chip ceiling — served
+   by the in-kernel ADC one-hot MXU scan
+   (ops/pallas_ivf.ivf_query_dma_tiled_table_pq). Recall is reported
+   against the same held-out float-data oracle truth: PQ16's codec
+   limit on this near-iid mixture is the published number, not a
+   pipeline defect (docs/benchmarks.md Config 3 readings).
 
 Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site python \
     examples/ivf_100m.py
@@ -48,6 +57,11 @@ import os
 #: program (build passes, CSR, kernels in interpret mode) smoke-runs on
 #: CPU in under a minute.
 MINI = bool(os.environ.get("SMQTK_IVF100M_MINI"))
+if MINI:
+    # The JAX_PLATFORMS env var is overridden by the axon sitecustomize;
+    # force CPU here so the mini smoke-run never claims (or hangs on)
+    # the real chip.
+    jax.config.update("jax_platforms", "cpu")
 
 D = 128
 TILE = 4096
@@ -68,6 +82,10 @@ INTERP = MINI                            # Pallas interpret mode on CPU
 
 _KEY = jax.random.PRNGKey(42)
 _CKEY = jax.random.PRNGKey(7)
+
+M_PQ = 16                                # PQ subquantizers
+DSUB = D // M_PQ                         # 8 dims per subspace
+PQ_PHASE = not bool(os.environ.get("SMQTK_IVF100M_NO_PQ"))
 
 
 def _gen_rows(centers: jnp.ndarray, row_ids: jnp.ndarray) -> jnp.ndarray:
@@ -109,22 +127,7 @@ def _ingest_chunk(big, s2big, cents, centers, ci):
     tile-transposed int8 (pass 2), write into the donated buffers.
     Returns per-list row counts for the host-side CSR build."""
     base = ci * CHUNK
-    c_sq = jnp.sum(cents * cents, axis=-1)
-
-    def assign_body(_, si):
-        ids = base + si * SUB + jnp.arange(SUB, dtype=jnp.int32)
-        rows = _gen_rows(centers, ids)
-        # precision=HIGHEST: bf16-truncated assignment would desync from
-        # the f32 query-time probe ranking near cell boundaries.
-        ip = jnp.dot(rows, cents.T, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        return None, jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=1) \
-            .astype(jnp.int32)
-
-    _, asg = jax.lax.scan(assign_body, None,
-                          jnp.arange(CHUNK // SUB, dtype=jnp.int32))
-    asg = asg.reshape(CHUNK)
-    order = jnp.argsort(asg, stable=True).astype(jnp.int32)
+    order, lens = _assign_order(cents, centers, base)
 
     def gen_body(_, ti):
         src = jax.lax.dynamic_slice(order, (ti * TILE,), (TILE,))
@@ -141,9 +144,68 @@ def _ingest_chunk(big, s2big, cents, centers, ci):
     s2big = jax.lax.dynamic_update_slice(
         s2big, s2rows.reshape(TILES_PER_CHUNK, 1, TILE),
         (ci * TILES_PER_CHUNK, 0, 0))
+    return big, s2big, lens
+
+
+def _assign_order(cents: jnp.ndarray, centers: jnp.ndarray,
+                  base: jnp.ndarray):
+    """Pass-1 assignment + stable sort of one chunk (shared by the SQ8
+    and PQ ingests — identical row ids generate identical rows, so both
+    layouts sort rows into the same list order and the PQ pass reuses
+    the SQ8-built CSR verbatim). Returns (sort order, per-list counts).
+    precision=HIGHEST: bf16-truncated assignment would desync from the
+    f32 query-time probe ranking near cell boundaries."""
+    c_sq = jnp.sum(cents * cents, axis=-1)
+
+    def assign_body(_, si):
+        ids = base + si * SUB + jnp.arange(SUB, dtype=jnp.int32)
+        rows = _gen_rows(centers, ids)
+        ip = jnp.dot(rows, cents.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        return None, jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=1) \
+            .astype(jnp.int32)
+
+    _, asg = jax.lax.scan(assign_body, None,
+                          jnp.arange(CHUNK // SUB, dtype=jnp.int32))
+    asg = asg.reshape(CHUNK)
+    order = jnp.argsort(asg, stable=True).astype(jnp.int32)
     lens = jax.ops.segment_sum(jnp.ones_like(asg), asg,
                                num_segments=C_LISTS)
-    return big, s2big, lens
+    return order, lens
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _ingest_chunk_pq(bigp, s2bigp, cents, cb, cb_sq, centers, ci):
+    """PQ counterpart of :func:`_ingest_chunk`: same assignment/sort
+    (the CSR built by the SQ8 pass is reused verbatim), rows encode to
+    (M, TILE) uint8 code tiles (bit-reinterpreted int8 — the kernel's
+    DMA dtype) + per-row reconstruction norms."""
+    base = ci * CHUNK
+    order, _ = _assign_order(cents, centers, base)
+
+    def gen_body(_, ti):
+        src = jax.lax.dynamic_slice(order, (ti * TILE,), (TILE,))
+        rows = _gen_rows(centers, base + src)            # (TILE, D)
+        rs = rows.reshape(TILE, M_PQ, DSUB)
+        ip = jnp.einsum("tms,mvs->tmv", rs, cb,
+                        precision=jax.lax.Precision.HIGHEST)
+        d2 = cb_sq[None, :, :] - 2.0 * ip                # (TILE, M, 256)
+        codes = jnp.argmin(d2, axis=2)                   # (TILE, M) int32
+        s2 = jnp.sum(jnp.take_along_axis(
+            jnp.broadcast_to(cb_sq[None], (TILE, M_PQ, 256)),
+            codes[..., None], axis=2)[..., 0], axis=1)   # (TILE,)
+        codes_t = jax.lax.bitcast_convert_type(
+            codes.astype(jnp.uint8), jnp.int8).T         # (M, TILE)
+        return None, (codes_t, s2)
+
+    _, (tiles, s2rows) = jax.lax.scan(
+        gen_body, None, jnp.arange(TILES_PER_CHUNK, dtype=jnp.int32))
+    bigp = jax.lax.dynamic_update_slice(
+        bigp, tiles, (ci * TILES_PER_CHUNK, 0, 0))
+    s2bigp = jax.lax.dynamic_update_slice(
+        s2bigp, s2rows.reshape(TILES_PER_CHUNK, 1, TILE),
+        (ci * TILES_PER_CHUNK, 0, 0))
+    return bigp, s2bigp
 
 
 def main() -> None:
@@ -278,6 +340,99 @@ def main() -> None:
              speedup_vs_exhaustive_b1024=round(
                  (b_large / dt_l) / exh_qps, 1),
              speedup_vs_exhaustive=round((B / dt) / exh_qps, 1),
+             cold_incl_compile_s=round(cold, 1))
+
+    if not PQ_PHASE:
+        return
+
+    # ---- PQ16 phase: 100M vectors in 1.6 GB -----------------------------
+    # Free the 12.9 GB SQ8 buffer first (regeneration makes the corpus
+    # free to rebuild); the CSR/table stay valid (same assignments).
+    from smqtk_indexing_tpu.ops.kmeans import kmeans_lloyd
+    from smqtk_indexing_tpu.ops.pallas_ivf import (
+        ivf_query_dma_tiled_table_pq,
+    )
+    del big, s2big, s2_rows, valid, dd_o, rr_o, dd, rr
+
+    t0 = time.perf_counter()
+    sample = _train_sample(centers)
+    v_all = jnp.ones(TRAIN_ROWS, bool)
+    cbs = []
+    for m in range(M_PQ):
+        sub = jnp.asarray(sample[:, m * DSUB:(m + 1) * DSUB])
+        cb_m, _ = kmeans_lloyd(sub, v_all, sub[:256], n_iter=KM_ITERS)
+        cbs.append(cb_m)
+    cb = jnp.stack(cbs)                              # (M, 256, DSUB)
+    cb.block_until_ready()
+    del sample, v_all
+    emit(metric="pq16_100m_train_wall",
+         value=round(time.perf_counter() - t0, 1), unit="s",
+         subspaces=M_PQ, dsub=DSUB)
+
+    t0 = time.perf_counter()
+    cb_sq = jnp.sum(cb * cb, axis=-1)                # (M, 256)
+    bigp = jnp.zeros((N_CHUNKS * TILES_PER_CHUNK, M_PQ, TILE), jnp.int8)
+    s2bigp = jnp.zeros((N_CHUNKS * TILES_PER_CHUNK, 1, TILE), jnp.float32)
+    for ci in range(N_CHUNKS):
+        bigp, s2bigp = _ingest_chunk_pq(bigp, s2bigp, cents, cb, cb_sq,
+                                        centers, jnp.int32(ci))
+    bigp.block_until_ready()
+    emit(metric="pq16_100m_build_wall",
+         value=round(time.perf_counter() - t0, 1), unit="s", rows=N,
+         hbm_gb=round((N * M_PQ + N * 4) / 2 ** 30, 2))
+
+    # Identity dim interleave: D divides M_PQ evenly, codebooks trained
+    # on contiguous subspaces of the ORIGINAL grid.
+    perm = jnp.arange(D, dtype=jnp.int32)
+    # ADC oracle: a wide-probe scan over the SAME codes separates list-
+    # coverage loss (the IVF tier's own contribution) from codec loss
+    # (recall vs the float oracle, flat across nprobe when codec-bound).
+    _, rr_adc = ivf_query_dma_tiled_table_pq(
+        bigp, s2bigp, cb, perm, cents, table_d, v_tile_d, v_col_d,
+        v_len_d, qd, k=K, nprobe_orig=64, interpret=INTERP,
+        rerank="score")
+    truth_adc = np.asarray(rr_adc)[:, :10]
+    for nprobe in (2, 4, 8, 16):
+        run = partial(ivf_query_dma_tiled_table_pq, bigp, s2bigp, cb,
+                      perm, cents, table_d, v_tile_d, v_col_d, v_len_d,
+                      qd, k=K, nprobe_orig=nprobe, interpret=INTERP,
+                      rerank="score")
+        t0 = time.perf_counter()
+        dd, rr = run()
+        got = np.asarray(rr)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            dd, rr = run()
+        got = np.asarray(rr)[:, :10]
+        dt = (time.perf_counter() - t0) / reps
+        # Recall vs the float-data oracle (the SQ8 exhaustive truth):
+        # includes PQ16's codec loss on this near-iid mixture — the
+        # honest capacity-tier tradeoff, not a pipeline defect.
+        recall = float(np.mean([
+            len(set(g.tolist()) & set(t.tolist())) / 10.0
+            for g, t in zip(got, truth)]))
+        recall_adc = float(np.mean([
+            len(set(g.tolist()) & set(t.tolist())) / 10.0
+            for g, t in zip(got, truth_adc)]))
+        run_l = partial(ivf_query_dma_tiled_table_pq, bigp, s2bigp, cb,
+                        perm, cents, table_d, v_tile_d, v_col_d,
+                        v_len_d, qd_large, k=K, nprobe_orig=nprobe,
+                        interpret=INTERP, rerank="score")
+        dd, rr = run_l()
+        np.asarray(rr)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            dd, rr = run_l()
+        np.asarray(rr)
+        dt_l = (time.perf_counter() - t0) / reps
+        emit(metric=f"ivf16384_pq16_100m_nprobe{nprobe}",
+             value=round(B / dt, 1), unit="queries/s",
+             recall_at_10_vs_float_oracle=round(recall, 4),
+             recall_at_10_vs_adc_oracle=round(recall_adc, 4),
+             batch_ms=round(dt * 1e3, 2),
+             qps_b1024=round(b_large / dt_l, 1),
+             batch_ms_b1024=round(dt_l * 1e3, 2),
              cold_incl_compile_s=round(cold, 1))
 
 

@@ -24,6 +24,12 @@ always on here):
 - ``IVF<nlist>,PQ<M>``          -> IvfNearestNeighborsIndex(n_lists=nlist,
   dtype='pq<M>') (PQ codes in the CSR list layout, scanned by
   ops/ivf.ivf_query_pq)
+
+Extra constructor options pass through ``kwargs`` — notably
+``storage='code'`` turns 'IVF<n>,SQ8' / 'IVF<n>,PQ<M>' into the
+code-resident capacity tier (codes-only host mirror + the tiled
+DMA list-scan; FAISS's own IVF codecs likewise never retain float
+originals).
 """
 from __future__ import annotations
 

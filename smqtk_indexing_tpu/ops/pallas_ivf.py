@@ -405,7 +405,7 @@ def _ivf_tiled_kernel(ti_ref, c0_ref, lo_ref, hi_ref, t_ref, db_ref,
     """Tiled-layout list scan: per probe, DMA one (d, W_TILED) code
     window + its (1, W_TILED) precomputed row-stat slice, score on the
     MXU with a 2-pass split-bf16 dot (int8 codes are exact in bf16; the
-    split covers the f32 query side to ~2^-18 — selection noise absorbed
+    split covers the f32 query side to ~2^-16 — selection noise absorbed
     by the caller's k+8 margin and exact re-rank), and sublane-select the
     (1, W) score row into the (P_STEP, W) accumulator."""
     qi = pl.program_id(0)
@@ -604,9 +604,10 @@ def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,
       quantized vectors).
     - "score": distances come straight from the kernel surrogate
       (sqrt(score + ||q - b_codec||^2)) — the additive cancellation
-      bound is ~2^-18 * (||q - b||^2 + s2) on the SQUARED distance
-      (~5e-4 absolute on unit-scale data, well below the SQ8
-      quantization step; rankings use the same surrogate either way).
+      bound is ~2^-16 * (||q - b||^2 + s2) on the SQUARED distance
+      (measured on-chip: the two-level bf16 split leaves ~16 mantissa
+      bits of the query side), well below the SQ8 quantization step;
+      rankings use the same surrogate either way.
       At 100M/B=1024 the winner-segment gather measured ~100 ms/batch
       (24K scattered 16KB blocks), the dominant serving cost; "score"
       removes it entirely.
@@ -695,7 +696,7 @@ def _ivf_tiled_pq_kernel(ti_ref, c0_ref, lo_ref, hi_ref, lut_ref, db_ref,
     """PQ tiled list scan: per probe, DMA one (M, W_TILED) code window +
     its (1, W_TILED) reconstruction-norm slice, expand codes to a one-hot
     (M*256, W) bf16 block (exact in bf16), and take the per-query ADC LUT
-    sum as a split-bf16 MXU dot (LUT f32 covered to ~2^-18 — selection
+    sum as a split-bf16 MXU dot (LUT f32 covered to ~2^-16 — selection
     noise absorbed by the caller's k+8 margin and the exact re-rank)."""
     qi = pl.program_id(0)
     pj = pl.program_id(1)

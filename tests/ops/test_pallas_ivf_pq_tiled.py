@@ -4,6 +4,7 @@ the in-kernel ADC one-hot MXU dot) against float64 brute force over the
 reconstructed rows."""
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from smqtk_indexing_tpu.ops import pq as pq_ops
@@ -122,13 +123,39 @@ def test_pq_tiled_score_rerank_matches_gather():
             jnp.asarray(perm), jnp.asarray(cents), jnp.asarray(table),
             jnp.asarray(v_tile), jnp.asarray(v_col), jnp.asarray(v_len),
             jnp.asarray(q))
+    # Run the PRODUCTION kernel mode: interpret only off-TPU (interpret
+    # ON the chip folds the split-bf16 dot pair back into one
+    # default-precision dot — see test_pallas_ivf_tiled counterpart).
+    interp = jax.default_backend() != "tpu"
     d_g, r_g = ivf_query_dma_tiled_table_pq(
-        *args, k=k, nprobe_orig=nprobe, interpret=True)
+        *args, k=k, nprobe_orig=nprobe, interpret=interp)
     d_s, r_s = ivf_query_dma_tiled_table_pq(
-        *args, k=k, nprobe_orig=nprobe, interpret=True, rerank="score")
-    assert np.array_equal(np.asarray(r_s), np.asarray(r_g))
-    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_g),
-                               rtol=2e-3, atol=2e-3)
+        *args, k=k, nprobe_orig=nprobe, interpret=interp, rerank="score")
+    # Score mode ranks by the kernel surrogate (split-bf16 LUT dot),
+    # which deviates from the exact reconstruction distance by the
+    # cancellation bound — below f32 resolution in interpret-on-CPU,
+    # visible on the real chip, where near-ties at the k boundary
+    # may legitimately differ from the exact-gather path. Contract:
+    # every score-mode winner's EXACT distance is within tolerance of
+    # the true k-th distance, reported distances match the exact ones,
+    # and the list is sorted.
+    r_s, r_g = np.asarray(r_s), np.asarray(r_g)
+    d_s, d_g = np.asarray(d_s), np.asarray(d_g)
+    q_c = q[:, np.asarray(perm)].astype(np.float64)
+    for bi in range(bq):
+        exact = np.sqrt(((q_c[bi] - dbq_c[r_s[bi]]) ** 2).sum(-1))
+        # Surrogate noise bound on the SQUARED distance: the split-bf16
+        # LUT dot leaves ~2^-16 relative residual of the score magnitude
+        # (||q||^2 + s2); 4x margin.
+        scale = float((q_c[bi] ** 2).sum()
+                      + (dbq_c[r_s[bi]] ** 2).sum(-1).max())
+        tol2 = 4.0 * 2.0 ** -16 * scale
+        tol = tol2 / max(2.0 * float(d_g[bi][-1]), 1e-6)
+        assert (exact <= d_g[bi][-1] + tol).all(), bi
+        assert len(set(r_s[bi]) & set(r_g[bi])) >= k - 2, bi
+        assert np.abs(d_s[bi].astype(np.float64) ** 2
+                      - exact ** 2).max() <= tol2, bi
+        assert list(d_s[bi]) == sorted(d_s[bi]), bi
 
 
 def test_pq_tiled_dead_row_poison():

@@ -3,6 +3,7 @@ the capacity configuration (IVF-SQ8 over the single-copy (n_tiles, d,
 4096) array) against float64 brute force on the dequantized codes."""
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from smqtk_indexing_tpu.ops import sq8 as sq8_ops
@@ -159,10 +160,10 @@ def test_tiled_table_selection_matches_virtual_path():
 
 
 def test_tiled_score_rerank_matches_gather():
-    # rerank="score" must return the same rows as the exact gather path;
-    # distances carry the surrogate's cancellation-bounded noise
-    # (~2^-18 * (||q - b||^2 + s2) absolute on the squared distance —
-    # ~5e-4 on unit-scale data, well below the SQ8 quantization step).
+    # rerank="score" must return (near-tie order aside) the same rows
+    # as the exact gather path; distances carry the surrogate's
+    # cancellation-bounded noise (~2^-16 * (||q - b||^2 + s2) on the
+    # squared distance — measured on-chip, below the SQ8 step).
     from smqtk_indexing_tpu.ops.pallas_ivf import (
         build_slot_table, ivf_query_dma_tiled_table,
     )
@@ -177,10 +178,38 @@ def test_tiled_score_rerank_matches_gather():
             jnp.asarray(b), jnp.asarray(cents), jnp.asarray(table),
             jnp.asarray(v_tile), jnp.asarray(v_col), jnp.asarray(v_len),
             jnp.asarray(q))
+    # Run the PRODUCTION kernel mode: interpret only off-TPU. In
+    # interpret mode ON the chip, XLA folds the split-bf16 dot pair
+    # back into one default-precision dot (measured 0.117 abs score
+    # error vs the real kernel's 0.0003) — the real kernel is the thing
+    # score-mode accuracy claims are about.
+    interp = jax.default_backend() != "tpu"
     d_g, r_g = ivf_query_dma_tiled_table(
-        *args, k=k, nprobe_orig=nprobe, interpret=True)
+        *args, k=k, nprobe_orig=nprobe, interpret=interp)
     d_s, r_s = ivf_query_dma_tiled_table(
-        *args, k=k, nprobe_orig=nprobe, interpret=True, rerank="score")
-    assert np.array_equal(np.asarray(r_s), np.asarray(r_g))
-    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_g),
-                               rtol=2e-3, atol=2e-3)
+        *args, k=k, nprobe_orig=nprobe, interpret=interp, rerank="score")
+    # Score mode ranks by the kernel surrogate, which deviates from the
+    # exact quantized distance by the cancellation bound — below f32
+    # resolution in interpret-on-CPU, visible on the real chip, where
+    # near-ties at the k boundary (and adjacent orders) may
+    # legitimately differ from the exact-gather path. The contract:
+    # every score-mode winner's EXACT distance is within tolerance of
+    # the true k-th distance, reported distances match the exact ones,
+    # and the list is sorted.
+    r_s, r_g = np.asarray(r_s), np.asarray(r_g)
+    d_s, d_g = np.asarray(d_s), np.asarray(d_g)
+    for bi in range(bq):
+        exact = np.sqrt(((q[bi].astype(np.float64)
+                          - dbq[r_s[bi]]) ** 2).sum(-1))
+        # Surrogate noise bound on the SQUARED distance: the split-bf16
+        # dot leaves ~2^-16 relative residual of the score magnitude
+        # (||q - b||^2 + s2); 4x margin.
+        scale = float((q[bi].astype(np.float64) ** 2).sum()
+                      + (dbq[r_s[bi]] ** 2).sum(-1).max())
+        tol2 = 4.0 * 2.0 ** -16 * scale
+        tol = tol2 / max(2.0 * float(d_g[bi][-1]), 1e-6)
+        assert (exact <= d_g[bi][-1] + tol).all(), bi
+        assert len(set(r_s[bi]) & set(r_g[bi])) >= k - 2, bi
+        assert np.abs(d_s[bi].astype(np.float64) ** 2
+                      - exact ** 2).max() <= tol2, bi
+        assert list(d_s[bi]) == sorted(d_s[bi]), bi

