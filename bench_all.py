@@ -225,19 +225,28 @@ def bench_itq_linear() -> None:
              note="held-out queries; exact re-rank of the pool")
 
 
-#: bench_ivf variant tags -> (dtype, storage, rerank).
+#: bench_ivf variant tags -> (dtype, storage, rerank, build_env).
+#: build_env pins routing decisions made at build/upload time (the
+#: rows-sq8 tiled routing, _tiled_rows_ok) so A/B columns stay stable.
 _IVF_VARIANTS = {
-    "": ("float32", "rows", "exact"),
-    "_sq8": ("sq8", "rows", "exact"),
-    "_pq16": ("pq16", "rows", "exact"),
+    "": ("float32", "rows", "exact", {}),
+    # rows-sq8 DEFAULT: routed through the tiled DMA scan on TPU
+    # (float32 mirror + exact re-rank — the production config).
+    "_sq8": ("sq8", "rows", "exact", {}),
+    "_sq8_score": ("sq8", "rows", "score", {}),
+    # Legacy row-major device layout (pre-routing engine), kept for the
+    # A/B.
+    "_sq8_rowmajor": ("sq8", "rows", "exact",
+                      {"SMQTK_TPU_NO_ROWS_TILED": "1"}),
+    "_pq16": ("pq16", "rows", "exact", {}),
     # The capacity model tier (int8 host mirror + tiled-transposed DMA
     # scan through the public API — the 100M/chip configuration at 1M).
-    "_code": ("sq8", "code", "exact"),
-    "_code_score": ("sq8", "code", "score"),
+    "_code": ("sq8", "code", "exact", {}),
+    "_code_score": ("sq8", "code", "score", {}),
     # PQ16 code tier: (n, 16) uint8 mirror, in-kernel ADC one-hot MXU
     # scan (16 B/vector — the ~800M-vectors/chip ceiling).
-    "_code_pq16": ("pq16", "code", "exact"),
-    "_code_pq16_score": ("pq16", "code", "score"),
+    "_code_pq16": ("pq16", "code", "exact", {}),
+    "_code_pq16_score": ("pq16", "code", "score", {}),
 }
 
 
@@ -266,13 +275,22 @@ def bench_ivf(tags=("", "_sq8", "_pq16"),
     q_large = [DescriptorMemoryElement(f"Q{i}", queries[i])
                for i in range(1024)]
     for tag in tags:
-        dtype, storage, rerank = _IVF_VARIANTS[tag]
+        dtype, storage, rerank, build_env = _IVF_VARIANTS[tag]
         idx = IvfNearestNeighborsIndex(n_lists=4096, kmeans_iterations=10,
                                        max_points_per_centroid=64,
                                        random_seed=0, dtype=dtype,
                                        storage=storage, rerank=rerank)
+        saved_env = {k: os.environ.get(k) for k in build_env}
+        os.environ.update(build_env)
         t0 = time.perf_counter()
-        idx.build_index(elems)
+        try:
+            idx.build_index(elems)
+        finally:
+            for k, v in saved_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         emit(metric=f"ivf4096{tag}_deep1m_build_wall",
              value=round(time.perf_counter() - t0, 1), unit="s",
              dataset=dataset)
@@ -382,11 +400,13 @@ if __name__ == "__main__":
     import sys
     sections = {"itq": bench_itq_linear, "ivf": bench_ivf,
                 "mrpt": bench_mrpt, "sq8": bench_sq8,
-                # Focused same-window A/B: rows-sq8 vs the code tier
-                # (exact and score finalization) — tunnel variance makes
-                # cross-window comparisons unreliable past ~15%.
+                # Focused same-window A/B: the legacy row-major sq8
+                # layout vs the tiled routing (exact + score) vs the
+                # code tier — tunnel variance makes cross-window
+                # comparisons unreliable past ~15%.
                 "ivf_code": lambda: bench_ivf(
-                    ("_sq8", "_code", "_code_score"),
+                    ("_sq8_rowmajor", "_sq8", "_sq8_score", "_code",
+                     "_code_score"),
                     nprobes=(1, 4, 16, 64)),
                 # PQ counterpart A/B: rows-pq16 (XLA dequant scan) vs
                 # the tiled ADC DMA kernel, exact + score finalization.

@@ -236,6 +236,26 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 and 0 < self._l_max_raw <= L_MAX - 32
                 and self._capacity >= L_MAX)
 
+    def _tiled_rows_ok(self) -> bool:
+        """Route the rows-tier sq8 configuration through the tiled
+        DMA list-scan (the capacity tier's engine): on the real chip the
+        tiled kernel beats the row-major list gather and score-mode
+        finalization is available; the float32 host mirror keeps the
+        rows tier's exact-re-rank/persistence semantics untouched.
+        SMQTK_TPU_NO_ROWS_TILED=1 restores the row-major device layout;
+        SMQTK_TPU_ROWS_TILED=1 forces the routing off-TPU (interpret
+        mode — CPU parity tests)."""
+        import os
+        if self.storage != "rows" or self.dtype != "sq8" \
+                or self.metric != "euclidean" \
+                or (self.n_devices is not None and self.n_devices > 1) \
+                or os.environ.get("SMQTK_TPU_NO_ROWS_TILED"):
+            return False
+        if os.environ.get("SMQTK_TPU_ROWS_TILED"):
+            return True
+        from smqtk_indexing_tpu.ops.device import tpu_kernel_enabled
+        return tpu_kernel_enabled("SMQTK_TPU_NO_DMA_IVF")
+
     def _make_mesh(self):
         """Row-shard the list-sorted database over a device mesh (lists
         split at shard boundaries become per-shard CSR views — see
@@ -420,12 +440,19 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         else:
             self._upload()
 
-    def _upload_tiled(self) -> None:
-        """'code' tier device build: the single-copy tiled-transposed
-        layout (rows tile-major, dims contiguous — the DMA kernels' form,
+    def _upload_tiled(self, sq8_codes: Optional[np.ndarray] = None,
+                      sq8_ab=None) -> None:
+        """Tiled-transposed device build: the single-copy layout (rows
+        tile-major, dims contiguous — the DMA kernels' form,
         ops/pallas_ivf.TILE_ROWS) + per-row surrogate stats (+inf on dead
         rows so removed entries can never win a scan), sublist CSR and the
-        original->sublist slot table for table-form probe selection."""
+        original->sublist slot table for table-form probe selection.
+
+        Two callers: the 'code' tier (host mirror IS the codes; codec in
+        ``_code_a``/``_code_b``/``_code_cb``) and the rows-sq8 TPU routing
+        (``sq8_codes``/``sq8_ab`` carry an encode-on-upload view of the
+        float32 host mirror — the codec retrains per layout, matching the
+        row-major sq8 path's semantics, and is never persisted)."""
         from smqtk_indexing_tpu.ops.pallas_ivf import (
             TILE_ROWS, build_slot_table, build_tiled_csr,
         )
@@ -456,14 +483,17 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             self._cb_dev = jnp.asarray(self._code_cb.astype(np.float32))
             self._perm_dev = jnp.asarray(perm)
         else:
+            code_a, code_b = sq8_ab if sq8_ab is not None \
+                else (self._code_a, self._code_b)
             codes = np.zeros((n_pad, d_pad), dtype=np.int8)
-            codes[:n, :dim] = self._host
+            codes[:n, :dim] = sq8_codes if sq8_codes is not None \
+                else self._host
             # Padding dims: epsilon scale / zero offset (zero codes and
             # query dims contribute nothing to any score term — ops/sq8).
             a_p = np.full(d_pad, 1e-12, dtype=np.float32)
             b_p = np.zeros(d_pad, dtype=np.float32)
-            a_p[:dim] = self._code_a
-            b_p[:dim] = self._code_b
+            a_p[:dim] = code_a
+            b_p[:dim] = code_b
             u = codes.astype(np.float32)
             s2 = np.einsum("nd,nd->n", u * a_p, u * a_p)
             s2[dead] = np.inf
@@ -490,6 +520,18 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._mesh = None
 
     def _upload(self) -> None:
+        if self._tiled_rows_ok():
+            # rows-sq8 on a single chip: encode a per-layout codec view
+            # of the float32 mirror into the tiled-transposed layout and
+            # serve the capacity tier's DMA kernel (exact re-rank by
+            # default; the mirror itself stays float32).
+            from smqtk_indexing_tpu.ops.sq8 import sq8_encode_np, sq8_train
+            live = self._host[self._valid_host] \
+                if not self._valid_host.all() else self._host
+            a, b = sq8_train(live)
+            self._upload_tiled(sq8_codes=sq8_encode_np(self._host, a, b),
+                               sq8_ab=(a, b))
+            return
         n = self._host.shape[0]
         self._capacity = capacity_for(n)
         d_pad = self._centroids_np.shape[1]
@@ -847,7 +889,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 self._layout(self._host[keep],
                              [self._row2uid[i] for i in keep],
                              self._assign_host[keep])
-            elif self.storage == "code":
+            elif self._dev3 is not None:
                 # Poison the removed rows' surrogate stats in place: the
                 # tiled kernel scores s2 - 2<t,u>, so +inf rows can never
                 # be selected (no liveness gather exists on this path).
@@ -931,10 +973,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             # No removed rows -> the kernels skip the per-row liveness
             # gather (large and scattered at high probe budgets).
             has_dead = not bool(self._valid_host.all())
-            if self.storage == "code":
-                # Capacity tier: the tiled-transposed DMA list-scan with
-                # original-centroid table probe selection (the 100M demo's
-                # serving path, now behind the public model API). Dead
+            if self._dev3 is not None:
+                # Tiled-transposed DMA list-scan with original-centroid
+                # table probe selection (the 100M demo's serving path,
+                # behind the public model API) — the 'code' capacity tier
+                # always, and rows-sq8 when routed (_tiled_rows_ok). Dead
                 # rows are +inf-poisoned in _s2t, so no liveness gather.
                 import jax
                 from smqtk_indexing_tpu.ops.pallas_ivf import (
