@@ -238,7 +238,12 @@ _IVF_VARIANTS = {
     # A/B.
     "_sq8_rowmajor": ("sq8", "rows", "exact",
                       {"SMQTK_TPU_NO_ROWS_TILED": "1"}),
+    # rows-pq16 DEFAULT: routed through the tiled ADC DMA kernel on TPU
+    # (float32 mirror + exact re-rank over reconstructions).
     "_pq16": ("pq16", "rows", "exact", {}),
+    # Legacy XLA grouped-probe dequant scan, kept for the A/B.
+    "_pq16_rowmajor": ("pq16", "rows", "exact",
+                       {"SMQTK_TPU_NO_ROWS_TILED": "1"}),
     # The capacity model tier (int8 host mirror + tiled-transposed DMA
     # scan through the public API — the 100M/chip configuration at 1M).
     "_code": ("sq8", "code", "exact", {}),
@@ -408,10 +413,11 @@ if __name__ == "__main__":
                     ("_sq8_rowmajor", "_sq8", "_sq8_score", "_code",
                      "_code_score"),
                     nprobes=(1, 4, 16, 64)),
-                # PQ counterpart A/B: rows-pq16 (XLA dequant scan) vs
-                # the tiled ADC DMA kernel, exact + score finalization.
+                # PQ counterpart A/B: the legacy XLA dequant scan vs the
+                # tiled ADC routing vs the code tier (exact + score).
                 "ivf_code_pq": lambda: bench_ivf(
-                    ("_pq16", "_code_pq16", "_code_pq16_score"),
+                    ("_pq16_rowmajor", "_pq16", "_code_pq16",
+                     "_code_pq16_score"),
                     nprobes=(1, 4, 16, 64))}
     picked = [a for a in sys.argv[1:] if a in sections] \
         or list(sections)

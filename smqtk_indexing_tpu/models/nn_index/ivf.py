@@ -237,16 +237,19 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 and self._capacity >= L_MAX)
 
     def _tiled_rows_ok(self) -> bool:
-        """Route the rows-tier sq8 configuration through the tiled
-        DMA list-scan (the capacity tier's engine): on the real chip the
-        tiled kernel beats the row-major list gather and score-mode
-        finalization is available; the float32 host mirror keeps the
-        rows tier's exact-re-rank/persistence semantics untouched.
-        SMQTK_TPU_NO_ROWS_TILED=1 restores the row-major device layout;
-        SMQTK_TPU_ROWS_TILED=1 forces the routing off-TPU (interpret
-        mode — CPU parity tests)."""
+        """Route the rows-tier compressed configurations (sq8 / pq<M>)
+        through the tiled DMA list-scan (the capacity tier's engine): on
+        the real chip the tiled kernels beat the row-major list gather
+        (and the XLA PQ dequant scan by an order of magnitude) and
+        score-mode finalization is available; the float32 host mirror
+        keeps the rows tier's exact-re-rank/persistence semantics
+        untouched. SMQTK_TPU_NO_ROWS_TILED=1 restores the row-major
+        device layout; SMQTK_TPU_ROWS_TILED=1 forces the routing off-TPU
+        (interpret mode — CPU parity tests)."""
         import os
-        if self.storage != "rows" or self.dtype != "sq8" \
+        if self.storage != "rows" \
+                or (self.dtype != "sq8"
+                    and self._pq_m(self.dtype) is None) \
                 or self.metric != "euclidean" \
                 or (self.n_devices is not None and self.n_devices > 1) \
                 or os.environ.get("SMQTK_TPU_NO_ROWS_TILED"):
@@ -441,7 +444,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             self._upload()
 
     def _upload_tiled(self, sq8_codes: Optional[np.ndarray] = None,
-                      sq8_ab=None) -> None:
+                      sq8_ab=None,
+                      pq_codes: Optional[np.ndarray] = None,
+                      pq_cb: Optional[np.ndarray] = None) -> None:
         """Tiled-transposed device build: the single-copy layout (rows
         tile-major, dims contiguous — the DMA kernels' form,
         ops/pallas_ivf.TILE_ROWS) + per-row surrogate stats (+inf on dead
@@ -449,10 +454,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         original->sublist slot table for table-form probe selection.
 
         Two callers: the 'code' tier (host mirror IS the codes; codec in
-        ``_code_a``/``_code_b``/``_code_cb``) and the rows-sq8 TPU routing
-        (``sq8_codes``/``sq8_ab`` carry an encode-on-upload view of the
-        float32 host mirror — the codec retrains per layout, matching the
-        row-major sq8 path's semantics, and is never persisted)."""
+        ``_code_a``/``_code_b``/``_code_cb``) and the rows-sq8/pq TPU
+        routing (``sq8_codes``/``sq8_ab`` or ``pq_codes``/``pq_cb`` carry
+        an encode-on-upload view of the float32 host mirror — the codec
+        retrains per layout, matching the row-major compressed paths'
+        semantics, and is never persisted)."""
         from smqtk_indexing_tpu.ops.pallas_ivf import (
             TILE_ROWS, build_slot_table, build_tiled_csr,
         )
@@ -468,9 +474,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         dead[:n] = ~self._valid_host
         if self._pq_m(self.dtype) is not None:
             m, _, perm = self._pq_grid()
+            cb = pq_cb if pq_cb is not None else self._code_cb
             codes = np.zeros((n_pad, m), dtype=np.uint8)
-            codes[:n] = self._host
-            cb_sq = (self._code_cb.astype(np.float64) ** 2).sum(-1)
+            codes[:n] = pq_codes if pq_codes is not None else self._host
+            cb_sq = (cb.astype(np.float64) ** 2).sum(-1)
             s2 = np.zeros(n_pad, dtype=np.float64)
             for mi in range(m):
                 s2 += cb_sq[mi][codes[:, mi]]
@@ -480,7 +487,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             # int8 DMA path; the kernel masks back with & 0xFF).
             tiles = codes.view(np.int8).reshape(n_tiles, TILE_ROWS, m) \
                 .transpose(0, 2, 1)
-            self._cb_dev = jnp.asarray(self._code_cb.astype(np.float32))
+            self._cb_dev = jnp.asarray(cb.astype(np.float32))
             self._perm_dev = jnp.asarray(perm)
         else:
             code_a, code_b = sq8_ab if sq8_ab is not None \
@@ -521,16 +528,31 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
 
     def _upload(self) -> None:
         if self._tiled_rows_ok():
-            # rows-sq8 on a single chip: encode a per-layout codec view
-            # of the float32 mirror into the tiled-transposed layout and
-            # serve the capacity tier's DMA kernel (exact re-rank by
+            # rows-sq8/pq on a single chip: encode a per-layout codec
+            # view of the float32 mirror into the tiled-transposed layout
+            # and serve the capacity tier's DMA kernels (exact re-rank by
             # default; the mirror itself stays float32).
-            from smqtk_indexing_tpu.ops.sq8 import sq8_encode_np, sq8_train
-            live = self._host[self._valid_host] \
-                if not self._valid_host.all() else self._host
-            a, b = sq8_train(live)
-            self._upload_tiled(sq8_codes=sq8_encode_np(self._host, a, b),
-                               sq8_ab=(a, b))
+            if self._pq_m(self.dtype) is not None:
+                from smqtk_indexing_tpu.ops.pq import (
+                    pq_encode_np, pq_train,
+                )
+                m = self._pq_m(self.dtype)
+                rows_c = self._pq_prep_rows(self._host)
+                live = rows_c[self._valid_host] \
+                    if not self._valid_host.all() else rows_c
+                cb = pq_train(live, m)
+                self._upload_tiled(pq_codes=pq_encode_np(rows_c, cb),
+                                   pq_cb=cb)
+            else:
+                from smqtk_indexing_tpu.ops.sq8 import (
+                    sq8_encode_np, sq8_train,
+                )
+                live = self._host[self._valid_host] \
+                    if not self._valid_host.all() else self._host
+                a, b = sq8_train(live)
+                self._upload_tiled(
+                    sq8_codes=sq8_encode_np(self._host, a, b),
+                    sq8_ab=(a, b))
             return
         n = self._host.shape[0]
         self._capacity = capacity_for(n)

@@ -118,6 +118,57 @@ def test_kill_switch_restores_rowmajor(monkeypatch):
     assert idx._dev is not None
 
 
+def _rows_pq(**kw):
+    kw.setdefault("n_lists", 4)
+    kw.setdefault("nprobe", 4)
+    kw.setdefault("kmeans_iterations", 6)
+    kw.setdefault("random_seed", 0)
+    return IvfNearestNeighborsIndex(dtype="pq4", storage="rows", **kw)
+
+
+def test_pq_routing_keeps_float_mirror(forced):
+    idx = _rows_pq()
+    idx.build_index(_clustered())
+    assert idx._dev3 is not None
+    assert idx._dev is None
+    assert idx._host.dtype == np.float32
+    assert idx._code_cb is None   # per-layout codec, never persisted
+
+
+def test_pq_matches_rowmajor_at_full_probe(forced, monkeypatch):
+    # Both engines score the SAME per-build codec's reconstructions
+    # (pq_train is deterministic over the same live rows), so winners and
+    # exact-re-rank distances agree modulo reconstruction-distance ties.
+    elems = _clustered()
+    queries = _clustered(seed=3)[:12]
+    idx_t = _rows_pq()
+    idx_t.build_index(elems)
+    assert idx_t._dev3 is not None
+    monkeypatch.setenv("SMQTK_TPU_NO_ROWS_TILED", "1")
+    idx_r = _rows_pq()
+    idx_r.build_index(elems)
+    assert idx_r._dev3 is None
+    k = 8
+    for q in queries:
+        n_t, d_t = idx_t.nn(q, k)
+        n_r, d_r = idx_r.nn(q, k)
+        assert {e.uuid() for e in n_t} == {e.uuid() for e in n_r}
+        np.testing.assert_allclose(d_t, d_r, rtol=1e-4, atol=1e-4)
+
+
+def test_pq_update_and_removal(forced):
+    elems = _clustered()
+    idx = _rows_pq()
+    idx.build_index(elems)
+    target = elems[0]
+    idx.update_index([_elem("new-0",
+                            np.asarray(target.vector()) + 0.01)])
+    assert idx.count() == len(elems) + 1
+    idx.remove_from_index(["0-0"])
+    n, _ = idx.nn(target, 3)
+    assert "0-0" not in {e.uuid() for e in n}
+
+
 def test_nprobe_partial_coverage(forced):
     # Faithful nprobe through the tiled table path on the rows tier:
     # nprobe=1 restricts to the nearest original list (self-retrieval
