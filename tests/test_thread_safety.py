@@ -117,3 +117,59 @@ def test_concurrent_ivf_code_tier():
     # poisoned row can never win a scan).
     res, _ = idx.nn(DescriptorMemoryElement("probe", last_ghost[0]), 5)
     assert "ghost" not in [e.uuid() for e in res]
+
+
+def test_concurrent_ivf_rows_tiled(monkeypatch):
+    """The rows-sq8 tiled routing shares the code tier's query/poisoning
+    paths but rebuilds from the FLOAT mirror on update — concurrent use
+    must never crash or resurrect removed rows."""
+    monkeypatch.setenv("SMQTK_TPU_ROWS_TILED", "1")
+    from smqtk_indexing_tpu.models.nn_index.ivf import (
+        IvfNearestNeighborsIndex,
+    )
+    rng = np.random.default_rng(2)
+    elems = [DescriptorMemoryElement(j, rng.normal(size=16).astype(np.float32))
+             for j in range(256)]
+    idx = IvfNearestNeighborsIndex(
+        dtype="sq8", storage="rows", n_lists=4, nprobe=4,
+        kmeans_iterations=4, random_seed=0)
+    idx.build_index(elems)
+    assert idx._dev3 is not None
+
+    errors = []
+    stop = threading.Event()
+
+    def query_loop():
+        try:
+            while not stop.is_set():
+                res, dists = idx.nn(elems[rng.integers(0, 128)], 3)
+                assert len(res) == len(dists) <= 3
+                assert list(dists) == sorted(dists)
+        except Exception as e:  # pragma: no cover - failure capture
+            errors.append(e)
+
+    last_ghost = [None]
+
+    def mutate_loop():
+        try:
+            for i in range(5):
+                vec = rng.normal(size=16).astype(np.float32)
+                last_ghost[0] = vec
+                idx.update_index([DescriptorMemoryElement("ghost", vec)])
+                idx.remove_from_index(["ghost"])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=query_loop) for _ in range(2)]
+    m = threading.Thread(target=mutate_loop)
+    for t in threads:
+        t.start()
+    m.start()
+    m.join()
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert idx.count() == 256
+    res, _ = idx.nn(DescriptorMemoryElement("probe", last_ghost[0]), 5)
+    assert "ghost" not in [e.uuid() for e in res]
