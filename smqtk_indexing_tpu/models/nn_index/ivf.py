@@ -462,6 +462,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         from smqtk_indexing_tpu.ops.pallas_ivf import (
             TILE_ROWS, build_slot_table, build_tiled_csr,
         )
+        # Symmetric to _upload's stale-tiled clearing: a tiled rebuild
+        # must not leave row-major device state behind.
+        self._dev = self._dev_sq = self._dev_norm = None
+        self._dev_valid = self._dev_offsets = self._dev_lens = None
+        self._dev_first_virt = None
         n = self._host.shape[0]
         dim = self._dim
         d_pad = self._centroids_np.shape[1]
@@ -554,6 +559,12 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     sq8_codes=sq8_encode_np(self._host, a, b),
                     sq8_ab=(a, b))
             return
+        # A re-layout may cross a routing-flag flip: the query path
+        # prefers tiled state when present, so stale tiled arrays from a
+        # previously-routed upload must not survive a row-major rebuild.
+        self._dev3 = self._s2t = None
+        self._v_tile = self._v_col = self._v_len = None
+        self._slot_table = None
         n = self._host.shape[0]
         self._capacity = capacity_for(n)
         d_pad = self._centroids_np.shape[1]

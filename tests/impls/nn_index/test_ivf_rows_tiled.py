@@ -109,6 +109,28 @@ def test_persistence_is_float_rows(forced):
     assert [e.uuid() for e in idx2.nn(elems[5], 5)[0]] == baseline
 
 
+def test_routing_flip_clears_stale_state(forced, monkeypatch):
+    # A re-layout that crosses a routing-flag flip must not leave the
+    # previous engine's device state behind (the query path prefers
+    # tiled arrays whenever they exist).
+    elems = _clustered()
+    idx = _rows_sq8()
+    idx.build_index(elems)
+    assert idx._dev3 is not None
+    monkeypatch.setenv("SMQTK_TPU_NO_ROWS_TILED", "1")
+    idx.update_index([_elem("late", np.asarray(elems[0].vector()) + 0.5)])
+    assert idx._dev3 is None and idx._dev is not None
+    n, _ = idx.nn(elems[0], 2)
+    assert elems[0].uuid() in {e.uuid() for e in n}
+    # And back: a tiled rebuild clears the row-major arrays.
+    monkeypatch.delenv("SMQTK_TPU_NO_ROWS_TILED")
+    idx.update_index([_elem("late2",
+                            np.asarray(elems[0].vector()) + 0.6)])
+    assert idx._dev3 is not None and idx._dev is None
+    n, _ = idx.nn(elems[0], 2)
+    assert elems[0].uuid() in {e.uuid() for e in n}
+
+
 def test_kill_switch_restores_rowmajor(monkeypatch):
     monkeypatch.setenv("SMQTK_TPU_ROWS_TILED", "1")
     monkeypatch.setenv("SMQTK_TPU_NO_ROWS_TILED", "1")
