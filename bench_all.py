@@ -252,6 +252,11 @@ _IVF_VARIANTS = {
     # scan (16 B/vector — the ~800M-vectors/chip ceiling).
     "_code_pq16": ("pq16", "code", "exact", {}),
     "_code_pq16_score": ("pq16", "code", "score", {}),
+    # OPQ16: the same 16 B/vector behind a learned rotation (the
+    # reference's 'OPQ16,IVF4096,PQ16' pre-transform) — the recall
+    # lever for PQ-adversarial (near-iid-dim) data.
+    "_opq16": ("opq16", "rows", "exact", {}),
+    "_code_opq16_score": ("opq16", "code", "score", {}),
 }
 
 
@@ -414,10 +419,11 @@ if __name__ == "__main__":
                      "_code_score"),
                     nprobes=(1, 4, 16, 64)),
                 # PQ counterpart A/B: the legacy XLA dequant scan vs the
-                # tiled ADC routing vs the code tier (exact + score).
+                # tiled ADC routing vs the code tier (exact + score),
+                # plus the OPQ16 rotation (recall lever at equal bytes).
                 "ivf_code_pq": lambda: bench_ivf(
                     ("_pq16_rowmajor", "_pq16", "_code_pq16",
-                     "_code_pq16_score"),
+                     "_code_pq16_score", "_opq16", "_code_opq16_score"),
                     nprobes=(1, 4, 16, 64))}
     picked = [a for a in sys.argv[1:] if a in sections] \
         or list(sections)

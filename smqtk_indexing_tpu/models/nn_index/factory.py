@@ -24,6 +24,11 @@ always on here):
 - ``IVF<nlist>,PQ<M>``          -> IvfNearestNeighborsIndex(n_lists=nlist,
   dtype='pq<M>') (PQ codes in the CSR list layout, scanned by
   ops/ivf.ivf_query_pq)
+- ``OPQ<M>,PQ<M>`` / ``OPQ<M>,IVF<nlist>,PQ<M>`` -> the same with
+  dtype='opq<M>' (FAISS's OPQ rotation pre-transform, faiss.py:182-199:
+  an orthogonal matrix learned to minimize PQ reconstruction error —
+  ops/opq.py; the OPQ<M> and PQ<M> subquantizer counts must agree, and
+  the dimension-reducing ``OPQ<M>_<D>`` form is not supported)
 
 Extra constructor options pass through ``kwargs`` — notably
 ``storage='code'`` turns 'IVF<n>,SQ8' / 'IVF<n>,PQ<M>' into the
@@ -70,12 +75,34 @@ def index_from_factory_string(factory_string: str,
              if p.strip() and p.strip().lower() != "idmap"]
     codecs = {"flat": "float32", "sq8": "sq8"}
 
+    opq_m = None
+    if parts and re.fullmatch(r"OPQ(\d+)", parts[0],
+                              flags=re.IGNORECASE):
+        opq_m = int(parts[0][3:])
+        parts = parts[1:]
+    elif parts and re.fullmatch(r"OPQ\d+_\d+", parts[0],
+                                flags=re.IGNORECASE):
+        raise ValueError(
+            f"{factory_string!r}: the dimension-reducing 'OPQ<M>_<D>' "
+            "pre-transform is not supported (rotation-only 'OPQ<M>' is).")
+
     def _pq_dtype(part: str):
         pq = re.fullmatch(r"PQ(\d+)(x8)?", part, flags=re.IGNORECASE)
         if pq is None:
             return None
-        return f"pq{int(pq.group(1))}"
+        m_sub = int(pq.group(1))
+        if opq_m is not None:
+            if opq_m != m_sub:
+                raise ValueError(
+                    f"{factory_string!r}: OPQ{opq_m} pre-transform must "
+                    f"match the PQ subquantizer count (PQ{m_sub}).")
+            return f"opq{m_sub}"
+        return f"pq{m_sub}"
 
+    if opq_m is not None and not any(_pq_dtype(p) for p in parts):
+        raise ValueError(
+            f"{factory_string!r}: 'OPQ<M>' is a PQ pre-transform — it "
+            "must be followed by a matching 'PQ<M>' codec.")
     if len(parts) == 1:
         if parts[0].lower() in codecs:
             return FlatNearestNeighborsIndex(
@@ -100,4 +127,5 @@ def index_from_factory_string(factory_string: str,
     raise ValueError(
         f"Unsupported factory string {factory_string!r}; supported: "
         "'Flat', 'IDMap,Flat', 'SQ8', 'IDMap,SQ8', 'PQ<M>', "
-        "'IVF<nlist>,Flat', 'IVF<nlist>,SQ8', 'IVF<nlist>,PQ<M>'.")
+        "'IVF<nlist>,Flat', 'IVF<nlist>,SQ8', 'IVF<nlist>,PQ<M>', "
+        "'OPQ<M>,PQ<M>', 'OPQ<M>,IVF<nlist>,PQ<M>'.")

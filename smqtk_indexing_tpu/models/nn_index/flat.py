@@ -55,9 +55,12 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
     :param dtype: Device storage codec: 'float32' (exact), 'bfloat16'
         (half HBM traffic; ~2x scan throughput; tiny recall cost),
         'sq8' (int8 scalar quantization, 4x capacity — the reference's
-        FAISS 'SQ8' factory codec, faiss.py:190; see ops/sq8.py), or
+        FAISS 'SQ8' factory codec, faiss.py:190; see ops/sq8.py),
         'pq<M>' (product quantization, M bytes/vector — e.g. 'pq16' is
-        32x capacity at d=128, the FAISS 'PQ16' codec; see ops/pq.py).
+        32x capacity at d=128, the FAISS 'PQ16' codec; see ops/pq.py),
+        or 'opq<M>' (PQ behind a learned OPQ rotation — the FAISS
+        'OPQ<M>,PQ<M>' pre-transform; matmul-form metrics only;
+        see ops/opq.py).
     :param read_only: Refuse mutations when True.
     :param storage: 'device' keeps the database HBM-resident (fastest);
         'host_stream' keeps it in host RAM and streams blocks through the
@@ -115,6 +118,11 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
             raise ValueError(
                 "storage must be 'device' (HBM-resident) or "
                 f"'host_stream' (>HBM tier), got {storage!r}")
+        from smqtk_indexing_tpu.ops.store import _pq_rotate
+        if _pq_rotate(dtype) and metric == "hik":
+            raise ValueError(
+                "metric 'hik' is not supported with OPQ dtypes "
+                "(min() is rotation-variant); use 'pq<M>'")
         self.descriptor_set = descriptor_set if descriptor_set is not None \
             else MemoryDescriptorSet()
         self.index_element = index_element

@@ -161,7 +161,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             if dtype != "sq8" and self._pq_m(dtype) is None:
                 raise ValueError(
                     "storage='code' (code-resident capacity tier) "
-                    f"requires dtype='sq8' or 'pq<M>', got {dtype!r}")
+                    "requires dtype='sq8', 'pq<M>' or 'opq<M>', "
+                    f"got {dtype!r}")
             if metric != "euclidean":
                 raise ValueError(
                     "storage='code' serves euclidean only (the tiled "
@@ -183,8 +184,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         if dtype not in ("float32", "bfloat16", "sq8") \
                 and self._pq_m(dtype) is None:
             raise ValueError(
-                "dtype must be 'float32' | 'bfloat16' | 'sq8' | 'pq<M>', "
-                f"got {dtype!r}")
+                "dtype must be 'float32' | 'bfloat16' | 'sq8' | 'pq<M>' "
+                f"| 'opq<M>', got {dtype!r}")
         self.dtype = dtype
         self.storage = storage
         self.rerank = rerank
@@ -197,15 +198,26 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
 
     @staticmethod
     def _pq_m(dtype_name: str):
-        """Subquantizer count for 'pq<M>' dtype names, else None."""
+        """Subquantizer count for 'pq<M>' / 'opq<M>' dtype names, else
+        None ('opq' = PQ behind a learned OPQ rotation, ops/opq.py —
+        the reference's 'OPQ<M>,...' factory pre-transform)."""
         import re
-        m = re.fullmatch(r"pq(\d+)", dtype_name)
-        return int(m.group(1)) if m else None
+        m = re.fullmatch(r"(o?)pq(\d+)", dtype_name)
+        return int(m.group(2)) if m else None
+
+    @staticmethod
+    def _pq_rotate(dtype_name: str) -> bool:
+        """True for the OPQ dtype variants ('opq<M>')."""
+        import re
+        m = re.fullmatch(r"(o?)pq(\d+)", dtype_name)
+        return bool(m and m.group(1))
 
     def _pq_grid(self):
         """(m, d_codec, perm) of the 'code' tier's PQ codec grid —
         deterministic from the lane-padded dim, so it never needs
-        persisting (ops/pq.pq_build_store uses the same construction)."""
+        persisting (ops/pq.pq_build_store uses the same construction).
+        The OPQ rotation (``self._code_rot``), being learned, DOES
+        persist (``code_rot`` in the payload)."""
         from smqtk_indexing_tpu.ops.pq import pq_codec_dim
         m = self._pq_m(self.dtype)
         d_pad = self._centroids_np.shape[1]
@@ -214,12 +226,17 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                           kind="stable").astype(np.int32)
         return m, d_codec, perm
 
-    def _pq_prep_rows(self, mat: np.ndarray) -> np.ndarray:
-        """Float rows -> codec-grid (n, d_codec) interleaved float32."""
+    def _pq_prep_rows(self, mat: np.ndarray,
+                      rotate: bool = True) -> np.ndarray:
+        """Float rows -> codec-grid (n, d_codec) interleaved (and, when
+        the OPQ rotation is trained and ``rotate``, rotated) float32."""
         from smqtk_indexing_tpu.ops.device import pad_rows_np
         _, d_codec, perm = self._pq_grid()
-        return pad_rows_np(np.asarray(mat, np.float32),
-                           mat.shape[0], d_codec)[:, perm]
+        rows_c = pad_rows_np(np.asarray(mat, np.float32),
+                             mat.shape[0], d_codec)[:, perm]
+        if rotate and self._code_rot is not None:
+            rows_c = rows_c @ self._code_rot
+        return rows_c
 
     def _dma_eligible(self) -> bool:
         """Use the Pallas DMA list-scan (ops/pallas_ivf.py): single real
@@ -302,6 +319,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._code_a: Optional[np.ndarray] = None
         self._code_b: Optional[np.ndarray] = None
         self._code_cb: Optional[np.ndarray] = None
+        #: OPQ rotation of the code tier's codec (learned once with the
+        #: codebooks, persisted as 'code_rot').
+        self._code_rot: Optional[np.ndarray] = None
         self._cb_dev = None
         self._perm_dev = None
         self._dev3 = None            # (n_tiles, d_pad, TILE_ROWS) int8
@@ -314,6 +334,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         # ops/store.py for why padding demands the interleave)
         self._pq_cb_dev = None
         self._pq_perm = None
+        self._pq_rot = None   # rows-tier OPQ rotation (retrained/build)
         self._dev_centroids_pq = None
 
     def get_config(self) -> Dict[str, Any]:
@@ -415,10 +436,19 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                         pq_encode_np, pq_train,
                     )
                     m, _, _ = self._pq_grid()
-                    rows_c = self._pq_prep_rows(mat)
+                    rows_c = self._pq_prep_rows(mat, rotate=False)
                     if self._code_cb is None:
                         live = rows_c[valid] if not valid.all() else rows_c
-                        self._code_cb = pq_train(live, m)
+                        if self._pq_rotate(self.dtype):
+                            from smqtk_indexing_tpu.ops.opq import (
+                                opq_train,
+                            )
+                            self._code_rot, self._code_cb = \
+                                opq_train(live, m)
+                        else:
+                            self._code_cb = pq_train(live, m)
+                    if self._code_rot is not None:
+                        rows_c = rows_c @ self._code_rot
                     mat = pq_encode_np(rows_c, self._code_cb)
             elif mat.dtype != np.int8:
                 from smqtk_indexing_tpu.ops.sq8 import (
@@ -446,7 +476,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
     def _upload_tiled(self, sq8_codes: Optional[np.ndarray] = None,
                       sq8_ab=None,
                       pq_codes: Optional[np.ndarray] = None,
-                      pq_cb: Optional[np.ndarray] = None) -> None:
+                      pq_cb: Optional[np.ndarray] = None,
+                      pq_rot: Optional[np.ndarray] = None) -> None:
         """Tiled-transposed device build: the single-copy layout (rows
         tile-major, dims contiguous — the DMA kernels' form,
         ops/pallas_ivf.TILE_ROWS) + per-row surrogate stats (+inf on dead
@@ -480,6 +511,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         if self._pq_m(self.dtype) is not None:
             m, _, perm = self._pq_grid()
             cb = pq_cb if pq_cb is not None else self._code_cb
+            rot = pq_rot if pq_rot is not None else self._code_rot
             codes = np.zeros((n_pad, m), dtype=np.uint8)
             codes[:n] = pq_codes if pq_codes is not None else self._host
             cb_sq = (cb.astype(np.float64) ** 2).sum(-1)
@@ -493,7 +525,14 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             tiles = codes.view(np.int8).reshape(n_tiles, TILE_ROWS, m) \
                 .transpose(0, 2, 1)
             self._cb_dev = jnp.asarray(cb.astype(np.float32))
-            self._perm_dev = jnp.asarray(perm)
+            if rot is not None:
+                # OPQ: the kernel wrapper's query transform generalizes
+                # from a 1-D perm (gather) to a 2-D orthogonal matrix
+                # (matmul); fold perm + rotation into one.
+                from smqtk_indexing_tpu.ops.opq import compose_transform
+                self._perm_dev = jnp.asarray(compose_transform(perm, rot))
+            else:
+                self._perm_dev = jnp.asarray(perm)
         else:
             code_a, code_b = sq8_ab if sq8_ab is not None \
                 else (self._code_a, self._code_b)
@@ -542,12 +581,17 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     pq_encode_np, pq_train,
                 )
                 m = self._pq_m(self.dtype)
-                rows_c = self._pq_prep_rows(self._host)
+                rows_c = self._pq_prep_rows(self._host, rotate=False)
                 live = rows_c[self._valid_host] \
                     if not self._valid_host.all() else rows_c
-                cb = pq_train(live, m)
+                if self._pq_rotate(self.dtype):
+                    from smqtk_indexing_tpu.ops.opq import opq_train
+                    rot, cb = opq_train(live, m)
+                    rows_c = rows_c @ rot
+                else:
+                    rot, cb = None, pq_train(live, m)
                 self._upload_tiled(pq_codes=pq_encode_np(rows_c, cb),
-                                   pq_cb=cb)
+                                   pq_cb=cb, pq_rot=rot)
             else:
                 from smqtk_indexing_tpu.ops.sq8 import (
                     sq8_encode_np, sq8_train,
@@ -588,10 +632,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             # configuration) — shared codec build (ops/pq.pq_build_store:
             # dim interleave, train-per-build, exact recon-norm stats).
             from smqtk_indexing_tpu.ops import pq as pq_ops
-            (self._pq_perm, _, self._pq_cb_dev, self._dev, s2) = \
-                pq_ops.pq_build_store(self._host, self._valid_host,
-                                      self._capacity, d_pad,
-                                      self._pq_m(self.dtype))
+            (self._pq_perm, self._pq_rot, _, self._pq_cb_dev, self._dev,
+             s2) = pq_ops.pq_build_store(
+                self._host, self._valid_host, self._capacity, d_pad,
+                self._pq_m(self.dtype),
+                rotate=self._pq_rotate(self.dtype))
             # Padding rows decode to some centroid, but list windows
             # never cover them; keep their stats harmless anyway.
             self._dev_sq = jnp.where(jnp.asarray(valid), s2, 0.0)
@@ -663,12 +708,12 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._dev_centroids = jnp.asarray(self._centroids_np[v_orig],
                                           dtype=cent_dtype)
         if self._pq_m(self.dtype) is not None:
-            # PQ queries arrive dim-interleaved on the codec grid; probe
-            # selection needs centroids in the same order (rankings are
-            # permutation invariant).
+            # PQ queries arrive dim-interleaved (and OPQ-rotated) on the
+            # codec grid; probe selection needs centroids in the same
+            # space (rankings are orthogonal-transform invariant).
             self._dev_centroids_pq = jnp.asarray(
                 _pq_prep(self._centroids_np[v_orig].astype(np.float32),
-                         self._pq_perm))
+                         self._pq_perm, self._pq_rot))
         offsets, lens = v_off, v_len
         self._dev_offsets = jnp.asarray(offsets)
         self._dev_lens = jnp.asarray(lens)
@@ -724,8 +769,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             elif self._code_cb is not None:
                 # PQ 'code' tier: uint8 codes + codebooks (the dim
                 # interleave is deterministic from the padded dim —
-                # _pq_grid — so only the codebooks persist).
+                # _pq_grid — so only the codebooks persist) + the OPQ
+                # rotation when the codec is rotated.
                 extra = {"code_cb": self._code_cb}
+                if self._code_rot is not None:
+                    extra["code_rot"] = self._code_rot
             np.savez(bio,
                      matrix=self._host[keep],
                      uids=np.array([self._row2uid[i] for i in keep],
@@ -759,6 +807,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             code_a = z["code_a"] if "code_a" in z else None
             code_b = z["code_b"] if "code_b" in z else None
             code_cb = z["code_cb"] if "code_cb" in z else None
+            code_rot = z["code_rot"] if "code_rot" in z else None
         if mat.dtype == np.uint8 and code_cb is not None:
             # PQ-code payload: the row width is the subquantizer count,
             # not the descriptor dim — recover dim from the centroids'
@@ -784,11 +833,17 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             if self.storage == "code" \
                     and self._pq_m(self.dtype) is not None:
                 # The serialized index defines the codec (FAISS read
-                # semantics): adopt the payload's codebooks.
+                # semantics): adopt the payload's codebooks (+ rotation).
                 self._code_cb = np.asarray(code_cb, np.float32)
+                if code_rot is not None:
+                    self._code_rot = np.asarray(code_rot, np.float32)
             else:
                 from smqtk_indexing_tpu.ops.pq import pq_decode_np
                 x_c = pq_decode_np(mat, np.asarray(code_cb, np.float32))
+                if code_rot is not None:
+                    # Reconstructions live in the rotated codec space;
+                    # rotate back before un-interleaving.
+                    x_c = x_c @ np.asarray(code_rot, np.float32).T
                 d_codec = x_c.shape[1]
                 m_pay = code_cb.shape[0]
                 perm = np.argsort(np.arange(d_codec) % m_pay,
@@ -819,6 +874,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 from smqtk_indexing_tpu.ops.pq import pq_decode_np
                 _, _, perm = self._pq_grid()
                 x_c = pq_decode_np(self._host[i:i + 1], self._code_cb)
+                if self._code_rot is not None:
+                    x_c = x_c @ self._code_rot.T
                 return x_c[0, np.argsort(perm)][:self._dim]
             return (self._host[i].astype(np.float32) * self._code_a
                     + self._code_b)
@@ -911,11 +968,13 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             if self._n_live == 0:
                 centroids = self._centroids_np
                 dim = self._dim
-                code_ab = (self._code_a, self._code_b, self._code_cb)
+                code_ab = (self._code_a, self._code_b, self._code_cb,
+                           self._code_rot)
                 self._reset_state()
                 self._centroids_np = centroids
                 self._dim = dim
-                self._code_a, self._code_b, self._code_cb = code_ab
+                (self._code_a, self._code_b, self._code_cb,
+                 self._code_rot) = code_ab
             elif self._n_live < self._host.shape[0] // 2 \
                     and self._host.shape[0] > 1024:
                 keep = np.flatnonzero(self._valid_host)
@@ -1046,7 +1105,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev_valid, self._dev_centroids_pq,
                     self._dev_offsets, self._dev_lens,
                     replicate(self._mesh, jnp.asarray(
-                        _pq_prep(q_p, self._pq_perm))),
+                        _pq_prep(q_p, self._pq_perm, self._pq_rot))),
                     k=k_dev, nprobe=nprobe, l_max=self._l_max,
                     metric=self.metric, first_virt=first_virt,
                     nprobe_orig=nprobe_orig, has_dead=has_dead)
@@ -1083,7 +1142,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev, self._pq_cb_dev, self._dev_sq,
                     self._dev_valid, self._dev_centroids_pq,
                     self._dev_offsets, self._dev_lens,
-                    jnp.asarray(_pq_prep(q_p, self._pq_perm)),
+                    jnp.asarray(_pq_prep(q_p, self._pq_perm,
+                                         self._pq_rot)),
                     k=k_dev,
                     nprobe=nprobe, l_max=self._l_max, metric=self.metric,
                     first_virt=first_virt, nprobe_orig=nprobe_orig,

@@ -913,7 +913,10 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
     L2 distances are permutation invariant).
 
     :param codebooks: (M, 256, dsub) float32 (codec-grid subspaces).
-    :param perm: (d_codec,) int32 dim interleave (ops/pq.pq_build_store).
+    :param perm: (d_codec,) int32 dim interleave (ops/pq.pq_build_store)
+        OR a (d_codec, d_codec) float32 orthogonal transform (the OPQ
+        interleave+rotation composition, ops/opq.compose_transform) —
+        L2 is invariant under either, so the scan/ADC math is identical.
     :param q: (B, d_pad) float32 queries, original (lane-padded) order.
     """
     n_tiles, m_sub, tile_n = db3c.shape
@@ -925,7 +928,12 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
             [q, jnp.zeros((b, d_codec - d_pad), jnp.float32)], axis=1)
     else:
         q_ext = q
-    q_c = jnp.take(q_ext, perm, axis=1)             # codec grid
+    if perm.ndim == 2:                              # OPQ transform
+        q_c = jnp.dot(q_ext, perm.astype(jnp.float32),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    else:
+        q_c = jnp.take(q_ext, perm, axis=1)         # codec grid
     dsub = d_codec // m_sub
     lut = jnp.einsum(
         "bms,mvs->bmv", q_c.reshape(b, m_sub, dsub), codebooks,

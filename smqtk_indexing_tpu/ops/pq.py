@@ -119,7 +119,8 @@ def pq_codec_dim(d_pad: int, m: int) -> int:
 
 
 def pq_build_store(host: np.ndarray, valid_mask: np.ndarray,
-                   capacity: int, d_pad: int, m: int):
+                   capacity: int, d_pad: int, m: int,
+                   rotate: bool = False, seed: int = 0):
     """
     The one shared PQ store build (used by both the flat VectorStore and
     the IVF CSR store so codec details cannot diverge): round-robin dim
@@ -129,9 +130,13 @@ def pq_build_store(host: np.ndarray, valid_mask: np.ndarray,
 
     :param host: (n, dim) float32 raw rows (any order).
     :param valid_mask: (n,) bool liveness.
-    :return: (perm (d_codec,) int32, codebooks np (m, 256, dsub) f32,
-        codebooks device, codes device (capacity, m) uint8,
-        s2 device (capacity,) f32).
+    :param rotate: Learn an OPQ rotation (ops/opq.opq_train) composed
+        after the interleave — the reference's 'OPQ<M>,...' pre-transform
+        (faiss.py:182-199). Serving paths are untouched (L2/IP/cosine are
+        rotation invariant); only encode/prep apply ``rot``.
+    :return: (perm (d_codec,) int32, rot (d_codec, d_codec) f32 | None,
+        codebooks np (m, 256, dsub) f32, codebooks device,
+        codes device (capacity, m) uint8, s2 device (capacity,) f32).
     """
     from smqtk_indexing_tpu.ops.device import pad_rows_np
 
@@ -144,23 +149,33 @@ def pq_build_store(host: np.ndarray, valid_mask: np.ndarray,
     n = host.shape[0]
     live = host[valid_mask] if not valid_mask.all() else host
     live_p = pad_rows_np(live, live.shape[0], d_codec)
-    cb = pq_train(live_p[:, perm], m)
+    rot = None
+    if rotate:
+        from smqtk_indexing_tpu.ops.opq import opq_train
+        rot, cb = opq_train(live_p[:, perm], m, seed=seed)
+    else:
+        cb = pq_train(live_p[:, perm], m)
     codes = np.zeros((capacity, m), dtype=np.uint8)
+    rows_c = pad_rows_np(host, n, d_codec)[:, perm]
     codes[:n] = pq_encode_np(
-        pad_rows_np(host, n, d_codec)[:, perm], cb)
+        rows_c @ rot if rot is not None else rows_c, cb)
     cb_dev = jnp.asarray(cb)
     codes_dev = jnp.asarray(codes)
     s2 = pq_row_stats(codes_dev, cb_dev)
-    return perm, cb, cb_dev, codes_dev, s2
+    return perm, rot, cb, cb_dev, codes_dev, s2
 
 
-def pq_prep_queries(q_pad: np.ndarray, perm: np.ndarray) -> np.ndarray:
-    """Extend lane-padded queries to the codec grid and interleave."""
+def pq_prep_queries(q_pad: np.ndarray, perm: np.ndarray,
+                    rot: np.ndarray = None) -> np.ndarray:
+    """Extend lane-padded queries to the codec grid, interleave, and
+    (OPQ) rotate — the one query-side transform shared by every PQ
+    serving path."""
     b, dp = q_pad.shape
     if len(perm) > dp:
         q_pad = np.concatenate(
             [q_pad, np.zeros((b, len(perm) - dp), q_pad.dtype)], axis=1)
-    return q_pad[:, perm]
+    q_c = q_pad[:, perm]
+    return q_c @ rot if rot is not None else q_c
 
 
 def _dequant(codes_c: jnp.ndarray, cb: jnp.ndarray,

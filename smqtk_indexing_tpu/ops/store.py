@@ -32,13 +32,20 @@ from smqtk_indexing_tpu.ops.device import capacity_for, pad_dim, pad_rows_np
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
            "sq8": jnp.int8}
 
-_PQ_RE = re.compile(r"pq(\d+)$")
+_PQ_RE = re.compile(r"(o?)pq(\d+)$")
 
 
 def _pq_m(dtype_name: str):
-    """Subquantizer count for 'pq<M>' dtype names, else None."""
+    """Subquantizer count for 'pq<M>' / 'opq<M>' dtype names, else
+    None ('opq' = PQ behind a learned OPQ rotation, ops/opq.py)."""
     m = _PQ_RE.fullmatch(dtype_name)
-    return int(m.group(1)) if m else None
+    return int(m.group(2)) if m else None
+
+
+def _pq_rotate(dtype_name: str) -> bool:
+    """True for the OPQ variants ('opq<M>')."""
+    m = _PQ_RE.fullmatch(dtype_name)
+    return bool(m and m.group(1))
 
 
 def _pow2_at_least(x: int, lo: int = 8) -> int:
@@ -67,7 +74,8 @@ class VectorStore:
         """
         if dtype not in _DTYPES and _pq_m(dtype) is None:
             raise ValueError(
-                f"dtype must be one of {sorted(_DTYPES)} or 'pq<M>'")
+                f"dtype must be one of {sorted(_DTYPES)}, 'pq<M>' or "
+                "'opq<M>'")
         self._dtype_name = dtype
         self._mesh = mesh
         self._lock = threading.RLock()
@@ -130,6 +138,7 @@ class VectorStore:
         self._pq_cb = None
         self._pq_cb_dev = None
         self._pq_perm = None
+        self._pq_rot = None   # (d_codec, d_codec) f32 OPQ rotation | None
 
     @property
     def dim(self) -> Optional[int]:
@@ -282,10 +291,10 @@ class VectorStore:
         pq_m = _pq_m(self._dtype_name)
         if pq_m is not None:
             from smqtk_indexing_tpu.ops import pq
-            (self._pq_perm, self._pq_cb, self._pq_cb_dev, self._dev,
-             self._dev_sq) = pq.pq_build_store(
+            (self._pq_perm, self._pq_rot, self._pq_cb, self._pq_cb_dev,
+             self._dev, self._dev_sq) = pq.pq_build_store(
                 self._host, self._valid_host, self._capacity, d_pad,
-                pq_m)
+                pq_m, rotate=_pq_rotate(self._dtype_name))
             self._dev_norm = jnp.sqrt(jnp.maximum(self._dev_sq, 0.0))
             self._dev_valid = jnp.asarray(valid)
             self._dev_t = None
@@ -348,7 +357,7 @@ class VectorStore:
             codes = pq.pq_encode_np(
                 pq.pq_prep_queries(
                     pad_rows_np(mat, mat.shape[0], d_pad),
-                    self._pq_perm),
+                    self._pq_perm, self._pq_rot),
                 self._pq_cb)
             block_dev = jnp.asarray(codes)
             self._dev = jax.lax.dynamic_update_slice(
@@ -401,6 +410,7 @@ class VectorStore:
                 self._dev, self._dev_sq, self._dev_norm, self._dev_valid)
             sq8_a, sq8_b = self._sq8_a, self._sq8_b
             pq_cb_dev, pq_perm = self._pq_cb_dev, self._pq_perm
+            pq_rot = self._pq_rot
             row2uid = list(self._row2uid)
             n_live = self._n_live
             cap = self._capacity
@@ -447,12 +457,18 @@ class VectorStore:
         # distinct user n values reuse compiled programs; trim host-side.
         k_dev = min(_pow2_at_least(k_eff, 1), cap)
 
+        if pq_rot is not None and metric == "hik":
+            # min() is not rotation invariant — OPQ serves the
+            # matmul-form metrics only (FAISS's OPQ pre-transform is
+            # L2/IP-only for the same reason).
+            raise ValueError("metric 'hik' is not supported with OPQ "
+                             "(rotation-variant); use 'pq<M>'")
         if _pq_m(self._dtype_name) is not None and self._mesh is None:
             from smqtk_indexing_tpu.ops.pq import pq_prep_queries, pq_topk
             dists, rows = pq_topk(
                 dev, pq_cb_dev, dev_sq, dev_valid,
-                jnp.asarray(pq_prep_queries(q_pad, pq_perm)), k=k_dev,
-                metric=metric)
+                jnp.asarray(pq_prep_queries(q_pad, pq_perm, pq_rot)),
+                k=k_dev, metric=metric)
         elif _pq_m(self._dtype_name) is not None:
             from smqtk_indexing_tpu.ops.pq import pq_prep_queries
             from smqtk_indexing_tpu.parallel.mesh import replicate
@@ -463,7 +479,8 @@ class VectorStore:
                 self._mesh, dev, replicate(self._mesh, pq_cb_dev),
                 dev_sq, dev_valid,
                 replicate(self._mesh,
-                          jnp.asarray(pq_prep_queries(q_pad, pq_perm))),
+                          jnp.asarray(pq_prep_queries(q_pad, pq_perm,
+                                                      pq_rot))),
                 k=k_dev, metric=metric)
         elif self._dtype_name == "sq8" and self._mesh is None:
             from smqtk_indexing_tpu.ops.sq8 import sq8_topk
