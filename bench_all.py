@@ -257,6 +257,12 @@ _IVF_VARIANTS = {
     # lever for PQ-adversarial (near-iid-dim) data.
     "_opq16": ("opq16", "rows", "exact", {}),
     "_code_opq16_score": ("opq16", "code", "score", {}),
+    # Residual PQ16 (FAISS by_residual, ITS default for 'IVF<n>,PQ<M>'):
+    # codes carry x - centroid(list) — on clustered data the codec only
+    # quantizes the intra-cell noise.
+    "_pq16_res": ("pq16", "rows", "exact", {}, {"pq_residual": True}),
+    "_code_pq16_res_score": ("pq16", "code", "score", {},
+                             {"pq_residual": True}),
 }
 
 
@@ -285,11 +291,13 @@ def bench_ivf(tags=("", "_sq8", "_pq16"),
     q_large = [DescriptorMemoryElement(f"Q{i}", queries[i])
                for i in range(1024)]
     for tag in tags:
-        dtype, storage, rerank, build_env = _IVF_VARIANTS[tag]
+        dtype, storage, rerank, build_env, *rest = _IVF_VARIANTS[tag]
+        extra = rest[0] if rest else {}
         idx = IvfNearestNeighborsIndex(n_lists=4096, kmeans_iterations=10,
                                        max_points_per_centroid=64,
                                        random_seed=0, dtype=dtype,
-                                       storage=storage, rerank=rerank)
+                                       storage=storage, rerank=rerank,
+                                       **extra)
         saved_env = {k: os.environ.get(k) for k in build_env}
         os.environ.update(build_env)
         t0 = time.perf_counter()
@@ -423,7 +431,8 @@ if __name__ == "__main__":
                 # plus the OPQ16 rotation (recall lever at equal bytes).
                 "ivf_code_pq": lambda: bench_ivf(
                     ("_pq16_rowmajor", "_pq16", "_code_pq16",
-                     "_code_pq16_score", "_opq16", "_code_opq16_score"),
+                     "_code_pq16_score", "_opq16", "_code_opq16_score",
+                     "_pq16_res", "_code_pq16_res_score"),
                     nprobes=(1, 4, 16, 64))}
     picked = [a for a in sys.argv[1:] if a in sections] \
         or list(sections)

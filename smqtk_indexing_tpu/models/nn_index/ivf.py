@@ -97,6 +97,15 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         the winner-segment gather, the dominant serving cost at capacity
         (~100 ms/batch at 100M, B=1024).
     :param read_only: Refuse mutations when True.
+    :param pq_residual: (PQ dtypes, euclidean) Encode RESIDUALS
+        ``x - centroid(assigned list)`` instead of raw rows — FAISS's
+        ``by_residual`` IVF-PQ behavior: the codec only carries the
+        intra-cell offset, so reconstruction error scales with the
+        residual magnitude (on clustered data a large recall gain at
+        identical bytes/vector). Serving adds one ``-2<q, c>`` broadcast
+        per probe (derived from the probe-selection matmul) and the
+        exact re-rank adds the winner's centroid back
+        (ops/pq.pq_residual_build_store).
     """
 
     @classmethod
@@ -146,11 +155,30 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         rerank: str = "exact",
         read_only: bool = False,
         n_devices: Optional[int] = None,
+        pq_residual: bool = False,
     ):
         super().__init__()
         if metric not in METRICS:
             raise ValueError(
                 f"metric must be one of {METRICS}, got {metric!r}")
+        if pq_residual:
+            # FAISS 'IVF<n>,PQ<M>' by_residual: codes quantize
+            # x - centroid(list) — the recall lever for clustered data
+            # at equal bytes/vector (ops/pq.pq_residual_build_store).
+            if self._pq_m(dtype) is None:
+                raise ValueError(
+                    "pq_residual requires a PQ dtype ('pq<M>'/'opq<M>'), "
+                    f"got {dtype!r}")
+            if metric != "euclidean":
+                raise ValueError(
+                    "pq_residual serves euclidean only (the score's "
+                    "per-probe -2<q,c> term comes from L2 probe "
+                    "selection)")
+            if n_devices is not None and n_devices > 1:
+                raise ValueError(
+                    "pq_residual is single-device (the sharded PQ scan "
+                    "carries raw codes); use pq_residual=False with "
+                    "n_devices.")
         if storage not in ("rows", "code"):
             raise ValueError(
                 f"storage must be 'rows' | 'code', got {storage!r}")
@@ -191,6 +219,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self.rerank = rerank
         self.read_only = bool(read_only)
         self.n_devices = n_devices
+        self.pq_residual = bool(pq_residual)
 
         self._model_lock = threading.RLock()
         self._reset_state()
@@ -225,6 +254,16 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         perm = np.argsort(np.arange(d_codec) % m,
                           kind="stable").astype(np.int32)
         return m, d_codec, perm
+
+    def _pq_cents_codec(self, rot: Optional[np.ndarray]) -> np.ndarray:
+        """(C, d_codec) float32 centroids in the full codec transform
+        space (interleave + optional OPQ rotation) — the residual
+        codec's reference frame."""
+        from smqtk_indexing_tpu.ops.device import pad_rows_np
+        _, d_codec, perm = self._pq_grid()
+        c = pad_rows_np(self._centroids_np.astype(np.float32),
+                        self._centroids_np.shape[0], d_codec)[:, perm]
+        return np.ascontiguousarray(c @ rot) if rot is not None else c
 
     def _pq_prep_rows(self, mat: np.ndarray,
                       rotate: bool = True) -> np.ndarray:
@@ -336,6 +375,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self._pq_perm = None
         self._pq_rot = None   # rows-tier OPQ rotation (retrained/build)
         self._dev_centroids_pq = None
+        # Residual PQ (pq_residual=True): codec-space centroids + the
+        # per-row original-list map for the exact re-rank's centroid add.
+        self._cents_codec_dev = None
+        self._row2list_dev = None
 
     def get_config(self) -> Dict[str, Any]:
         c = self.get_default_config()
@@ -356,6 +399,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             "rerank": self.rerank,
             "read_only": self.read_only,
             "n_devices": self.n_devices,
+            "pq_residual": self.pq_residual,
         })
         return c
 
@@ -437,6 +481,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     )
                     m, _, _ = self._pq_grid()
                     rows_c = self._pq_prep_rows(mat, rotate=False)
+                    if self.pq_residual:
+                        rows_c = rows_c \
+                            - self._pq_cents_codec(None)[assigns]
                     if self._code_cb is None:
                         live = rows_c[valid] if not valid.all() else rows_c
                         if self._pq_rotate(self.dtype):
@@ -518,6 +565,26 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             s2 = np.zeros(n_pad, dtype=np.float64)
             for mi in range(m):
                 s2 += cb_sq[mi][codes[:, mi]]
+            if self.pq_residual:
+                # Residual codec: stats are the FULL reconstruction
+                # norms ||c_T + r_hat||^2 = ||r_hat||^2 + 2<c_T, r_hat>
+                # + ||c_T||^2; <c_T, r_hat> decomposes per subspace into
+                # a (C, M, 256) centroid-codeword table (subspaces
+                # partition the dims).
+                cents_c = self._pq_cents_codec(rot)
+                cc64 = cents_c.astype(np.float64)
+                ipc = np.einsum(
+                    "lms,mvs->lmv",
+                    cc64.reshape(cc64.shape[0], m, -1),
+                    cb.astype(np.float64))
+                asg_pad = np.zeros(n_pad, dtype=np.int32)
+                asg_pad[:n] = self._assign_host
+                s2 += (cc64 ** 2).sum(-1)[asg_pad]
+                for mi in range(m):
+                    s2 += 2.0 * ipc[asg_pad, mi, codes[:, mi]]
+                self._cents_codec_dev = jnp.asarray(
+                    cents_c.astype(np.float32))
+                self._row2list_dev = jnp.asarray(asg_pad)
             s2 = s2.astype(np.float32)
             s2[dead] = np.inf
             # uint8 codes bit-reinterpreted to int8 (Mosaic's proven
@@ -582,6 +649,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 )
                 m = self._pq_m(self.dtype)
                 rows_c = self._pq_prep_rows(self._host, rotate=False)
+                if self.pq_residual:
+                    # Residual codec: quantize x - centroid(list); the
+                    # OPQ rotation (if any) trains on the residuals.
+                    rows_c = rows_c - self._pq_cents_codec(None)[
+                        self._assign_host]
                 live = rows_c[self._valid_host] \
                     if not self._valid_host.all() else rows_c
                 if self._pq_rotate(self.dtype):
@@ -632,11 +704,22 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             # configuration) — shared codec build (ops/pq.pq_build_store:
             # dim interleave, train-per-build, exact recon-norm stats).
             from smqtk_indexing_tpu.ops import pq as pq_ops
-            (self._pq_perm, self._pq_rot, _, self._pq_cb_dev, self._dev,
-             s2) = pq_ops.pq_build_store(
-                self._host, self._valid_host, self._capacity, d_pad,
-                self._pq_m(self.dtype),
-                rotate=self._pq_rotate(self.dtype))
+            if self.pq_residual:
+                (self._pq_perm, self._pq_rot, _, self._pq_cb_dev,
+                 self._dev, s2, cents_c, self._row2list_dev) = \
+                    pq_ops.pq_residual_build_store(
+                        self._host, self._valid_host, self._capacity,
+                        d_pad, self._pq_m(self.dtype),
+                        self._centroids_np, self._assign_host,
+                        rotate=self._pq_rotate(self.dtype))
+                self._cents_codec_dev = jnp.asarray(
+                    cents_c.astype(np.float32))
+            else:
+                (self._pq_perm, self._pq_rot, _, self._pq_cb_dev,
+                 self._dev, s2) = pq_ops.pq_build_store(
+                    self._host, self._valid_host, self._capacity, d_pad,
+                    self._pq_m(self.dtype),
+                    rotate=self._pq_rotate(self.dtype))
             # Padding rows decode to some centroid, but list windows
             # never cover them; keep their stats harmless anyway.
             self._dev_sq = jnp.where(jnp.asarray(valid), s2, 0.0)
@@ -753,7 +836,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 f"Index element {self.index_element} is read-only.")
         header = json.dumps({"metric": self.metric,
                              "storage": self.storage,
-                             "dim": self._dim}).encode()
+                             "dim": self._dim,
+                             "pq_residual": self.pq_residual}).encode()
         bio = io.BytesIO()
         if self._host is None:
             np.savez(bio, empty=np.array(True))
@@ -833,11 +917,16 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             if self.storage == "code" \
                     and self._pq_m(self.dtype) is not None:
                 # The serialized index defines the codec (FAISS read
-                # semantics): adopt the payload's codebooks (+ rotation).
+                # semantics): adopt the payload's codebooks (+ rotation
+                # + residual flag — decoding with the wrong frame would
+                # silently corrupt every distance).
                 self._code_cb = np.asarray(code_cb, np.float32)
                 if code_rot is not None:
                     self._code_rot = np.asarray(code_rot, np.float32)
+                self.pq_residual = bool(header.get("pq_residual",
+                                                   self.pq_residual))
             else:
+                from smqtk_indexing_tpu.ops.device import pad_rows_np
                 from smqtk_indexing_tpu.ops.pq import pq_decode_np
                 x_c = pq_decode_np(mat, np.asarray(code_cb, np.float32))
                 if code_rot is not None:
@@ -848,6 +937,13 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 m_pay = code_cb.shape[0]
                 perm = np.argsort(np.arange(d_codec) % m_pay,
                                   kind="stable")
+                if header.get("pq_residual"):
+                    # Residual payload: codes carried x_T - c_T[list];
+                    # add the (perm-space) centroid back.
+                    x_c = x_c + pad_rows_np(
+                        self._centroids_np.astype(np.float32),
+                        self._centroids_np.shape[0], d_codec
+                    )[:, perm][assigns]
                 mat = np.ascontiguousarray(
                     x_c[:, np.argsort(perm)][:, :self._dim])
         self._layout(mat, uids, assigns)
@@ -876,6 +972,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 x_c = pq_decode_np(self._host[i:i + 1], self._code_cb)
                 if self._code_rot is not None:
                     x_c = x_c @ self._code_rot.T
+                if self.pq_residual:
+                    x_c = x_c + self._pq_cents_codec(None)[
+                        self._assign_host[i:i + 1]]
                 return x_c[0, np.argsort(perm)][:self._dim]
             return (self._host[i].astype(np.float32) * self._code_a
                     + self._code_b)
@@ -935,8 +1034,14 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     # stays codes end to end.
                     if self._pq_m(self.dtype) is not None:
                         from smqtk_indexing_tpu.ops.pq import pq_encode_np
-                        new_mat = pq_encode_np(
-                            self._pq_prep_rows(new_mat), self._code_cb)
+                        rows_c = self._pq_prep_rows(new_mat,
+                                                    rotate=False)
+                        if self.pq_residual:
+                            rows_c = rows_c - self._pq_cents_codec(
+                                None)[new_assigns]
+                        if self._code_rot is not None:
+                            rows_c = rows_c @ self._code_rot
+                        new_mat = pq_encode_np(rows_c, self._code_cb)
                     else:
                         from smqtk_indexing_tpu.ops.sq8 import (
                             sq8_encode_np,
@@ -1086,7 +1191,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                         self._slot_table, self._v_tile, self._v_col,
                         self._v_len, jnp.asarray(q_p), k=k_dev,
                         nprobe_orig=nprobe_o, interpret=interp,
-                        rerank=rr)
+                        rerank=rr, res_cents=self._cents_codec_dev,
+                        row2list=self._row2list_dev)
                 else:
                     dists, rows = ivf_query_dma_tiled_table(
                         self._dev3, self._s2t, self._sq8_a, self._sq8_b,
@@ -1147,7 +1253,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     k=k_dev,
                     nprobe=nprobe, l_max=self._l_max, metric=self.metric,
                     first_virt=first_virt, nprobe_orig=nprobe_orig,
-                    has_dead=has_dead)
+                    has_dead=has_dead, res_cents=self._cents_codec_dev,
+                    row2list=self._row2list_dev)
             else:
                 dq = (self._sq8_a, self._sq8_b) \
                     if self.dtype == "sq8" else None

@@ -186,7 +186,8 @@ def ivf_query_pq(codes: jnp.ndarray, codebooks: jnp.ndarray,
                  centroids: jnp.ndarray, offsets: jnp.ndarray,
                  lens: jnp.ndarray, q: jnp.ndarray, *, k: int, nprobe: int,
                  l_max: int, metric: str = "euclidean", first_virt=None,
-                 nprobe_orig=None, has_dead: bool = True
+                 nprobe_orig=None, has_dead: bool = True,
+                 res_cents=None, row2list=None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     IVF list-scan over PRODUCT-QUANTIZED codes — the reference's
@@ -198,15 +199,29 @@ def ivf_query_pq(codes: jnp.ndarray, codebooks: jnp.ndarray,
     from f32-decoded rows, so reported distances are exact w.r.t. the
     reconstruction (the codec being the only loss, as with FAISS IVF-PQ).
 
+    Residual mode (``res_cents``/``row2list`` given — FAISS
+    ``by_residual``): codes carry ``x_T - c_T[list]``; the score adds a
+    per-probe ``-2<q, c_probe>`` offset (one broadcast, derived from the
+    probe-selection matmul already computed) and ``s2`` holds the FULL
+    reconstruction norms ``||c_T + r_hat||^2``
+    (ops/pq.pq_residual_build_store). Euclidean only.
+
     :param codes: (N, M) uint8 codes in list-sorted CSR order.
     :param codebooks: (M, 256, d // M) float32.
     :param s2: (N,) float32 squared reconstruction norms.
+    :param res_cents: (C_orig, d_codec) float32 codec-space centroids
+        (residual mode only).
+    :param row2list: (N,) int32 original-list id per row (residual mode
+        only; drives the exact re-rank's centroid add).
     :return: (dists (B, k) ascending, rows (B, k) int32; +inf/-1 pads).
     """
     from smqtk_indexing_tpu.ops.pq import _dequant
 
     if metric not in METRICS:
         raise ValueError(f"metric must be one of {METRICS}")
+    residual = res_cents is not None
+    if residual and metric != "euclidean":
+        raise ValueError("residual PQ serves euclidean only")
     n, m_sub = codes.shape
     b = q.shape[0]
     q = q.astype(jnp.float32)
@@ -230,6 +245,12 @@ def ivf_query_pq(codes: jnp.ndarray, codebooks: jnp.ndarray,
     starts = offsets[lists]                               # (B, P)
     probe_ok = jnp.take_along_axis(c_scores, lists, axis=1) < jnp.inf
     lengths = jnp.where(probe_ok, lens[lists], 0)
+    if residual:
+        # Per-probe -2<q, c> from the probe-selection matmul (constant
+        # across a probe's rows — one broadcast per scan step).
+        probe_off = -2.0 * jnp.take_along_axis(ip_c, lists, axis=1)
+    else:
+        probe_off = jnp.zeros_like(starts, dtype=jnp.float32)
 
     kk = min(k + 8, nprobe * l_max)  # margin absorbs bf16 decode noise
     # Probes stream through the scan in GROUPS: one probe per step makes
@@ -247,7 +268,7 @@ def ivf_query_pq(codes: jnp.ndarray, codebooks: jnp.ndarray,
 
     def body(carry, blk):
         bs, br = carry
-        start_j, len_j = blk                              # (G, B) each
+        start_j, len_j, off_j = blk                       # (G, B) each
         rows_j = jnp.transpose(start_j)[..., None] + iota_l  # (B, G, L)
         ok = iota_l < jnp.transpose(len_j)[..., None]
         rows_c = jnp.clip(rows_j, 0, n - 1).reshape(b, g_l)
@@ -272,6 +293,10 @@ def ivf_query_pq(codes: jnp.ndarray, codebooks: jnp.ndarray,
             s = -(ip / jnp.where(denom == 0, 1.0, denom))
         else:
             s = jnp.take(s2, rows_c, axis=0) - 2.0 * ip
+            if residual:
+                s = s + jnp.broadcast_to(
+                    jnp.transpose(off_j)[..., None],
+                    (b, group, l_max)).reshape(b, g_l)
         s = jnp.where(ok, s, jnp.inf)
         cand_s = jnp.concatenate([bs, s], axis=1)
         cand_r = jnp.concatenate([br, rows_c], axis=1)
@@ -283,11 +308,17 @@ def ivf_query_pq(codes: jnp.ndarray, codebooks: jnp.ndarray,
     (best_s, best_r), _ = jax.lax.scan(
         body, init,
         (jnp.transpose(starts).reshape(nprobe // group, group, b),
-         jnp.transpose(lengths).reshape(nprobe // group, group, b)))
+         jnp.transpose(lengths).reshape(nprobe // group, group, b),
+         jnp.transpose(probe_off).reshape(nprobe // group, group, b)))
 
-    # Exact re-rank from exactly (HIGHEST) decoded f32 rows.
+    # Exact re-rank from exactly (HIGHEST) decoded f32 rows (residual
+    # mode adds the winner's codec-space centroid back first).
     from smqtk_indexing_tpu.ops.scan import exact_rerank_decoded
-    sel_codes = jnp.take(codes, jnp.maximum(best_r, 0), axis=0)
+    rows_cl = jnp.maximum(best_r, 0)
+    sel_codes = jnp.take(codes, rows_cl, axis=0)
     x = _dequant(sel_codes.reshape(b * kk, m_sub), codebooks,
                  dtype=jnp.float32).reshape(b, kk, -1)
+    if residual:
+        x = x + jnp.take(res_cents, jnp.take(row2list, rows_cl, axis=0),
+                         axis=0)
     return exact_rerank_decoded(x, q, q_norm, best_s, best_r, metric, k)

@@ -824,13 +824,20 @@ def ivf_list_scores_tiled_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
 
 def _tiled_scan_finish_pq(db3c, s2t, codebooks, q_c, lut, ti, c0, lo, hi,
                           *, k: int, n_probe: int, interpret: bool,
-                          rerank: str = "gather"):
+                          rerank: str = "gather", probe_off=None,
+                          res_cents=None, row2list=None):
     """PQ counterpart of :func:`_tiled_scan_finish`: chunked kernel scan
     + top-k over the probe windows, then finalization per ``rerank`` —
     "gather" fetches winner code segments through the DMA gather, decodes
     exactly (f32 one-hot dequant), and reports distances exact w.r.t. the
     reconstruction; "score" reconstructs sqrt(score + ||q||^2) from the
-    kernel surrogate."""
+    kernel surrogate.
+
+    Residual mode (``probe_off``/``res_cents``/``row2list`` given): the
+    kernel output gains a per-probe ``-2<q, c>`` broadcast before
+    selection (codes carry residuals; s2t holds ``||c_T + r_hat||^2``),
+    and the exact decode adds the winner's codec-space centroid back —
+    the kernel itself is untouched."""
     from smqtk_indexing_tpu.ops.pallas_scan import (
         SEG, seg_gather_tiled, topk_smallest,
     )
@@ -857,6 +864,11 @@ def _tiled_scan_finish_pq(db3c, s2t, codebooks, q_c, lut, ti, c0, lo, hi,
             lo[sl].reshape(-1).astype(jnp.int32),
             hi[sl].reshape(-1).astype(jnp.int32),
             n_probe=n_probe, interpret=interpret)
+        if probe_off is not None:
+            # Residual offset: +inf-masked windows stay +inf.
+            scores = (scores.reshape(bc, n_probe, W_TILED)
+                      + probe_off[sl][:, :, None]
+                      ).reshape(bc, n_probe * W_TILED)
         base_row = (ti[sl] * tile_n + c0[sl]).astype(jnp.int32)
         rows = (base_row[..., None]
                 + jax.lax.broadcasted_iota(
@@ -887,6 +899,9 @@ def _tiled_scan_finish_pq(db3c, s2t, codebooks, q_c, lut, ti, c0, lo, hi,
     codes_u = codes_sel.astype(jnp.int32) & 0xFF
     x = _dequant(codes_u.reshape(b * kk, m_sub), codebooks,
                  dtype=jnp.float32).reshape(b, kk, -1)
+    if res_cents is not None:
+        x = x + jnp.take(res_cents,
+                         jnp.take(row2list, rows_c, axis=0), axis=0)
     return exact_rerank_decoded(x, q_c, q_norm, top_scores, top_rows,
                                 "euclidean", k)
 
@@ -902,7 +917,8 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
                                  v_len: jnp.ndarray, q: jnp.ndarray, *,
                                  k: int, nprobe_orig: int,
                                  interpret: bool = False,
-                                 rerank: str = "gather"
+                                 rerank: str = "gather",
+                                 res_cents=None, row2list=None
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Tiled IVF-PQ query with original-centroid probe selection — the
@@ -918,6 +934,11 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
         interleave+rotation composition, ops/opq.compose_transform) —
         L2 is invariant under either, so the scan/ADC math is identical.
     :param q: (B, d_pad) float32 queries, original (lane-padded) order.
+    :param res_cents: (C_orig, d_codec) float32 codec-space centroids —
+        residual mode (FAISS ``by_residual``; codes carry
+        ``x_T - c_T[list]``, s2t holds ``||c_T + r_hat||^2``).
+    :param row2list: (n_pad,) int32 original-list id per tiled row
+        (residual mode only).
     """
     n_tiles, m_sub, tile_n = db3c.shape
     b, d_pad = q.shape
@@ -960,17 +981,27 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
     n_probe = -(-p_raw // P_STEP_TILED) * P_STEP_TILED
     pad = n_probe - p_raw
 
-    def flat(x):
+    def flat(x, dtype=jnp.int32):
         x = x.reshape(b, p_raw)
         if pad:
             x = jnp.concatenate(
-                [x, jnp.zeros((b, pad), jnp.int32)], axis=1)
+                [x, jnp.zeros((b, pad), dtype)], axis=1)
         return x
+
+    probe_off = None
+    if res_cents is not None:
+        # Per-ORIGINAL-list -2<q, c>, broadcast over its sublist slots
+        # (padded slots score +inf regardless — their windows are empty).
+        off_orig = -2.0 * jnp.take_along_axis(ip_c, lists, axis=1)
+        probe_off = flat(jnp.broadcast_to(
+            off_orig[..., None], (b, nprobe_orig, s_max)), jnp.float32)
 
     return _tiled_scan_finish_pq(db3c, s2t, codebooks, q_c, lut,
                                  flat(ti), flat(c0), flat(lo), flat(hi),
                                  k=k, n_probe=n_probe,
-                                 interpret=interpret, rerank=rerank)
+                                 interpret=interpret, rerank=rerank,
+                                 probe_off=probe_off,
+                                 res_cents=res_cents, row2list=row2list)
 
 
 def build_slot_table(v_orig, c_lists: int):

@@ -165,6 +165,90 @@ def pq_build_store(host: np.ndarray, valid_mask: np.ndarray,
     return perm, rot, cb, cb_dev, codes_dev, s2
 
 
+def pq_residual_build_store(host: np.ndarray, valid_mask: np.ndarray,
+                            capacity: int, d_pad: int, m: int,
+                            cents_pad: np.ndarray, assigns: np.ndarray,
+                            rotate: bool = False, seed: int = 0):
+    """
+    Residual-encoded IVF-PQ build (FAISS's ``by_residual=True`` default
+    for 'IVF<n>,PQ<M>', the reference's index_factory configuration):
+    the codec quantizes ``x - centroid(assigned list)`` instead of raw
+    rows, so PQ only carries the (much smaller) intra-cell offset —
+    reconstruction error scales with the residual magnitude, not the
+    data magnitude. Euclidean-only (the serving score needs the
+    per-probe ``-2<q, c>`` term, which only the L2 probe selection
+    computes).
+
+    Geometry lives entirely in the transformed codec space T =
+    interleave (+ optional OPQ rotation learned on the RESIDUALS):
+    ``x_hat_T = c_T[list] + decode(code)``; orthogonality of T makes
+    every distance equal its original-space counterpart.
+
+    :param host: (n, dim) float32 raw rows in LIST-SORTED order.
+    :param cents_pad: (C, d_pad) float32 lane-padded centroids.
+    :param assigns: (n,) int32 original-list assignment per row.
+    :return: (perm, rot | None, codebooks np, codebooks dev,
+        codes dev (capacity, m) uint8, s2_full dev (capacity,) f32
+        (= ||c_T + r_hat||^2), cents_T np (C, d_codec) f32,
+        row2list dev (capacity,) int32).
+    """
+    from smqtk_indexing_tpu.ops.device import pad_rows_np
+
+    if m > host.shape[1]:
+        raise ValueError(
+            f"PQ{m}: more subquantizers than dims ({host.shape[1]}).")
+    d_codec = pq_codec_dim(d_pad, m)
+    perm = np.argsort(np.arange(d_codec) % m,
+                      kind="stable").astype(np.int32)
+    n = host.shape[0]
+    cents_c = pad_rows_np(cents_pad.astype(np.float32),
+                          cents_pad.shape[0], d_codec)[:, perm]
+    res = pad_rows_np(host, n, d_codec)[:, perm] - cents_c[assigns]
+    live = res[valid_mask] if not valid_mask.all() else res
+    rot = None
+    if rotate:
+        from smqtk_indexing_tpu.ops.opq import opq_train
+        rot, cb = opq_train(live, m, seed=seed)
+        res = res @ rot
+        cents_c = np.ascontiguousarray(cents_c @ rot)
+    else:
+        cb = pq_train(live, m)
+    codes = np.zeros((capacity, m), dtype=np.uint8)
+    codes[:n] = pq_encode_np(res, cb)
+    row2list = np.zeros(capacity, dtype=np.int32)
+    row2list[:n] = assigns
+    cb_dev = jnp.asarray(cb)
+    codes_dev = jnp.asarray(codes)
+    row2list_dev = jnp.asarray(row2list)
+    s2 = pq_residual_stats(codes_dev, cb_dev, jnp.asarray(cents_c),
+                           row2list_dev)
+    return perm, rot, cb, cb_dev, codes_dev, s2, cents_c, row2list_dev
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def pq_residual_stats(codes: jnp.ndarray, codebooks: jnp.ndarray,
+                      cents_c: jnp.ndarray, row2list: jnp.ndarray,
+                      chunk: int = DEFAULT_CHUNK) -> jnp.ndarray:
+    """(N,) float32 ``||c_T[row] + r_hat||^2`` — the residual codec's
+    full reconstruction norms (chunked decode; exact f32 one-hot
+    dequant)."""
+    n, m = codes.shape
+
+    def stats_of(cc, lids):
+        x = _dequant(cc, codebooks, dtype=jnp.float32) \
+            + jnp.take(cents_c, lids, axis=0)
+        return jnp.sum(x * x, axis=-1)
+
+    if n <= chunk:
+        return stats_of(codes, row2list)
+    num_chunks = n // chunk
+    _, s2 = jax.lax.scan(
+        lambda _, blk: (None, stats_of(*blk)), None,
+        (codes.reshape(num_chunks, chunk, m),
+         row2list.reshape(num_chunks, chunk)))
+    return s2.reshape(n)
+
+
 def pq_prep_queries(q_pad: np.ndarray, perm: np.ndarray,
                     rot: np.ndarray = None) -> np.ndarray:
     """Extend lane-padded queries to the codec grid, interleave, and

@@ -1,0 +1,217 @@
+"""
+Residual IVF-PQ (``pq_residual=True`` — FAISS's ``by_residual`` IVF-PQ
+behavior, the reference's default for index_factory 'IVF<n>,PQ<M>'):
+codes quantize ``x - centroid(list)``. Covers exactness w.r.t. the
+(c + r_hat) reconstruction, the recall gain on clustered data, every
+serving path (XLA scan, forced tiled ADC DMA routing, code tier exact +
+score), persistence, updates, and the OPQ composition.
+"""
+import json
+import warnings
+
+import numpy as np
+import pytest
+
+from smqtk_indexing_tpu.data.data_element import DataMemoryElement
+from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+from smqtk_indexing_tpu.models.nn_index.ivf import IvfNearestNeighborsIndex
+
+
+def _elem(uid, vec):
+    return DescriptorMemoryElement(uid, np.asarray(vec, dtype=np.float32))
+
+
+def _clustered(n=2000, d=32, n_clusters=32, noise=0.5, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.random((n_clusters, d), dtype=np.float32) * 10
+    x = centers[rng.integers(0, n_clusters, size=n)] \
+        + rng.normal(size=(n, d)).astype(np.float32) * noise
+    return x
+
+
+def _index(**kw):
+    kw.setdefault("n_lists", 8)
+    kw.setdefault("nprobe", 8)
+    kw.setdefault("kmeans_iterations", 5)
+    kw.setdefault("random_seed", 0)
+    kw.setdefault("dtype", "pq8")
+    kw.setdefault("pq_residual", True)
+    return IvfNearestNeighborsIndex(**kw)
+
+
+def _query(idx, vec, k=5):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return idx.nn(_elem("q", vec), k)
+
+
+class TestValidation:
+    def test_requires_pq_dtype(self):
+        with pytest.raises(ValueError, match="PQ dtype"):
+            IvfNearestNeighborsIndex(dtype="sq8", pq_residual=True)
+
+    def test_requires_euclidean(self):
+        with pytest.raises(ValueError, match="euclidean"):
+            IvfNearestNeighborsIndex(dtype="pq8", pq_residual=True,
+                                     metric="cosine")
+
+    def test_single_device(self):
+        with pytest.raises(ValueError, match="single-device"):
+            IvfNearestNeighborsIndex(dtype="pq8", pq_residual=True,
+                                     n_devices=4)
+
+    def test_config_roundtrip(self):
+        idx = _index()
+        cfg = json.loads(json.dumps(idx.get_config()))
+        idx2 = IvfNearestNeighborsIndex.from_config(cfg)
+        assert idx2.pq_residual is True
+
+
+def _exact_recon_dists(idx, q):
+    """float64 distances from q to the index's OWN reconstructions
+    (c_T + r_hat mapped back to original dims via _row_vector)."""
+    rec = np.stack([idx._row_vector(i)
+                    for i in range(idx._host.shape[0])])
+    return np.sqrt(((q.astype(np.float64)
+                     - rec.astype(np.float64)) ** 2).sum(-1))
+
+
+class TestExactness:
+    def test_distances_exact_vs_reconstruction_full_probe(self):
+        """At full probe, rows == float64 brute force over the residual
+        reconstructions and reported distances match — the codec is the
+        only loss (FAISS IVF-PQ contract). Code tier: _row_vector IS the
+        decode (the rows tier keeps raw floats there)."""
+        x = _clustered(n=800)
+        idx = _index(nprobe=8, storage="code")
+        idx.build_index([_elem(i, x[i]) for i in range(len(x))])
+        uid_of_row = list(idx._row2uid)
+        rng = np.random.default_rng(7)
+        for qv in x[rng.choice(len(x), 5, replace=False)]:
+            d64 = _exact_recon_dists(idx, qv)
+            want = {uid_of_row[r] for r in np.argsort(d64)[:5]}
+            nbrs, dists = _query(idx, qv, 5)
+            got = [e.uuid() for e in nbrs]
+            # near-tie tolerance at the k boundary
+            assert len(set(got) & want) >= 4, (got, want)
+            row_of_uid = {u: r for r, u in enumerate(uid_of_row)}
+            ref = np.sort(d64[[row_of_uid[u] for u in got]])
+            np.testing.assert_allclose(dists, ref, rtol=1e-4, atol=1e-4)
+
+    def test_forced_tiled_routing_parity(self, monkeypatch):
+        x = _clustered(n=1200)
+        idx_x = _index()
+        idx_x.build_index([_elem(i, x[i]) for i in range(len(x))])
+        monkeypatch.setenv("SMQTK_TPU_ROWS_TILED", "1")
+        idx_t = _index()
+        idx_t.build_index([_elem(i, x[i]) for i in range(len(x))])
+        assert idx_t._dev3 is not None and idx_x._dev3 is None
+        assert idx_t._row2list_dev is not None
+        for qi in (3, 700):
+            n_x, d_x = _query(idx_x, x[qi])
+            n_t, d_t = _query(idx_t, x[qi])
+            ids_x = [e.uuid() for e in n_x]
+            ids_t = [e.uuid() for e in n_t]
+            assert len(set(ids_x) & set(ids_t)) >= 4, (ids_x, ids_t)
+            np.testing.assert_allclose(d_x[0], d_t[0], rtol=1e-3,
+                                       atol=1e-3)
+
+    def test_code_tier_score_mode_consistent(self):
+        x = _clustered(n=1200)
+        els = [_elem(i, x[i]) for i in range(len(x))]
+        idx_e = _index(storage="code", rerank="exact")
+        idx_e.build_index(els)
+        idx_s = _index(storage="code", rerank="score")
+        idx_s.build_index(els)
+        for qi in (10, 500):
+            n_e, d_e = _query(idx_e, x[qi])
+            n_s, d_s = _query(idx_s, x[qi])
+            assert n_e[0].uuid() == n_s[0].uuid()
+            np.testing.assert_allclose(d_e[0], d_s[0], rtol=5e-3,
+                                       atol=5e-3)
+
+
+class TestRecallGain:
+    def test_residual_beats_raw_on_clustered_data(self):
+        """The point of the feature: with lists aligned to cluster
+        structure, quantizing residuals instead of raw rows lifts
+        recall at identical bytes/vector."""
+        rng = np.random.default_rng(1)
+        n, d, c = 4000, 32, 64
+        centers = rng.random((c, d), dtype=np.float32) * 10
+        x = centers[rng.integers(0, c, size=n)] \
+            + rng.normal(size=(n, d)).astype(np.float32) * 0.8
+        q = centers[rng.integers(0, c, size=32)] \
+            + rng.normal(size=(32, d)).astype(np.float32) * 0.8
+        els = [_elem(i, x[i]) for i in range(n)]
+        d2 = ((q[:, None].astype(np.float64)
+               - x[None].astype(np.float64)) ** 2).sum(-1)
+        truth = np.argsort(d2, 1)[:, :10]
+
+        def recall(residual):
+            idx = _index(n_lists=64, nprobe=64, kmeans_iterations=8,
+                         pq_residual=residual)
+            idx.build_index(els)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                res = idx.nn_many([_elem(f"q{i}", q[i])
+                                   for i in range(32)], 10)
+            return np.mean([
+                len({e.uuid() for e in r[0]} & set(t.tolist())) / 10.0
+                for r, t in zip(res, truth)])
+
+        r_raw, r_res = recall(False), recall(True)
+        assert r_res > r_raw + 0.1, (r_raw, r_res)
+
+
+class TestLifecycle:
+    def test_update_and_remove(self):
+        x = _clustered(n=1000)
+        els = [_elem(i, x[i]) for i in range(len(x))]
+        idx = _index(storage="code")
+        idx.build_index(els[:800])
+        idx.update_index(els[800:])
+        nbrs, _ = _query(idx, x[900])
+        assert nbrs[0].uuid() == 900
+        idx.remove_from_index([900])
+        nbrs, _ = _query(idx, x[900])
+        assert 900 not in {e.uuid() for e in nbrs}
+
+    def test_persistence_roundtrip(self):
+        x = _clustered(n=900)
+        els = [_elem(i, x[i]) for i in range(len(x))]
+        el = DataMemoryElement(readonly=False)
+        idx = _index(storage="code", index_element=el)
+        idx.build_index(els)
+        want = [e.uuid() for e in _query(idx, x[44])[0]]
+        idx2 = _index(storage="code", index_element=el)
+        assert idx2.pq_residual is True
+        got = [e.uuid() for e in _query(idx2, x[44])[0]]
+        assert got == want
+
+    def test_cross_load_decode_adds_centroid_back(self):
+        x = _clustered(n=900)
+        els = [_elem(i, x[i]) for i in range(len(x))]
+        el = DataMemoryElement(readonly=False)
+        idx = _index(storage="code", index_element=el)
+        idx.build_index(els)
+        rows = IvfNearestNeighborsIndex(
+            n_lists=8, nprobe=8, kmeans_iterations=5, random_seed=0,
+            dtype="float32", storage="rows", index_element=el)
+        orig = x[np.asarray(rows._row2uid, dtype=np.int64)]
+        errs = np.sqrt(((rows._host - orig) ** 2).sum(-1))
+        # Residual reconstructions: error ~ codec step on the RESIDUAL
+        # scale — far below the data scale (centroid was added back).
+        assert float(np.median(errs)) < 0.2 * float(
+            np.median(np.sqrt((orig ** 2).sum(-1))))
+        nbrs, _ = _query(rows, x[8])
+        assert nbrs[0].uuid() == 8
+
+    def test_opq_residual_compose(self):
+        x = _clustered(n=900)
+        els = [_elem(i, x[i]) for i in range(len(x))]
+        idx = _index(dtype="opq8")
+        idx.build_index(els)
+        nbrs, dists = _query(idx, x[17])
+        assert nbrs[0].uuid() == 17
+        assert list(dists) == sorted(dists)
