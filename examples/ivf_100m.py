@@ -33,10 +33,13 @@ infeasible):
    assignments) rebuilds as (n_tiles, 16, 4096) uint8 PQ codes —
    **1.6 GB for 100M vectors**, the ~800M-vectors/chip ceiling — served
    by the in-kernel ADC one-hot MXU scan
-   (ops/pallas_ivf.ivf_query_dma_tiled_table_pq). Recall is reported
-   against the same held-out float-data oracle truth: PQ16's codec
-   limit on this near-iid mixture is the published number, not a
-   pipeline defect (docs/benchmarks.md Config 3 readings).
+   (ops/pallas_ivf.ivf_query_dma_tiled_table_pq). Encoding is RESIDUAL
+   by default (FAISS by_residual, as in the reference's
+   'IVF16384,PQ16'): codes carry x - centroid(list), so the codec only
+   quantizes the intra-cell noise (SIGMA) — SMQTK_IVF100M_RAW_PQ=1
+   restores raw-row encoding, whose codec-limited recall on this
+   mixture is documented in docs/benchmarks.md Config 3. Recall is
+   reported against the same held-out float-data oracle truth.
 
 Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site python \
     examples/ivf_100m.py
@@ -86,6 +89,11 @@ _CKEY = jax.random.PRNGKey(7)
 M_PQ = 16                                # PQ subquantizers
 DSUB = D // M_PQ                         # 8 dims per subspace
 PQ_PHASE = not bool(os.environ.get("SMQTK_IVF100M_NO_PQ"))
+#: Residual encoding (FAISS by_residual — the default here as there):
+#: PQ quantizes x - centroid(list), so the codec only carries the
+#: intra-cell noise (SIGMA) instead of the full mixture geometry.
+#: SMQTK_IVF100M_RAW_PQ=1 restores raw-row encoding for the A/B.
+RESIDUAL_PQ = not bool(os.environ.get("SMQTK_IVF100M_RAW_PQ"))
 
 
 def _gen_rows(centers: jnp.ndarray, row_ids: jnp.ndarray) -> jnp.ndarray:
@@ -127,7 +135,7 @@ def _ingest_chunk(big, s2big, cents, centers, ci):
     tile-transposed int8 (pass 2), write into the donated buffers.
     Returns per-list row counts for the host-side CSR build."""
     base = ci * CHUNK
-    order, lens = _assign_order(cents, centers, base)
+    order, _, lens = _assign_order(cents, centers, base)
 
     def gen_body(_, ti):
         src = jax.lax.dynamic_slice(order, (ti * TILE,), (TILE,))
@@ -171,7 +179,7 @@ def _assign_order(cents: jnp.ndarray, centers: jnp.ndarray,
     order = jnp.argsort(asg, stable=True).astype(jnp.int32)
     lens = jax.ops.segment_sum(jnp.ones_like(asg), asg,
                                num_segments=C_LISTS)
-    return order, lens
+    return order, asg, lens
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
@@ -181,19 +189,35 @@ def _ingest_chunk_pq(bigp, s2bigp, cents, cb, cb_sq, centers, ci):
     (M, TILE) uint8 code tiles (bit-reinterpreted int8 — the kernel's
     DMA dtype) + per-row reconstruction norms."""
     base = ci * CHUNK
-    order, _ = _assign_order(cents, centers, base)
+    order, asg, _ = _assign_order(cents, centers, base)
 
     def gen_body(_, ti):
         src = jax.lax.dynamic_slice(order, (ti * TILE,), (TILE,))
         rows = _gen_rows(centers, base + src)            # (TILE, D)
-        rs = rows.reshape(TILE, M_PQ, DSUB)
+        if RESIDUAL_PQ:
+            asg_t = jnp.take(asg, src)                   # (TILE,)
+            c_rows = jnp.take(cents, asg_t, axis=0)      # (TILE, D)
+            enc = rows - c_rows
+        else:
+            enc = rows
+        rs = enc.reshape(TILE, M_PQ, DSUB)
         ip = jnp.einsum("tms,mvs->tmv", rs, cb,
                         precision=jax.lax.Precision.HIGHEST)
         d2 = cb_sq[None, :, :] - 2.0 * ip                # (TILE, M, 256)
         codes = jnp.argmin(d2, axis=2)                   # (TILE, M) int32
-        s2 = jnp.sum(jnp.take_along_axis(
-            jnp.broadcast_to(cb_sq[None], (TILE, M_PQ, 256)),
-            codes[..., None], axis=2)[..., 0], axis=1)   # (TILE,)
+        if RESIDUAL_PQ:
+            # Full reconstruction norms ||c + r_hat||^2: decode r_hat
+            # (16 tiny gathers) and add the centroid back — the stats
+            # form the residual serving score needs.
+            rhat = jnp.concatenate(
+                [jnp.take(cb[mi], codes[:, mi], axis=0)
+                 for mi in range(M_PQ)], axis=1)         # (TILE, D)
+            xhat = c_rows + rhat
+            s2 = jnp.sum(xhat * xhat, axis=-1)           # (TILE,)
+        else:
+            s2 = jnp.sum(jnp.take_along_axis(
+                jnp.broadcast_to(cb_sq[None], (TILE, M_PQ, 256)),
+                codes[..., None], axis=2)[..., 0], axis=1)
         codes_t = jax.lax.bitcast_convert_type(
             codes.astype(jnp.uint8), jnp.int8).T         # (M, TILE)
         return None, (codes_t, s2)
@@ -356,6 +380,27 @@ def main() -> None:
 
     t0 = time.perf_counter()
     sample = _train_sample(centers)
+    if RESIDUAL_PQ:
+        # Codebooks train on RESIDUALS (x - assigned centroid) — the
+        # distribution the codes will actually carry.
+        @jax.jit
+        def _residualize(s, c):
+            c_sq = jnp.sum(c * c, axis=-1)
+
+            def body(_, si):
+                blk = jax.lax.dynamic_slice(s, (si * SUB, 0), (SUB, D))
+                ip = jnp.dot(blk, c.T,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+                a = jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=1)
+                return None, blk - jnp.take(c, a, axis=0)
+
+            _, res = jax.lax.scan(
+                body, None,
+                jnp.arange(TRAIN_ROWS // SUB, dtype=jnp.int32))
+            return res.reshape(TRAIN_ROWS, D)
+
+        sample = _residualize(sample, cents)
     v_all = jnp.ones(TRAIN_ROWS, bool)
     cbs = []
     for m in range(M_PQ):
@@ -367,7 +412,7 @@ def main() -> None:
     del sample, v_all
     emit(metric="pq16_100m_train_wall",
          value=round(time.perf_counter() - t0, 1), unit="s",
-         subspaces=M_PQ, dsub=DSUB)
+         subspaces=M_PQ, dsub=DSUB, residual=RESIDUAL_PQ)
 
     t0 = time.perf_counter()
     cb_sq = jnp.sum(cb * cb, axis=-1)                # (M, 256)
@@ -382,21 +427,24 @@ def main() -> None:
          hbm_gb=round((N * M_PQ + N * 4) / 2 ** 30, 2))
 
     # Identity dim interleave: D divides M_PQ evenly, codebooks trained
-    # on contiguous subspaces of the ORIGINAL grid.
+    # on contiguous subspaces of the ORIGINAL grid. Residual mode hands
+    # the wrapper the centroid table (score-mode finalization needs no
+    # row->list map — only the per-probe -2<q,c> offsets).
     perm = jnp.arange(D, dtype=jnp.int32)
+    res_c = cents if RESIDUAL_PQ else None
     # ADC oracle: a wide-probe scan over the SAME codes separates list-
     # coverage loss (the IVF tier's own contribution) from codec loss
     # (recall vs the float oracle, flat across nprobe when codec-bound).
     _, rr_adc = ivf_query_dma_tiled_table_pq(
         bigp, s2bigp, cb, perm, cents, table_d, v_tile_d, v_col_d,
         v_len_d, qd, k=K, nprobe_orig=64, interpret=INTERP,
-        rerank="score")
+        rerank="score", res_cents=res_c)
     truth_adc = np.asarray(rr_adc)[:, :10]
     for nprobe in (2, 4, 8, 16):
         run = partial(ivf_query_dma_tiled_table_pq, bigp, s2bigp, cb,
                       perm, cents, table_d, v_tile_d, v_col_d, v_len_d,
                       qd, k=K, nprobe_orig=nprobe, interpret=INTERP,
-                      rerank="score")
+                      rerank="score", res_cents=res_c)
         t0 = time.perf_counter()
         dd, rr = run()
         got = np.asarray(rr)
@@ -418,7 +466,8 @@ def main() -> None:
         run_l = partial(ivf_query_dma_tiled_table_pq, bigp, s2bigp, cb,
                         perm, cents, table_d, v_tile_d, v_col_d,
                         v_len_d, qd_large, k=K, nprobe_orig=nprobe,
-                        interpret=INTERP, rerank="score")
+                        interpret=INTERP, rerank="score",
+                        res_cents=res_c)
         dd, rr = run_l()
         np.asarray(rr)
         t0 = time.perf_counter()
@@ -428,6 +477,7 @@ def main() -> None:
         dt_l = (time.perf_counter() - t0) / reps
         emit(metric=f"ivf16384_pq16_100m_nprobe{nprobe}",
              value=round(B / dt, 1), unit="queries/s",
+             residual=RESIDUAL_PQ,
              recall_at_10_vs_float_oracle=round(recall, 4),
              recall_at_10_vs_adc_oracle=round(recall_adc, 4),
              batch_ms=round(dt * 1e3, 2),

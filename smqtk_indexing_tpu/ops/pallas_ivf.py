@@ -938,8 +938,11 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
         residual mode (FAISS ``by_residual``; codes carry
         ``x_T - c_T[list]``, s2t holds ``||c_T + r_hat||^2``).
     :param row2list: (n_pad,) int32 original-list id per tiled row
-        (residual mode only).
+        (residual mode; required for rerank="gather" — score-mode
+        finalization needs only the per-probe offsets).
     """
+    if res_cents is not None and rerank != "score" and row2list is None:
+        raise ValueError("residual gather re-rank needs row2list")
     n_tiles, m_sub, tile_n = db3c.shape
     b, d_pad = q.shape
     d_codec = perm.shape[0]
