@@ -117,6 +117,23 @@ class TestFlatOpq:
         assert nbrs[0].uuid() == 550
 
 
+class TestShardedOpq:
+    def test_sharded_flat_matches_single(self):
+        """OPQ on the 8-virtual-device mesh: the rotation trains on host
+        before sharding, so per-shard scans + merge must reproduce the
+        single-device results exactly."""
+        elems, x = _correlated_elems(n=400)
+        single = FlatNearestNeighborsIndex(dtype="opq4")
+        multi = FlatNearestNeighborsIndex(dtype="opq4", n_devices=8)
+        single.build_index(elems)
+        multi.build_index(elems)
+        for qi in (0, 123, 399):
+            n1, d1 = _query(single, x[qi])
+            n8, d8 = _query(multi, x[qi])
+            assert [e.uuid() for e in n8] == [e.uuid() for e in n1]
+            np.testing.assert_allclose(d8, d1, atol=1e-5)
+
+
 class TestIvfOpqRows:
     def _index(self, **kw):
         kw.setdefault("n_lists", 4)
