@@ -13,6 +13,10 @@ always on here):
 - ``Flat``                      -> FlatNearestNeighborsIndex
 - ``SQ8``                       -> FlatNearestNeighborsIndex(dtype='sq8')
   (int8 scalar quantization, 4x capacity — the FAISS ``SQ8`` codec)
+- ``SQfp16``                    -> dtype='bfloat16' (half storage; bf16
+  is the TPU-native half format — fp16 mantissa bits beyond bf16's
+  would be discarded by the MXU anyway); ``SQ4``/``SQ6`` are rejected
+  with a pointer to SQ8/PQ
 - ``PQ<M>`` / ``PQ<M>x8``       -> FlatNearestNeighborsIndex(
   dtype='pq<M>') (product quantization, M bytes/vector: ~32x capacity at
   d=128/PQ16 — served by the dequantize-then-scan MXU formulation,
@@ -73,7 +77,17 @@ def index_from_factory_string(factory_string: str,
     m = _METRIC_MAP[metric.lower()]
     parts = [p.strip() for p in factory_string.split(",")
              if p.strip() and p.strip().lower() != "idmap"]
-    codecs = {"flat": "float32", "sq8": "sq8"}
+    # 'SQfp16' (FAISS's half-precision scalar quantizer) maps to the
+    # bfloat16 tier: same 2 bytes/dim and intent (half storage, near-f32
+    # recall); bf16 is the TPU's native half format — fp16's extra
+    # mantissa bits would be discarded by the MXU anyway.
+    codecs = {"flat": "float32", "sq8": "sq8", "sqfp16": "bfloat16"}
+    for p in parts:
+        if re.fullmatch(r"SQ[46]", p, flags=re.IGNORECASE):
+            raise ValueError(
+                f"{factory_string!r}: 4/6-bit scalar quantizers are not "
+                "supported; use 'SQ8' (4x) or 'PQ<M>' (up to 32x+) for "
+                "the capacity axis.")
 
     opq_m = None
     if parts and re.fullmatch(r"OPQ(\d+)", parts[0],

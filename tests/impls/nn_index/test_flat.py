@@ -339,6 +339,24 @@ class TestBfloat16Storage:
 
 
 class TestFactoryString:
+    def test_sqfp16_maps_to_bfloat16(self):
+        from smqtk_indexing_tpu.models.nn_index.factory import (
+            index_from_factory_string,
+        )
+        assert index_from_factory_string("SQfp16").dtype == "bfloat16"
+        i = index_from_factory_string("IVF8,SQfp16")
+        assert i.dtype == "bfloat16" and i.n_lists == 8
+
+    def test_sq4_sq6_rejected(self):
+        import pytest
+
+        from smqtk_indexing_tpu.models.nn_index.factory import (
+            index_from_factory_string,
+        )
+        for s in ("SQ4", "SQ6", "IVF8,SQ4"):
+            with pytest.raises(ValueError, match="scalar quantizers"):
+                index_from_factory_string(s)
+
     def test_flat(self):
         from smqtk_indexing_tpu.models.nn_index.factory import (
             index_from_factory_string,
