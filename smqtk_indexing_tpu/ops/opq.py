@@ -107,14 +107,26 @@ def opq_train(rows_c: np.ndarray, m: int, n_iter: int = 16,
     r = eig_alloc_init(x, m) if init == "eig" \
         else np.eye(d, dtype=np.float32)
     x64 = x.astype(np.float64)
+    # Warm-start codebooks across alternations (without it each inner
+    # k-means restarts from scratch: the objective is non-monotone and
+    # the LAST iterate can be poor — measured recall regressions on
+    # low-intrinsic-dim data); keep the best-error (R, cb) seen, since
+    # even warm-started alternation only roughly descends.
+    cb = None
+    best = (np.inf, r, None)
     for _ in range(n_iter):
         xr = x @ r
-        cb = pq_train(xr, m, n_iter=inner_kmeans_iter, seed=seed)
+        cb = pq_train(xr, m, n_iter=inner_kmeans_iter, seed=seed,
+                      init=cb)
         rec = pq_decode_np(pq_encode_np(xr, cb), cb)
+        err = float(((xr - rec) ** 2).sum())
+        if err < best[0]:
+            best = (err, r, cb)
         u, _, vt = np.linalg.svd(x64.T @ rec.astype(np.float64))
         r = (u @ vt).astype(np.float32)
+    _, r, cb = best
     cb = pq_train(np.ascontiguousarray(x @ r), m,
-                  n_iter=final_kmeans_iter, seed=seed)
+                  n_iter=final_kmeans_iter, seed=seed, init=cb)
     return r, cb
 
 

@@ -46,37 +46,53 @@ K_SUB = 256
 
 
 def pq_train(mat: np.ndarray, m: int, n_iter: int = 20,
-             seed: int = 0) -> np.ndarray:
+             seed: int = 0, init: np.ndarray = None) -> np.ndarray:
     """
-    Learn per-subspace codebooks with device k-means (ops/kmeans.py).
+    Learn per-subspace codebooks with device k-means (ops/kmeans.py) —
+    all M subspaces train in ONE vmapped Lloyd dispatch (a serial
+    per-subspace loop pays the ~28 ms tunnel dispatch floor M times per
+    call; OPQ's alternation multiplies that by its iteration count).
 
     :param mat: (n, d) float32 training rows (d % m == 0).
     :param m: Subquantizer count (bytes per vector).
+    :param init: Optional (m, 256, d // m) warm-start codebooks (the OPQ
+        alternation carries codebooks across rotation updates).
     :return: (m, 256, d // m) float32 codebooks.
     """
-    from smqtk_indexing_tpu.ops.kmeans import kmeans_lloyd
-
     n, d = mat.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by {m} subquantizers")
     dsub = d // m
-    rng = np.random.default_rng(seed)
-    valid = jnp.ones(n, dtype=bool)
-    cbs = np.zeros((m, K_SUB, dsub), dtype=np.float32)
-    for mi in range(m):
-        sub = np.ascontiguousarray(mat[:, mi * dsub:(mi + 1) * dsub])
+    subs = np.ascontiguousarray(
+        mat.reshape(n, m, dsub).transpose(1, 0, 2).astype(np.float32))
+    if init is None:
+        rng = np.random.default_rng(seed)
         k_eff = min(K_SUB, n)
-        init = sub[rng.choice(n, k_eff, replace=False)]
+        sel = rng.choice(n, k_eff, replace=False)
+        init = subs[:, sel]                          # (m, k_eff, dsub)
         if k_eff < K_SUB:
-            # Duplicate-padding keeps shapes static; extra centroids just
-            # tie and never hurt assignment.
+            # Duplicate-padding keeps shapes static; extra centroids
+            # just tie and never hurt assignment.
             init = np.concatenate(
-                [init, init[rng.integers(0, k_eff, K_SUB - k_eff)]])
-        cents, _ = kmeans_lloyd(jnp.asarray(sub), valid,
-                                jnp.asarray(init.astype(np.float32)),
-                                n_iter=n_iter)
-        cbs[mi] = np.asarray(cents)
-    return cbs
+                [init, init[:, rng.integers(0, k_eff, K_SUB - k_eff)]],
+                axis=1)
+    cents = _pq_train_vmapped(jnp.asarray(subs),
+                              jnp.asarray(np.asarray(init, np.float32)),
+                              n_iter=n_iter)
+    return np.asarray(cents)
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _pq_train_vmapped(subs: jnp.ndarray, inits: jnp.ndarray, *,
+                      n_iter: int) -> jnp.ndarray:
+    """(m, n, dsub) subspace stacks + (m, 256, dsub) inits -> (m, 256,
+    dsub) codebooks, one program for all subquantizers."""
+    from smqtk_indexing_tpu.ops.kmeans import kmeans_lloyd
+
+    valid = jnp.ones(subs.shape[1], dtype=bool)
+    return jax.vmap(
+        lambda s, i: kmeans_lloyd(s, valid, i, n_iter=n_iter)[0]
+    )(subs, inits)
 
 
 @partial(jax.jit, static_argnames=())
