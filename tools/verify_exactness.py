@@ -10,6 +10,9 @@ TPU matmul precision semantics differ; see CLAUDE.md):
 5. PQ 'code' tier (tiled ADC DMA kernel) at 256K, full probe: neighbor
    rows == float64 brute force over the reconstructions; exact-rerank
    distances match float64; score-mode agrees on the top-1 row.
+6. RESIDUAL PQ code tier (pq_residual=True): same contract over the
+   c_T[list] + r_hat reconstructions (per-probe offsets + the
+   centroid-adding exact re-rank on chip).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/verify_exactness.py
 """
@@ -171,6 +174,42 @@ def main() -> None:
         top5 = {int(uid_of_row[r]) for r in np.argsort(d2_rec[j])[:5]}
         assert e_list[0].uuid() in top5, j
     _log("5. PQ code tier (tiled ADC kernel) exact vs float64 at 256K OK")
+
+    # 6. RESIDUAL PQ code tier (pq_residual=True — FAISS by_residual):
+    # same contract with the reconstruction now c_T[list] + r_hat; the
+    # per-probe -2<q,c> offsets and the centroid-adding exact re-rank
+    # must keep winners/distances float64-exact on the real chip (the
+    # split-bf16 offset/LUT interplay is invisible to CPU interpret).
+    idx_res = IvfNearestNeighborsIndex(
+        n_lists=64, nprobe=64, kmeans_iterations=4, random_seed=0,
+        dtype="pq16", storage="code", pq_residual=True)
+    idx_res.build_index([DescriptorMemoryElement(i, db[i])
+                         for i in range(n_pq)])
+    _, _, perm_r = idx_res._pq_grid()
+    cents_c = idx_res._pq_cents_codec(idx_res._code_rot) \
+        .astype(np.float64)
+    rec_r = pq.pq_decode_np(idx_res._host, idx_res._code_cb) \
+        .astype(np.float64) + cents_c[idx_res._assign_host]
+    uid_of_row = np.asarray(idx_res._row2uid)
+    q_c = np.zeros((B, len(perm_r)))
+    q_c[:, :D] = q
+    q_c = q_c[:, perm_r]
+    d2_rec = (q_c ** 2).sum(1)[:, None] + (rec_r ** 2).sum(1)[None, :] \
+        - 2.0 * (q_c @ rec_r.T)
+    row_of_uid = {int(u): r for r, u in enumerate(uid_of_row)}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = idx_res.nn_many(q_elems, K)
+    for j, (e_list, dists) in enumerate(res):
+        expect = {int(uid_of_row[r]) for r in np.argsort(d2_rec[j])[:K]}
+        got_ids = [e.uuid() for e in e_list]
+        assert len(expect & set(got_ids)) >= K - 1, (j, got_ids, expect)
+        ref_d = np.sqrt(np.maximum(
+            d2_rec[j][[row_of_uid[u] for u in got_ids]], 0.0))
+        assert np.allclose(dists, ref_d, atol=1e-2, rtol=1e-4), \
+            np.abs(np.asarray(dists) - ref_d).max()
+        assert list(dists) == sorted(dists), j
+    _log("6. RESIDUAL PQ code tier exact vs float64 at 256K OK")
 
     _log("ALL EXACTNESS DRIVES PASSED")
 
