@@ -42,7 +42,7 @@ def emit(**kw) -> None:
 
 
 def _load_or_make(name: str, n: int, d: int, scale: float, seed: int,
-                  nq: int = N_QUERIES):
+                  nq: int = N_QUERIES, rank: int = None):
     """
     :return: (db (n, d) float32, queries (nq, d) float32, dataset label).
         Queries are held out: the TexMex query file when available, else
@@ -64,8 +64,23 @@ def _load_or_make(name: str, n: int, d: int, scale: float, seed: int,
     # degenerate); queries are INDEPENDENT draws from the same mixture —
     # never copies of database points — so partial-probe recall < 1.
     n_clusters = 1024
-    centers = rng.random((n_clusters, d), dtype=np.float32) * scale
     total = n + nq
+    if rank is not None:
+        # Correlated flavor: the cluster mixture lives in a rank-`rank`
+        # latent subspace mixed through a random linear map (the
+        # descriptor-like regime where the OPQ rotation matters; iid-dim
+        # mixtures are PQ/OPQ-adversarial by construction).
+        lat = rng.random((n_clusters, rank), dtype=np.float32) * scale
+        w = rng.standard_normal((rank, d)).astype(np.float32) \
+            / np.sqrt(rank)
+        z = lat[rng.integers(0, n_clusters, size=total)]
+        z += rng.normal(size=(total, rank)).astype(np.float32) \
+            * (scale / 12)
+        pts = (z @ w + rng.normal(size=(total, d)).astype(np.float32)
+               * (scale / 50)).astype(np.float32)
+        pts = pts[rng.permutation(total)]
+        return pts[:n], pts[n:], f"synthetic-rank{rank}"
+    centers = rng.random((n_clusters, d), dtype=np.float32) * scale
     pts = centers[rng.integers(0, n_clusters, size=total)]
     pts += rng.normal(size=(total, d)).astype(np.float32) * (scale / 12)
     pts = np.clip(pts, 0, scale).astype(np.float32)
@@ -263,11 +278,13 @@ _IVF_VARIANTS = {
     "_pq16_res": ("pq16", "rows", "exact", {}, {"pq_residual": True}),
     "_code_pq16_res_score": ("pq16", "code", "score", {},
                              {"pq_residual": True}),
+    "_opq16_res": ("opq16", "rows", "exact", {}, {"pq_residual": True}),
 }
 
 
 def bench_ivf(tags=("", "_sq8", "_pq16"),
-              nprobes=(1, 2, 4, 8, 16, 32, 64, 128)) -> None:
+              nprobes=(1, 2, 4, 8, 16, 32, 64, 128),
+              rank=None, label="deep1m") -> None:
     """IVF4096 nprobe sweeps over the storage codecs (the reference's
     'IVF4096,Flat' / 'IVF4096,SQ8' / 'IVF4096,PQ16' factory configs,
     faiss.py:190): recall@10 on 128 held-out queries (float64 ground
@@ -281,7 +298,7 @@ def bench_ivf(tags=("", "_sq8", "_pq16"),
 
     n, d = 1_000_000, 96
     db, queries, dataset = _load_or_make("deep_base.fvecs", n, d, 1.0,
-                                         seed=2, nq=1024)
+                                         seed=2, nq=1024, rank=rank)
     n = db.shape[0]
     elems = [DescriptorMemoryElement(i, db[i]) for i in range(n)]
     nq_r = 128
@@ -309,7 +326,7 @@ def bench_ivf(tags=("", "_sq8", "_pq16"),
                     os.environ.pop(k, None)
                 else:
                     os.environ[k] = v
-        emit(metric=f"ivf4096{tag}_deep1m_build_wall",
+        emit(metric=f"ivf4096{tag}_{label}_build_wall",
              value=round(time.perf_counter() - t0, 1), unit="s",
              dataset=dataset)
 
@@ -326,7 +343,7 @@ def bench_ivf(tags=("", "_sq8", "_pq16"),
             for _ in range(2):
                 idx.nn_many(q_large, 10)
             dt1024 = (time.perf_counter() - t0) / 2
-            emit(metric=f"ivf4096{tag}_deep1m_nprobe{nprobe}",
+            emit(metric=f"ivf4096{tag}_{label}_nprobe{nprobe}",
                  value=round(nq_r / dt128, 0), unit="queries/s",
                  qps_b1024=round(1024 / dt1024, 0), dataset=dataset,
                  recall_at_10=round(_recall_at_10(got, truth), 4))
@@ -433,9 +450,16 @@ if __name__ == "__main__":
                     ("_pq16_rowmajor", "_pq16", "_code_pq16",
                      "_code_pq16_score", "_opq16", "_code_opq16_score",
                      "_pq16_res", "_code_pq16_res_score"),
-                    nprobes=(1, 4, 16, 64))}
+                    nprobes=(1, 4, 16, 64)),
+                # Correlated (rank-8 latent) 1M flavor — the regime the
+                # OPQ rotation exists for; shows the full recall ladder
+                # raw PQ -> OPQ -> residual -> OPQ+residual at 16 B/vec.
+                # Opt-in by name (not in the default section list).
+                "ivf_corr": lambda: bench_ivf(
+                    ("_pq16", "_opq16", "_pq16_res", "_opq16_res"),
+                    nprobes=(1, 4, 16, 64), rank=8, label="corr1m")}
     picked = [a for a in sys.argv[1:] if a in sections] \
-        or list(sections)
+        or [s for s in sections if s != "ivf_corr"]
     emit(metric="bench_all_start", value=time.time(), unit="epoch_s",
          sections=picked)
     for name in picked:
