@@ -50,7 +50,10 @@ def _load_or_make(name: str, n: int, d: int, scale: float, seed: int,
     """
     data_dir = os.environ.get("SMQTK_TPU_DATA", "")
     path = os.path.join(data_dir, name) if data_dir else ""
-    if path and os.path.isfile(path):
+    # rank-controlled sections measure a SPECIFIC synthetic regime (the
+    # correlated recall ladder) — a real corpus must not silently
+    # substitute for it under the same metric label.
+    if path and os.path.isfile(path) and rank is None:
         from smqtk_indexing_tpu import native
         db = native.read_vecs(path, n, d)
         qpath = path.replace("_base.", "_query.").replace("base.", "query.")

@@ -258,12 +258,19 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
     def _pq_cents_codec(self, rot: Optional[np.ndarray]) -> np.ndarray:
         """(C, d_codec) float32 centroids in the full codec transform
         space (interleave + optional OPQ rotation) — the residual
-        codec's reference frame."""
+        codec's reference frame. The rot=None form is cached (the
+        descriptor-set repopulation path calls _row_vector per row;
+        rebuilding the table each call is O(C*d) per row)."""
+        if rot is None and self._cents_codec_cache is not None:
+            return self._cents_codec_cache
         from smqtk_indexing_tpu.ops.device import pad_rows_np
         _, d_codec, perm = self._pq_grid()
         c = pad_rows_np(self._centroids_np.astype(np.float32),
                         self._centroids_np.shape[0], d_codec)[:, perm]
-        return np.ascontiguousarray(c @ rot) if rot is not None else c
+        if rot is not None:
+            return np.ascontiguousarray(c @ rot)
+        self._cents_codec_cache = c
+        return c
 
     def _pq_prep_rows(self, mat: np.ndarray,
                       rotate: bool = True) -> np.ndarray:
@@ -379,6 +386,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         # per-row original-list map for the exact re-rank's centroid add.
         self._cents_codec_dev = None
         self._row2list_dev = None
+        self._cents_codec_cache = None   # host (C, d_codec), rot=None
 
     def get_config(self) -> Dict[str, Any]:
         c = self.get_default_config()
@@ -923,8 +931,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 self._code_cb = np.asarray(code_cb, np.float32)
                 if code_rot is not None:
                     self._code_rot = np.asarray(code_rot, np.float32)
-                self.pq_residual = bool(header.get("pq_residual",
-                                                   self.pq_residual))
+                # Default FALSE for legacy payloads (saved before the
+                # flag existed, i.e. raw codes): falling back to the
+                # instance flag would serve raw codes as residuals.
+                self.pq_residual = bool(header.get("pq_residual", False))
             else:
                 from smqtk_indexing_tpu.ops.device import pad_rows_np
                 from smqtk_indexing_tpu.ops.pq import pq_decode_np
@@ -1001,6 +1011,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             self._dim = int(mat.shape[1])
             # Full build retrains the codec too (FAISS train() semantics).
             self._code_a = self._code_b = self._code_cb = None
+            self._code_rot = None
+            self._cents_codec_cache = None
             with trace_span("ivf.train"):
                 self._centroids_np = self._train_centroids(mat)
             assigns = self._assign(mat)

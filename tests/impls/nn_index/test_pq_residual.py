@@ -207,6 +207,31 @@ class TestLifecycle:
         nbrs, _ = _query(rows, x[8])
         assert nbrs[0].uuid() == 8
 
+    def test_legacy_payload_without_flag_loads_as_raw(self):
+        """A code-tier payload saved BEFORE the residual flag existed
+        (no 'pq_residual' header key) holds raw codes: a residual-
+        configured loader must adopt raw semantics, not reinterpret the
+        codes as residuals (which would corrupt every distance)."""
+        x = _clustered(n=600)
+        els = [_elem(i, x[i]) for i in range(len(x))]
+        el = DataMemoryElement(readonly=False)
+        raw = _index(storage="code", pq_residual=False, index_element=el)
+        raw.build_index(els)
+        want = [e.uuid() for e in _query(raw, x[7])[0]]
+        # Strip the flag from the header (simulate the legacy format).
+        payload = el.get_bytes()
+        hlen = int.from_bytes(payload[:8], "big")
+        header = json.loads(payload[8:8 + hlen].decode())
+        del header["pq_residual"]
+        hb = json.dumps(header).encode()
+        el.set_bytes(len(hb).to_bytes(8, "big") + hb
+                     + payload[8 + hlen:])
+        loaded = _index(storage="code", pq_residual=True,
+                        index_element=el)
+        assert loaded.pq_residual is False
+        got = [e.uuid() for e in _query(loaded, x[7])[0]]
+        assert got == want
+
     def test_opq_residual_compose(self):
         x = _clustered(n=900)
         els = [_elem(i, x[i]) for i in range(len(x))]
