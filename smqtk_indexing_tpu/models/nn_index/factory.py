@@ -26,8 +26,10 @@ always on here):
 - ``IVF<nlist>,SQ8``            -> IvfNearestNeighborsIndex(n_lists=nlist,
   dtype='sq8')
 - ``IVF<nlist>,PQ<M>``          -> IvfNearestNeighborsIndex(n_lists=nlist,
-  dtype='pq<M>') (PQ codes in the CSR list layout, scanned by
-  ops/ivf.ivf_query_pq)
+  dtype='pq<M>', pq_residual=True for L2 — FAISS builds this factory
+  config with ``by_residual=True``, so codes quantize x - centroid(list);
+  pass ``pq_residual=False`` for raw-row codes, and non-L2 metrics opt
+  out automatically as FAISS does)
 - ``OPQ<M>,PQ<M>`` / ``OPQ<M>,IVF<nlist>,PQ<M>`` -> the same with
   dtype='opq<M>' (FAISS's OPQ rotation pre-transform, faiss.py:182-199:
   an orthogonal matrix learned to minimize PQ reconstruction error —
@@ -135,6 +137,11 @@ def index_from_factory_string(factory_string: str,
             metric=m, n_lists=int(ivf.group(1)),
             dtype=codecs[parts[1].lower()], **kwargs)
     if ivf and len(parts) == 2 and _pq_dtype(parts[1]) is not None:
+        # FAISS builds 'IVF<n>,PQ<M>' with by_residual=True (L2): codes
+        # quantize x - centroid(list). Match that default here; explicit
+        # kwargs and non-L2 metrics (where FAISS too disables residual)
+        # override/opt out.
+        kwargs.setdefault("pq_residual", m == "euclidean")
         return IvfNearestNeighborsIndex(
             metric=m, n_lists=int(ivf.group(1)),
             dtype=_pq_dtype(parts[1]), **kwargs)

@@ -45,6 +45,26 @@ def _query(idx, vec, k=5):
         return idx.nn(_elem("q", vec), k)
 
 
+class TestFactoryDefault:
+    def test_ivf_pq_factory_defaults_to_residual(self):
+        """FAISS's index_factory('IVF<n>,PQ<M>') builds by_residual=True
+        on L2 — the grammar must match; explicit kwargs and non-L2
+        metrics opt out."""
+        from smqtk_indexing_tpu.models.nn_index.factory import (
+            index_from_factory_string,
+        )
+        assert index_from_factory_string("IVF8,PQ4").pq_residual is True
+        assert index_from_factory_string(
+            "OPQ4,IVF8,PQ4").pq_residual is True
+        assert index_from_factory_string(
+            "IVF8,PQ4", pq_residual=False).pq_residual is False
+        assert index_from_factory_string(
+            "IVF8,PQ4", metric="ip").pq_residual is False
+        # Flat PQ has no lists to residualize against.
+        assert index_from_factory_string("PQ4").get_config().get(
+            "pq_residual") is None
+
+
 class TestValidation:
     def test_requires_pq_dtype(self):
         with pytest.raises(ValueError, match="PQ dtype"):
