@@ -34,9 +34,20 @@ def assemble_results(dists: np.ndarray, rows: np.ndarray,
     good = rows >= 0
     counts = good.sum(axis=1)
     flat_uids = [row2uid[i] for i in rows[good].tolist()]
-    flat_elems = list(descriptor_set.get_many_descriptors(flat_uids))
+    flat_elems = _fetch_by_uid(descriptor_set, flat_uids)
     flat_dists = dists[good].tolist()
     return _regroup(b, counts, flat_elems, flat_dists)
+
+
+def _fetch_by_uid(descriptor_set, flat_uids: list) -> list:
+    """Fetch descriptors for ``flat_uids`` (duplicates allowed) without
+    assuming the set's ``get_many_descriptors`` preserves input order or
+    duplicates: unique UIDs are fetched once and re-expanded through each
+    element's own ``uuid()`` — safe for dedup/set-ordered backends."""
+    uniq = list(dict.fromkeys(flat_uids))
+    by_uid = {e.uuid(): e
+              for e in descriptor_set.get_many_descriptors(uniq)}
+    return [by_uid[u] for u in flat_uids]
 
 
 def assemble_results_from_uids(dists: np.ndarray,
@@ -49,7 +60,7 @@ def assemble_results_from_uids(dists: np.ndarray,
     """
     counts = np.array([len(u) for u in uid_lists], dtype=np.int64)
     flat_uids = [u for ul in uid_lists for u in ul]
-    flat_elems = list(descriptor_set.get_many_descriptors(flat_uids))
+    flat_elems = _fetch_by_uid(descriptor_set, flat_uids)
     flat_dists = [x for row, c in zip(dists.tolist(), counts)
                   for x in row[:c]]
     return _regroup(len(uid_lists), counts, flat_elems, flat_dists)

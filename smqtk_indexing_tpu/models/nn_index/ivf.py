@@ -620,11 +620,22 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             b_p = np.zeros(d_pad, dtype=np.float32)
             a_p[:dim] = code_a
             b_p[:dim] = code_b
-            u = codes.astype(np.float32)
-            s2 = np.einsum("nd,nd->n", u * a_p, u * a_p)
+            # Chunked stats + tile build: never materialize a float32
+            # view of the whole code mirror (that is 8x the code bytes —
+            # ~100GB of temporaries at the 100M 'code' tier, defeating
+            # the tier's memory contract). ~1M rows per chunk.
+            s2 = np.empty(n_pad, dtype=np.float32)
+            tiles = np.empty((n_tiles, d_pad, TILE_ROWS), dtype=np.int8)
+            t_chunk = max(1, (1 << 20) // TILE_ROWS)
+            for t0 in range(0, n_tiles, t_chunk):
+                t1 = min(t0 + t_chunk, n_tiles)
+                r0, r1 = t0 * TILE_ROWS, t1 * TILE_ROWS
+                u = codes[r0:r1].astype(np.float32)
+                u *= a_p
+                s2[r0:r1] = np.einsum("nd,nd->n", u, u)
+                tiles[t0:t1] = codes[r0:r1] \
+                    .reshape(t1 - t0, TILE_ROWS, d_pad).transpose(0, 2, 1)
             s2[dead] = np.inf
-            tiles = codes.reshape(n_tiles, TILE_ROWS, d_pad) \
-                .transpose(0, 2, 1)
             self._sq8_a = jnp.asarray(a_p)
             self._sq8_b = jnp.asarray(b_p)
         self._dev3 = jnp.asarray(np.ascontiguousarray(tiles))
@@ -877,6 +888,15 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self.index_element.set_bytes(
             len(header).to_bytes(8, "big") + header + body)
 
+    def _dim_from_descriptor_set(self):
+        """True (unpadded) vector width from any stored descriptor, or
+        None when the set is empty — legacy-payload dim recovery."""
+        for elem in self.descriptor_set.iterdescriptors():
+            v = elem.vector()
+            if v is not None:
+                return int(np.asarray(v).shape[-1])
+        return None
+
     def _load_index(self) -> None:
         if self.index_element is None or self.index_element.is_empty():
             return
@@ -902,11 +922,22 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             code_rot = z["code_rot"] if "code_rot" in z else None
         if mat.dtype == np.uint8 and code_cb is not None:
             # PQ-code payload: the row width is the subquantizer count,
-            # not the descriptor dim — recover dim from the centroids'
-            # unpadded prefix recorded at save (the decode below needs
-            # it either way).
-            self._dim = int(header.get("dim",
-                                       self._centroids_np.shape[1]))
+            # not the descriptor dim — recover dim from the header. The
+            # centroid width is LANE-PADDED and must not be trusted as a
+            # fallback (queries at the true width would then be rejected
+            # by the dim check); for dim-less legacy payloads recover the
+            # true width from a stored descriptor instead, else refuse.
+            if "dim" in header:
+                self._dim = int(header["dim"])
+            else:
+                self._dim = self._dim_from_descriptor_set()
+                if self._dim is None:
+                    raise ValueError(
+                        "PQ-code index payload lacks a 'dim' header and "
+                        "the descriptor set is empty — the true vector "
+                        "width cannot be recovered (the centroid width "
+                        "is lane-padded). Re-save the index with a "
+                        "current build to add the header.")
         else:
             self._dim = int(mat.shape[1])
         if mat.dtype == np.int8 and code_a is not None:

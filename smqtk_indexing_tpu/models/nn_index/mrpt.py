@@ -225,6 +225,14 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
         self._save_index()
 
     def _upload(self, mat_p: np.ndarray, n: int) -> None:
+        # Any prior leaf-ordered mirror is laid out for the OLD tree
+        # tables; clear it unconditionally (including on the mesh branch
+        # and when _maybe_build_mirror's gate declines to rebuild) so a
+        # stale mirror can never be scanned against new leaf offsets.
+        self._mirror = None
+        self._mir_a = None
+        self._mir_b = None
+        self._leaf_flat = None
         self._capacity = mat_p.shape[0]
         sq = np.zeros(self._capacity, dtype=np.float32)
         sq[:n] = np.einsum("ij,ij->i", self._host, self._host)
