@@ -56,6 +56,86 @@ def _pow2_at_least(x: int, lo: int = 1) -> int:
     return p
 
 
+def _is_pq_dtype(dtype: str) -> bool:
+    import re
+    return bool(re.fullmatch(r"o?pq\d+", dtype))
+
+
+#: The supported IVF configuration matrix — the single authority for
+#: which (metric x dtype x storage x rerank x devices x residual) cells
+#: exist, enforced at construction so no constraint is discoverable only
+#: by reading kernel wrappers. Cells not rejected here are built and
+#: queried by tests/impls/nn_index/test_ivf_combinations.py.
+#:
+#: storage='rows' (float32 host mirror, exact re-rank semantics):
+#:   dtype     metric                          devices   notes
+#:   float32   euclidean/inner_product/cosine  1..N
+#:   bfloat16  euclidean/inner_product/cosine  1..N
+#:   sq8       euclidean/inner_product/cosine  1..N      TPU routes
+#:             euclidean single-device through the tiled DMA kernel
+#:             (_tiled_rows_ok; SMQTK_TPU_NO_ROWS_TILED opts out)
+#:   pq/opq<M> euclidean/inner_product/cosine  1..N      same routing
+#:   pq/opq<M> +pq_residual: euclidean only, single-device only
+#: storage='code' (int8/uint8 code host mirror — the capacity tier):
+#:   dtype     metric      devices   notes
+#:   sq8       euclidean   1..N      tiled DMA scan; sharded via
+#:                                   parallel/sharded_ivf_code.py
+#:   pq/opq<M> euclidean   1..N      in-kernel ADC one-hot MXU dot
+#:   pq/opq<M> +pq_residual: euclidean, single-device only
+#: rerank: 'exact' everywhere; 'score' changes behavior only on the
+#:   tiled serving paths (code tier always; rows-sq8/pq when routed) —
+#:   on every other path distances are already exact, so 'score' is a
+#:   no-op there by construction, never an error.
+def validate_ivf_combination(metric: str, dtype: str, storage: str,
+                             rerank: str, n_devices, pq_residual: bool
+                             ) -> None:
+    """Reject unsupported IVF configuration cells with an explanation.
+
+    Raises ValueError on: unknown metric/dtype/storage/rerank values;
+    storage='code' with a float dtype or non-euclidean metric;
+    pq_residual with a non-PQ dtype, non-euclidean metric, or a
+    multi-device mesh.
+    """
+    if metric not in METRICS:
+        raise ValueError(
+            f"metric must be one of {METRICS}, got {metric!r}")
+    if dtype not in ("float32", "bfloat16", "sq8") \
+            and not _is_pq_dtype(dtype):
+        raise ValueError(
+            "dtype must be 'float32' | 'bfloat16' | 'sq8' | 'pq<M>' "
+            f"| 'opq<M>', got {dtype!r}")
+    if storage not in ("rows", "code"):
+        raise ValueError(
+            f"storage must be 'rows' | 'code', got {storage!r}")
+    if rerank not in ("exact", "score"):
+        raise ValueError(
+            f"rerank must be 'exact' | 'score', got {rerank!r}")
+    multi = n_devices is not None and n_devices > 1
+    if pq_residual:
+        if not _is_pq_dtype(dtype):
+            raise ValueError(
+                "pq_residual requires a PQ dtype ('pq<M>'/'opq<M>'), "
+                f"got {dtype!r}")
+        if metric != "euclidean":
+            raise ValueError(
+                "pq_residual serves euclidean only (the score's "
+                "per-probe -2<q,c> term comes from L2 probe selection)")
+        if multi:
+            raise ValueError(
+                "pq_residual is single-device (the sharded scans carry "
+                "raw codes; the residual re-rank's row2list map is "
+                "global); use pq_residual=False with n_devices.")
+    if storage == "code":
+        if dtype != "sq8" and not _is_pq_dtype(dtype):
+            raise ValueError(
+                "storage='code' (code-resident capacity tier) requires "
+                f"dtype='sq8', 'pq<M>' or 'opq<M>', got {dtype!r}")
+        if metric != "euclidean":
+            raise ValueError(
+                "storage='code' serves euclidean only (the tiled "
+                f"list-scan surrogate form), got {metric!r}")
+
+
 class IvfNearestNeighborsIndex (NearestNeighborsIndex):
     """
     Coarse-quantized approximate kNN: k-means cells + per-query list probing.
@@ -158,48 +238,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         pq_residual: bool = False,
     ):
         super().__init__()
-        if metric not in METRICS:
-            raise ValueError(
-                f"metric must be one of {METRICS}, got {metric!r}")
-        if pq_residual:
-            # FAISS 'IVF<n>,PQ<M>' by_residual: codes quantize
-            # x - centroid(list) — the recall lever for clustered data
-            # at equal bytes/vector (ops/pq.pq_residual_build_store).
-            if self._pq_m(dtype) is None:
-                raise ValueError(
-                    "pq_residual requires a PQ dtype ('pq<M>'/'opq<M>'), "
-                    f"got {dtype!r}")
-            if metric != "euclidean":
-                raise ValueError(
-                    "pq_residual serves euclidean only (the score's "
-                    "per-probe -2<q,c> term comes from L2 probe "
-                    "selection)")
-            if n_devices is not None and n_devices > 1:
-                raise ValueError(
-                    "pq_residual is single-device (the sharded PQ scan "
-                    "carries raw codes); use pq_residual=False with "
-                    "n_devices.")
-        if storage not in ("rows", "code"):
-            raise ValueError(
-                f"storage must be 'rows' | 'code', got {storage!r}")
-        if rerank not in ("exact", "score"):
-            raise ValueError(
-                f"rerank must be 'exact' | 'score', got {rerank!r}")
-        if storage == "code":
-            if dtype != "sq8" and self._pq_m(dtype) is None:
-                raise ValueError(
-                    "storage='code' (code-resident capacity tier) "
-                    "requires dtype='sq8', 'pq<M>' or 'opq<M>', "
-                    f"got {dtype!r}")
-            if metric != "euclidean":
-                raise ValueError(
-                    "storage='code' serves euclidean only (the tiled "
-                    f"list-scan surrogate form), got {metric!r}")
-            if n_devices is not None and n_devices > 1:
-                raise ValueError(
-                    "storage='code' is single-device (the tiled layout "
-                    "is the one-chip capacity configuration); use "
-                    "storage='rows' with n_devices for mesh sharding.")
+        # The full supported-configuration matrix (and every rejection)
+        # lives in validate_ivf_combination — one authority, no
+        # constraint hidden in a kernel wrapper.
+        validate_ivf_combination(metric, dtype, storage, rerank,
+                                 n_devices, pq_residual)
         self.descriptor_set = descriptor_set if descriptor_set is not None \
             else MemoryDescriptorSet()
         self.index_element = index_element
@@ -209,11 +252,6 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self.kmeans_iterations = int(kmeans_iterations)
         self.max_points_per_centroid = int(max_points_per_centroid)
         self.random_seed = random_seed
-        if dtype not in ("float32", "bfloat16", "sq8") \
-                and self._pq_m(dtype) is None:
-            raise ValueError(
-                "dtype must be 'float32' | 'bfloat16' | 'sq8' | 'pq<M>' "
-                f"| 'opq<M>', got {dtype!r}")
         self.dtype = dtype
         self.storage = storage
         self.rerank = rerank
@@ -557,6 +595,13 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         dim = self._dim
         d_pad = self._centroids_np.shape[1]
         n_tiles = max(1, -(-n // TILE_ROWS))
+        # Mesh sharding splits the TILE axis: round the tile count up to
+        # the device count so every shard owns whole tiles (a lane-dim
+        # DMA cannot cross tiles); surplus rows are dead-poisoned below.
+        mesh = self._make_mesh()
+        if mesh is not None:
+            s_dev = mesh.devices.size
+            n_tiles = -(-n_tiles // s_dev) * s_dev
         n_pad = n_tiles * TILE_ROWS
         # Dead rows (and alignment padding) poison their surrogate: the
         # kernels score s2 - 2<lut/t, codes>, so +inf rows can never be
@@ -638,11 +683,39 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             s2[dead] = np.inf
             self._sq8_a = jnp.asarray(a_p)
             self._sq8_b = jnp.asarray(b_p)
-        self._dev3 = jnp.asarray(np.ascontiguousarray(tiles))
-        self._s2t = jnp.asarray(s2.reshape(n_tiles, 1, TILE_ROWS))
         c_count = self._centroids_np.shape[0]
         lens = np.bincount(self._assign_host,
                            minlength=c_count).astype(np.int64)
+        if mesh is not None:
+            # Sharded capacity tier: per-shard clipped CSR/slot tables
+            # (lists cut at shard boundaries are probed by both owners —
+            # the shard union scans exactly the global candidate set),
+            # codes/stats sharded on the tile axis, centroids replicated.
+            from smqtk_indexing_tpu.parallel.mesh import (
+                replicate, shard_rows,
+            )
+            from smqtk_indexing_tpu.parallel.sharded_ivf_code import (
+                shard_tiled_layout,
+            )
+            vt, vc, vl, st = shard_tiled_layout(
+                lens, n_pad, mesh.devices.size, c_count)
+            self._dev3 = shard_rows(
+                mesh, jnp.asarray(np.ascontiguousarray(tiles)))
+            self._s2t = shard_rows(
+                mesh, jnp.asarray(
+                    s2.reshape(n_tiles, 1, TILE_ROWS)))
+            self._v_tile = shard_rows(mesh, jnp.asarray(vt))
+            self._v_col = shard_rows(mesh, jnp.asarray(vc))
+            self._v_len = shard_rows(mesh, jnp.asarray(vl))
+            self._slot_table = shard_rows(mesh, jnp.asarray(st))
+            self._dev_centroids = replicate(
+                mesh, jnp.asarray(self._centroids_np.astype(np.float32)))
+            self._capacity = n_pad
+            self._n_virtual = int((vl > 0).sum())
+            self._mesh = mesh
+            return
+        self._dev3 = jnp.asarray(np.ascontiguousarray(tiles))
+        self._s2t = jnp.asarray(s2.reshape(n_tiles, 1, TILE_ROWS))
         v_tile, v_col, v_len, v_orig, _ = build_tiled_csr(
             lens[None, :], np.zeros(1, dtype=np.int64))
         table = build_slot_table(v_orig, c_count)
@@ -1213,7 +1286,38 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             # No removed rows -> the kernels skip the per-row liveness
             # gather (large and scattered at high probe budgets).
             has_dead = not bool(self._valid_host.all())
-            if self._dev3 is not None:
+            if self._dev3 is not None and self._mesh is not None:
+                # Sharded capacity tier: per-shard tiled DMA scan over
+                # the clipped CSR views + hierarchical k-merge
+                # (parallel/sharded_ivf_code.py).
+                import jax
+                from smqtk_indexing_tpu.parallel.mesh import replicate
+                from smqtk_indexing_tpu.parallel.sharded_ivf_code import (
+                    sharded_ivf_query_tiled, sharded_ivf_query_tiled_pq,
+                )
+                nprobe_o = min(self.nprobe, self._centroids_np.shape[0])
+                rr = "score" if self.rerank == "score" else "gather"
+                interp = jax.default_backend() != "tpu"
+                qd = replicate(self._mesh, jnp.asarray(q_p))
+                if self._pq_m(self.dtype) is not None:
+                    dists, rows = sharded_ivf_query_tiled_pq(
+                        self._mesh, self._dev3, self._s2t,
+                        replicate(self._mesh, self._cb_dev),
+                        replicate(self._mesh, self._perm_dev),
+                        self._dev_centroids, self._slot_table,
+                        self._v_tile, self._v_col, self._v_len, qd,
+                        k=k_dev, nprobe_orig=nprobe_o,
+                        interpret=interp, rerank=rr)
+                else:
+                    dists, rows = sharded_ivf_query_tiled(
+                        self._mesh, self._dev3, self._s2t,
+                        replicate(self._mesh, self._sq8_a),
+                        replicate(self._mesh, self._sq8_b),
+                        self._dev_centroids, self._slot_table,
+                        self._v_tile, self._v_col, self._v_len, qd,
+                        k=k_dev, nprobe_orig=nprobe_o,
+                        interpret=interp, rerank=rr)
+            elif self._dev3 is not None:
                 # Tiled-transposed DMA list-scan with original-centroid
                 # table probe selection (the 100M demo's serving path,
                 # behind the public model API) — the 'code' capacity tier

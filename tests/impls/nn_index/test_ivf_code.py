@@ -61,10 +61,16 @@ class TestIvfCodeTierConfig:
             IvfNearestNeighborsIndex(storage="code", dtype="sq8",
                                      metric="cosine")
 
-    def test_single_device_only(self):
-        with pytest.raises(ValueError, match="single-device"):
-            IvfNearestNeighborsIndex(storage="code", dtype="sq8",
+    def test_multi_device_supported_except_residual(self):
+        # Round 4: the capacity tier shards over a mesh
+        # (parallel/sharded_ivf_code.py); only residual PQ remains
+        # single-device.
+        i = IvfNearestNeighborsIndex(storage="code", dtype="sq8",
                                      n_devices=4)
+        assert i.n_devices == 4
+        with pytest.raises(ValueError, match="single-device"):
+            IvfNearestNeighborsIndex(storage="code", dtype="pq4",
+                                     pq_residual=True, n_devices=4)
 
     def test_bad_values(self):
         with pytest.raises(ValueError, match="storage"):
