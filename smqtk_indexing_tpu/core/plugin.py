@@ -106,6 +106,24 @@ class Pluggable (metaclass=abc.ABCMeta):
         return True
 
     @classmethod
+    def usability_report(cls) -> dict:
+        """
+        Detailed availability/capability report for this implementation.
+
+        ``is_usable()`` answers only "can it run at all"; this answers
+        "HOW will it run" — compute-backed impls extend it with their
+        backend, kernel tier ('tpu-pallas' vs 'cpu-interpret'), any
+        env-flag-disabled engines, and a summary ``degraded`` bool, so a
+        service operator can distinguish native-TPU serving from an
+        interpret-mode fallback before taking traffic (the reference's
+        availability gate pattern, faiss.py:86-89, extended to degraded
+        modes the boolean cannot express).
+
+        :return: dict with at least ``class`` and ``usable``.
+        """
+        return {"class": cls.__name__, "usable": cls.is_usable()}
+
+    @classmethod
     def get_impls(cls: Type[P]) -> Set[Type[P]]:
         """
         Discover and return concrete, usable implementation classes of this

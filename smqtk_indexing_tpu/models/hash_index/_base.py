@@ -36,6 +36,14 @@ class _CodeStoreHashIndex (HashIndex):
         # The shared engine base is not itself a plugin.
         return cls is not _CodeStoreHashIndex
 
+    @classmethod
+    def usability_report(cls) -> dict:
+        from smqtk_indexing_tpu.ops.device import device_report
+        r = super().usability_report()
+        r.update(device_report(flags=(
+            "SMQTK_TPU_NO_MXU_HAMMING", "SMQTK_TPU_NO_NATIVE")))
+        return r
+
     def _init_store(self) -> None:
         """Call at the end of subclass ``__init__`` (after config attrs)."""
         self._model_lock = threading.RLock()

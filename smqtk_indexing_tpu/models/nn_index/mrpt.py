@@ -70,7 +70,23 @@ class MRPTNearestNeighborsIndex (NearestNeighborsIndex):
 
     @classmethod
     def is_usable(cls) -> bool:
-        return True
+        # Usable whenever the compute stack imports (the reference gates
+        # availability on backend importability, faiss.py:86-89); HOW it
+        # runs — native TPU kernels vs interpret fallback — is reported
+        # by usability_report().
+        try:
+            import jax  # noqa: F401
+            return True
+        except Exception:  # pragma: no cover - broken install
+            return False
+
+    @classmethod
+    def usability_report(cls) -> dict:
+        from smqtk_indexing_tpu.ops.device import device_report
+        r = super().usability_report()
+        r.update(device_report(flags=(
+            "SMQTK_TPU_NO_MRPT_MIRROR", "SMQTK_TPU_NO_NATIVE")))
+        return r
 
     @classmethod
     def get_default_config(cls) -> Dict[str, Any]:

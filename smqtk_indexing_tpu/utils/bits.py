@@ -25,6 +25,11 @@ def bit_vector_to_int_large(v: np.ndarray) -> int:
 
     :param v: 1D vector of bits.
     :return: Integer equivalent.
+
+    >>> bit_vector_to_int_large([1, 0, 1])
+    5
+    >>> bit_vector_to_int_large([0, 0, 0, 1])
+    1
     """
     v = np.asarray(v)
     bits = len(v)
@@ -42,6 +47,11 @@ def int_to_bit_vector_large(integer: int, bits: int = 0) -> np.ndarray:
 
     :raises ValueError: ``bits`` is smaller than required to represent
         ``integer``.
+
+    >>> int_to_bit_vector_large(5).astype(int).tolist()
+    [1, 0, 1]
+    >>> int_to_bit_vector_large(1, bits=4).astype(int).tolist()
+    [0, 0, 0, 1]
     """
     size = max(int(integer).bit_length(), 1)
     if bits and (bits - size) < 0:
@@ -87,6 +97,14 @@ def pack_bit_vectors_u32(vectors: np.ndarray) -> np.ndarray:
     ``i // 32``); Hamming distance is invariant to intra-word order, and the
     big-endian public semantics are preserved at the int/bool boundaries
     above.
+
+    >>> import numpy as np
+    >>> codes = np.array([[1, 0, 1], [0, 1, 1]], dtype=bool)
+    >>> packed = pack_bit_vectors_u32(codes)
+    >>> packed.shape
+    (2, 1)
+    >>> bool(np.array_equal(unpack_bit_vectors_u32(packed, 3), codes))
+    True
     """
     v = np.atleast_2d(np.asarray(vectors)).astype(bool)
     n, bits = v.shape

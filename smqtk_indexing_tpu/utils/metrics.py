@@ -16,6 +16,14 @@ def histogram_intersection_distance(
     matrices (branchless formulation). 0 = full intersection.
 
     1D+1D -> scalar; any 2D involvement -> vector of row distances.
+
+    >>> import numpy as np
+    >>> float(histogram_intersection_distance(
+    ...     np.array([0.5, 0.5]), np.array([0.5, 0.5])))
+    0.0
+    >>> float(histogram_intersection_distance(
+    ...     np.array([1.0, 0.0]), np.array([0.0, 1.0])))
+    1.0
     """
     sum_axis = 1
     if a.ndim == 1 and b.ndim == 1:
@@ -66,5 +74,10 @@ def hamming_distance(i: int, j: int) -> int:
     """
     Hamming distance between two arbitrary-precision integers (number of
     differing bit positions; no bit-width cap).
+
+    >>> hamming_distance(0b1010, 0b1001)
+    2
+    >>> hamming_distance(1 << 200, 0)
+    1
     """
     return (i ^ j).bit_count()
