@@ -93,6 +93,9 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         c = super().get_default_config()
         c["descriptor_set"] = make_default_config(DescriptorSet.get_impls())
         c["index_element"] = make_default_config(DataElement.get_impls())
+        from smqtk_indexing_tpu.data.key_value import KeyValueStore
+        c["uid2idx_kvs"] = make_default_config(KeyValueStore.get_impls())
+        c["idx2uid_kvs"] = make_default_config(KeyValueStore.get_impls())
         return c
 
     @classmethod
@@ -114,6 +117,13 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
                 ie_cfg, DataElement.get_impls())
         else:
             cfg["index_element"] = None
+        from smqtk_indexing_tpu.data.key_value import KeyValueStore
+        for slot in ("uid2idx_kvs", "idx2uid_kvs"):
+            sc = cfg.get(slot)
+            if sc and sc.get("type"):
+                cfg[slot] = from_config_dict(sc, KeyValueStore.get_impls())
+            else:
+                cfg[slot] = None
         return super().from_config(cfg, False)
 
     def __init__(
@@ -125,6 +135,8 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         read_only: bool = False,
         n_devices: Optional[int] = None,
         storage: str = "device",
+        uid2idx_kvs=None,
+        idx2uid_kvs=None,
     ):
         super().__init__()
         if metric not in METRICS:
@@ -147,6 +159,10 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         self.read_only = bool(read_only)
         self.n_devices = n_devices
         self.storage = storage
+        # Optional external uid<->idx mirrors (reference layout parity,
+        # faiss.py:260-274; see models/nn_index/_kvs.py).
+        self.uid2idx_kvs = uid2idx_kvs
+        self.idx2uid_kvs = idx2uid_kvs
 
         self._model_lock = threading.RLock()
         self._store = self._new_store()
@@ -184,6 +200,12 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         c["read_only"] = self.read_only
         c["n_devices"] = self.n_devices
         c["storage"] = self.storage
+        if self.uid2idx_kvs is not None:
+            c["uid2idx_kvs"] = merge_dict(
+                c["uid2idx_kvs"], to_config_dict(self.uid2idx_kvs))
+        if self.idx2uid_kvs is not None:
+            c["idx2uid_kvs"] = merge_dict(
+                c["idx2uid_kvs"], to_config_dict(self.idx2uid_kvs))
         return c
 
     # ------------------------------------------------------------------
@@ -229,6 +251,7 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
             LOG.warning(
                 "Loaded index was built with metric %r; instance configured "
                 "with %r.", header.get("metric"), self.metric)
+        self._sync_kvs()
 
     # ------------------------------------------------------------------
     # index mutation
@@ -239,6 +262,11 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
     def _guard_read_only(self) -> None:
         if self.read_only:
             raise ReadOnlyError("Cannot modify read-only index.")
+
+    def _sync_kvs(self) -> None:
+        from smqtk_indexing_tpu.models.nn_index._kvs import sync_uid_kvs
+        sync_uid_kvs(self.uid2idx_kvs, self.idx2uid_kvs,
+                     self._store.uid_to_row())
 
     def _build_index(self, descriptors: Iterable[DescriptorElement]) -> None:
         with self._model_lock:
@@ -255,6 +283,7 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
             self._store = new_store
             self.descriptor_set.clear()
             self.descriptor_set.add_many_descriptors(by_uid.values())
+            self._sync_kvs()
             self._save_index()
 
     def _update_index(self, descriptors: Iterable[DescriptorElement]) -> None:
@@ -276,6 +305,7 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
                 self._store.add(mat, fresh)
                 self.descriptor_set.add_many_descriptors(
                     by_uid[u] for u in fresh)
+            self._sync_kvs()
             self._save_index()
 
     def _remove_from_index(self, uids: Iterable[Hashable]) -> None:
@@ -285,6 +315,7 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
             # KeyError (with no mutation) surfaces from the store pre-check.
             self._store.remove(uids)
             self.descriptor_set.remove_many_descriptors(uids)
+            self._sync_kvs()
             self._save_index()
 
     # ------------------------------------------------------------------

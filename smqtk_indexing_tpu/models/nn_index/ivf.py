@@ -213,6 +213,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         c = super().get_default_config()
         c["descriptor_set"] = make_default_config(DescriptorSet.get_impls())
         c["index_element"] = make_default_config(DataElement.get_impls())
+        from smqtk_indexing_tpu.data.key_value import KeyValueStore
+        c["uid2idx_kvs"] = make_default_config(KeyValueStore.get_impls())
+        c["idx2uid_kvs"] = make_default_config(KeyValueStore.get_impls())
         return c
 
     @classmethod
@@ -234,6 +237,13 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 ie_cfg, DataElement.get_impls())
         else:
             cfg["index_element"] = None
+        from smqtk_indexing_tpu.data.key_value import KeyValueStore
+        for slot in ("uid2idx_kvs", "idx2uid_kvs"):
+            sc = cfg.get(slot)
+            if sc and sc.get("type"):
+                cfg[slot] = from_config_dict(sc, KeyValueStore.get_impls())
+            else:
+                cfg[slot] = None
         return super().from_config(cfg, False)
 
     def __init__(
@@ -252,6 +262,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         read_only: bool = False,
         n_devices: Optional[int] = None,
         pq_residual: bool = False,
+        uid2idx_kvs=None,
+        idx2uid_kvs=None,
     ):
         super().__init__()
         # The full supported-configuration matrix (and every rejection)
@@ -274,6 +286,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         self.read_only = bool(read_only)
         self.n_devices = n_devices
         self.pq_residual = bool(pq_residual)
+        # Optional external uid<->idx mirrors (reference layout parity,
+        # faiss.py:260-274; see models/nn_index/_kvs.py).
+        self.uid2idx_kvs = uid2idx_kvs
+        self.idx2uid_kvs = idx2uid_kvs
 
         self._model_lock = threading.RLock()
         self._reset_state()
@@ -463,6 +479,12 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             "n_devices": self.n_devices,
             "pq_residual": self.pq_residual,
         })
+        if self.uid2idx_kvs is not None:
+            c["uid2idx_kvs"] = merge_dict(
+                c["uid2idx_kvs"], to_config_dict(self.uid2idx_kvs))
+        if self.idx2uid_kvs is not None:
+            c["idx2uid_kvs"] = merge_dict(
+                c["idx2uid_kvs"], to_config_dict(self.idx2uid_kvs))
         return c
 
     # ------------------------------------------------------------------
@@ -1090,6 +1112,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 DescriptorMemoryElement(self._row2uid[i],
                                         self._row_vector(i))
                 for i in np.flatnonzero(self._valid_host))
+        self._sync_kvs()
 
     def _row_vector(self, i: int) -> np.ndarray:
         """Float view of host row ``i`` (decodes the code mirror on the
@@ -1120,6 +1143,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         if self.read_only:
             raise ReadOnlyError("Cannot modify read-only index.")
 
+    def _sync_kvs(self) -> None:
+        from smqtk_indexing_tpu.models.nn_index._kvs import sync_uid_kvs
+        sync_uid_kvs(self.uid2idx_kvs, self.idx2uid_kvs,
+                     dict(self._uid2row))
+
     def _build_index(self, descriptors: Iterable[DescriptorElement]) -> None:
         with self._model_lock:
             self._guard_read_only()
@@ -1139,6 +1167,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             self._layout(mat, uids, assigns)
             self.descriptor_set.clear()
             self.descriptor_set.add_many_descriptors(by_uid.values())
+            self._sync_kvs()
             self._save_index()
 
     def _update_index(self, descriptors: Iterable[DescriptorElement]) -> None:
@@ -1187,6 +1216,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 self._layout(mat, uids, assigns)
                 self.descriptor_set.add_many_descriptors(
                     by_uid[u] for u in fresh)
+            self._sync_kvs()
             self._save_index()
 
     def _remove_from_index(self, uids: Iterable[Hashable]) -> None:
@@ -1235,6 +1265,7 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     self._dev_valid = shard_rows(self._mesh,
                                                  self._dev_valid)
             self.descriptor_set.remove_many_descriptors(uids)
+            self._sync_kvs()
             self._save_index()
 
     # ------------------------------------------------------------------

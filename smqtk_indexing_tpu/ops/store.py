@@ -163,6 +163,13 @@ class VectorStore:
         with self._lock:
             return uid in self._uid2row
 
+    def uid_to_row(self) -> dict:
+        """Snapshot of the live UID -> storage-row mapping (the
+        externally-persistable uid2idx view, reference faiss.py:260-274).
+        Rows may change on compaction/rebuild; callers mirror, not cache."""
+        with self._lock:
+            return dict(self._uid2row)
+
     def vector(self, uid: Hashable) -> np.ndarray:
         """:raises KeyError: unknown UID."""
         with self._lock:
