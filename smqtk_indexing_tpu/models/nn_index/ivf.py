@@ -75,13 +75,15 @@ def _is_pq_dtype(dtype: str) -> bool:
 #:             euclidean single-device through the tiled DMA kernel
 #:             (_tiled_rows_ok; SMQTK_TPU_NO_ROWS_TILED opts out)
 #:   pq/opq<M> euclidean/inner_product/cosine  1..N      same routing
-#:   pq/opq<M> +pq_residual: euclidean only, single-device only
+#:   pq/opq<M> +pq_residual: euclidean only, single-device only (the
+#:             sharded rows-PQ scan carries raw codes)
 #: storage='code' (int8/uint8 code host mirror — the capacity tier):
 #:   dtype     metric      devices   notes
 #:   sq8       euclidean   1..N      tiled DMA scan; sharded via
 #:                                   parallel/sharded_ivf_code.py
 #:   pq/opq<M> euclidean   1..N      in-kernel ADC one-hot MXU dot
-#:   pq/opq<M> +pq_residual: euclidean, single-device only
+#:   pq/opq<M> +pq_residual: euclidean, 1..N (row2list row-shards with
+#:             the tiles; res-centroids replicate)
 #: rerank: 'exact' everywhere; 'score' changes behavior only on the
 #:   tiled serving paths (code tier always; rows-sq8/pq when routed) —
 #:   on every other path distances are already exact, so 'score' is a
@@ -120,11 +122,12 @@ def validate_ivf_combination(metric: str, dtype: str, storage: str,
             raise ValueError(
                 "pq_residual serves euclidean only (the score's "
                 "per-probe -2<q,c> term comes from L2 probe selection)")
-        if multi:
+        if multi and storage != "code":
             raise ValueError(
-                "pq_residual is single-device (the sharded scans carry "
-                "raw codes; the residual re-rank's row2list map is "
-                "global); use pq_residual=False with n_devices.")
+                "pq_residual on the rows tier is single-device (the "
+                "sharded rows-PQ scan carries raw codes); use "
+                "storage='code' for sharded residual serving, or "
+                "pq_residual=False with n_devices.")
     if storage == "code":
         if dtype != "sq8" and not _is_pq_dtype(dtype):
             raise ValueError(
@@ -746,6 +749,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             self._v_col = shard_rows(mesh, jnp.asarray(vc))
             self._v_len = shard_rows(mesh, jnp.asarray(vl))
             self._slot_table = shard_rows(mesh, jnp.asarray(st))
+            if self._row2list_dev is not None:
+                # Residual PQ: the row -> original-list map is
+                # row-aligned with the tiles — shard it the same way.
+                self._row2list_dev = shard_rows(mesh, self._row2list_dev)
             self._dev_centroids = replicate(
                 mesh, jnp.asarray(self._centroids_np.astype(np.float32)))
             self._capacity = n_pad
@@ -1347,6 +1354,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 interp = jax.default_backend() != "tpu"
                 qd = replicate(self._mesh, jnp.asarray(q_p))
                 if self._pq_m(self.dtype) is not None:
+                    rc = None if self._cents_codec_dev is None else \
+                        replicate(self._mesh, self._cents_codec_dev)
                     dists, rows = sharded_ivf_query_tiled_pq(
                         self._mesh, self._dev3, self._s2t,
                         replicate(self._mesh, self._cb_dev),
@@ -1354,7 +1363,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                         self._dev_centroids, self._slot_table,
                         self._v_tile, self._v_col, self._v_len, qd,
                         k=k_dev, nprobe_orig=nprobe_o,
-                        interpret=interp, rerank=rr)
+                        interpret=interp, rerank=rr,
+                        res_cents=rc, row2list=self._row2list_dev)
                 else:
                     dists, rows = sharded_ivf_query_tiled(
                         self._mesh, self._dev3, self._s2t,

@@ -151,13 +151,19 @@ def sharded_ivf_query_tiled_pq(mesh: Mesh, db3c, s2t, codebooks, perm,
                                centroids, slot_table, v_tile, v_col,
                                v_len, q, *, k: int, nprobe_orig: int,
                                interpret: bool = False,
-                               rerank: str = "gather"
+                               rerank: str = "gather",
+                               res_cents=None, row2list=None
                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
-    Sharded tiled IVF-PQ query (raw/OPQ codes; residual is the
-    single-device configuration — its per-probe offsets tie scores to
-    the probe-selection matmul, which shards identically, but the exact
-    re-rank's row2list map is global state kept off the mesh for now).
+    Sharded tiled IVF-PQ query (raw/OPQ, or residual when
+    ``res_cents``/``row2list`` are given — FAISS ``by_residual``).
+
+    Residual mode shards cleanly: the per-probe ``-2<q, c>`` score
+    offsets derive from the probe-selection matmul, which every shard
+    computes identically from the replicated centroids/queries, and the
+    exact re-rank's row -> original-list map is row-aligned, so it
+    shards exactly like the code tiles (``row2list`` row-sharded,
+    ``res_cents`` replicated).
 
     Same operand layout as :func:`sharded_ivf_query_tiled` with the PQ
     codec (codebooks + perm/OPQ transform) replicated.
@@ -165,14 +171,18 @@ def sharded_ivf_query_tiled_pq(mesh: Mesh, db3c, s2t, codebooks, perm,
     from smqtk_indexing_tpu.ops.pallas_ivf import (
         ivf_query_dma_tiled_table_pq,
     )
+    residual = res_cents is not None
 
-    def local(db3_l, s2_l, cb_l, pm_l, c, st_l, vt_l, vc_l, vl_l, q_l):
+    def local(db3_l, s2_l, cb_l, pm_l, c, st_l, vt_l, vc_l, vl_l, q_l,
+              *res_l):
+        rc_l, r2l_l = res_l if residual else (None, None)
         n_local = db3_l.shape[0] * db3_l.shape[2]
         k_loc = min(k, n_local)
         d, r = ivf_query_dma_tiled_table_pq(
             db3_l, s2_l, cb_l, pm_l, c, st_l[0], vt_l[0], vc_l[0],
             vl_l[0], q_l, k=k_loc, nprobe_orig=nprobe_orig,
-            interpret=interpret, rerank=rerank)
+            interpret=interpret, rerank=rerank,
+            res_cents=rc_l, row2list=r2l_l)
         d, r = _pad_to_k(d, r, k, q_l.shape[0])
         offset = _global_shard_index(mesh) * n_local
         r = jnp.where(r >= 0, r + offset, r)
@@ -184,9 +194,13 @@ def sharded_ivf_query_tiled_pq(mesh: Mesh, db3c, s2t, codebooks, perm,
                 P(None, None, None), pm_spec, P(None, None),
                 P(rows_spec, None, None), P(rows_spec, None),
                 P(rows_spec, None), P(rows_spec, None), P(None, None))
+    extra = ()
+    if residual:
+        in_specs = in_specs + (P(None, None), P(rows_spec))
+        extra = (res_cents, row2list)
     return jax.shard_map(
         local, mesh=mesh, in_specs=in_specs,
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )(db3c, s2t, codebooks, perm, centroids, slot_table, v_tile, v_col,
-      v_len, q)
+      v_len, q, *extra)

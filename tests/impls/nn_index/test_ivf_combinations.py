@@ -32,7 +32,8 @@ def _expected_ok(metric, dtype, storage, rerank, n_devices, residual):
     """Independent restatement of the support matrix (the test oracle)."""
     is_pq = dtype in ("pq4", "opq4")
     multi = n_devices is not None and n_devices > 1
-    if residual and (not is_pq or metric != "euclidean" or multi):
+    if residual and (not is_pq or metric != "euclidean"
+                     or (multi and storage != "code")):
         return False
     if storage == "code" and (dtype in ("float32", "bfloat16")
                               or metric != "euclidean"):
@@ -90,9 +91,10 @@ BUILD_CELLS = (
     # capacity tier, single + sharded
     + [("code", dt, "euclidean", nd, "exact", False)
        for dt in ("sq8", "pq4", "opq4") for nd in (None, 8)]
-    # residual cells
+    # residual cells (incl. the sharded capacity-tier residual)
     + [("rows", "pq4", "euclidean", None, "exact", True),
-       ("code", "pq4", "euclidean", None, "exact", True)]
+       ("code", "pq4", "euclidean", None, "exact", True),
+       ("code", "pq4", "euclidean", 8, "exact", True)]
     # score-mode finalization on the tiled tier
     + [("code", "sq8", "euclidean", None, "score", False)]
 )

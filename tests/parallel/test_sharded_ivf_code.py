@@ -122,9 +122,25 @@ def test_sharded_code_tier_score_rerank():
     assert np.isfinite(res[1]).all()
 
 
-def test_sharded_code_residual_rejected():
-    with pytest.raises(ValueError, match="single-device"):
-        IvfNearestNeighborsIndex(storage="code", dtype="pq4",
+def test_sharded_code_residual_matches_single_device():
+    # FAISS by_residual over the sharded capacity tier: row2list shards
+    # with the tiles, residual centroids replicate; results must match
+    # the single-device residual configuration exactly.
+    n, d, k = 10000, 32, 8
+    idx1, els, _ = _build(n, d, 13, dtype="pq4", pq_residual=True)
+    idx8, _, _ = _build(n, d, 13, dtype="pq4", pq_residual=True,
+                        n_devices=8)
+    assert idx8._mesh is not None
+    r1 = idx1.nn_many(els[:6], k)
+    r8 = idx8.nn_many(els[:6], k)
+    for (e1, d1), (e8, d8) in zip(r1, r8):
+        assert e1[0].uuid() == e8[0].uuid()
+        np.testing.assert_allclose(d1, d8, rtol=1e-4, atol=1e-4)
+
+
+def test_rows_residual_multi_device_rejected():
+    with pytest.raises(ValueError, match="rows tier is single-device"):
+        IvfNearestNeighborsIndex(storage="rows", dtype="pq4",
                                  pq_residual=True, n_devices=8)
 
 
