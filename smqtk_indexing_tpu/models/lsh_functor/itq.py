@@ -48,6 +48,18 @@ class ItqFunctor (LshFunctor):
     :param normalize: Optional numpy ``ord`` for descriptor row
         normalization before centering.
     :param random_seed: Seed for the initial random rotation.
+
+    >>> import numpy as np
+    >>> from smqtk_indexing_tpu.data.descriptor import (
+    ...     DescriptorMemoryElement)
+    >>> rng = np.random.default_rng(0)
+    >>> els = [DescriptorMemoryElement(i, rng.normal(size=16)
+    ...        .astype(np.float32)) for i in range(64)]
+    >>> functor = ItqFunctor(bit_length=8, random_seed=0)
+    >>> functor.fit(els)
+    >>> code = functor.get_hash(els[0].vector())
+    >>> code.shape, code.dtype.kind
+    ((8,), 'b')
     """
 
     @classmethod

@@ -66,6 +66,21 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
         'host_stream' keeps it in host RAM and streams blocks through the
         chip per query batch — the >HBM capacity tier (exact results;
         float32/bfloat16 only).
+
+    >>> import numpy as np
+    >>> from smqtk_indexing_tpu.data.descriptor import (
+    ...     DescriptorMemoryElement)
+    >>> rng = np.random.default_rng(0)
+    >>> els = [DescriptorMemoryElement(i, rng.normal(size=8)
+    ...        .astype(np.float32)) for i in range(32)]
+    >>> index = FlatNearestNeighborsIndex()
+    >>> index.build_index(els)
+    >>> neighbors, dists = index.nn(els[3], 2)
+    >>> neighbors[0].uuid(), round(float(dists[0]), 6)
+    (3, 0.0)
+    >>> index.remove_from_index([3])
+    >>> index.count()
+    31
     """
 
     @classmethod

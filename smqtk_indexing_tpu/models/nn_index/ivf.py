@@ -189,6 +189,22 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         per probe (derived from the probe-selection matmul) and the
         exact re-rank adds the winner's centroid back
         (ops/pq.pq_residual_build_store).
+
+    >>> import numpy as np
+    >>> from smqtk_indexing_tpu.data.descriptor import (
+    ...     DescriptorMemoryElement)
+    >>> rng = np.random.default_rng(0)
+    >>> els = [DescriptorMemoryElement(i, rng.normal(size=8)
+    ...        .astype(np.float32)) for i in range(64)]
+    >>> index = IvfNearestNeighborsIndex(n_lists=4, nprobe=4,
+    ...                                  random_seed=0)
+    >>> index.build_index(els)
+    >>> neighbors, dists = index.nn(els[5], 3)
+    >>> neighbors[0].uuid()
+    5
+    >>> index.nprobe = 2   # query-time tunable (reference: ivf_nprobe)
+    >>> len(index.nn(els[5], 3)[0])
+    3
     """
 
     @classmethod

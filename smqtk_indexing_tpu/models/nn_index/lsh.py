@@ -107,6 +107,21 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
         batched candidate re-rank splits its candidate axis, across the
         mesh (parallel/sharded_scan.sharded_rerank_topk). A configured
         ``hash_index`` shards via its own config.
+
+    >>> import numpy as np
+    >>> from smqtk_indexing_tpu.data.descriptor import (
+    ...     DescriptorMemoryElement)
+    >>> from smqtk_indexing_tpu.models.lsh_functor.itq import ItqFunctor
+    >>> rng = np.random.default_rng(0)
+    >>> els = [DescriptorMemoryElement(i, rng.normal(size=16)
+    ...        .astype(np.float32)) for i in range(64)]
+    >>> functor = ItqFunctor(bit_length=8, random_seed=0)
+    >>> functor.fit(els)
+    >>> index = LSHNearestNeighborIndex(lsh_functor=functor)
+    >>> index.build_index(els)
+    >>> neighbors, dists = index.nn(els[7], 3)
+    >>> neighbors[0].uuid()
+    7
     """
 
     @classmethod

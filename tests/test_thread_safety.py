@@ -119,6 +119,56 @@ def test_concurrent_ivf_code_tier():
     assert "ghost" not in [e.uuid() for e in res]
 
 
+def test_concurrent_sharded_ivf_code_tier():
+    """Sharded capacity tier (round 4): concurrent queries during
+    update/remove must never crash, tear the sharded tile mirror, or
+    resurrect poisoned rows on any shard."""
+    from smqtk_indexing_tpu.models.nn_index.ivf import (
+        IvfNearestNeighborsIndex,
+    )
+    rng = np.random.default_rng(3)
+    elems = [DescriptorMemoryElement(j, rng.normal(size=16).astype(np.float32))
+             for j in range(256)]
+    idx = IvfNearestNeighborsIndex(
+        dtype="sq8", storage="code", n_lists=4, nprobe=4,
+        kmeans_iterations=4, random_seed=0, n_devices=8)
+    idx.build_index(elems)
+    assert idx._mesh is not None
+
+    errors = []
+    stop = threading.Event()
+
+    def query_loop():
+        try:
+            while not stop.is_set():
+                res, dists = idx.nn(elems[rng.integers(0, 128)], 3)
+                assert len(res) == len(dists) <= 3
+                assert list(dists) == sorted(dists)
+        except Exception as e:  # pragma: no cover - failure capture
+            errors.append(e)
+
+    def mutate_loop():
+        try:
+            for i in range(3):
+                vec = rng.normal(size=16).astype(np.float32)
+                idx.update_index([DescriptorMemoryElement("ghost", vec)])
+                idx.remove_from_index(["ghost"])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=query_loop) for _ in range(2)]
+    m = threading.Thread(target=mutate_loop)
+    for t in threads:
+        t.start()
+    m.start()
+    m.join()
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert idx.count() == 256
+
+
 def test_concurrent_ivf_rows_tiled(monkeypatch):
     """The rows-sq8 tiled routing shares the code tier's query/poisoning
     paths but rebuilds from the FLOAT mirror on update — concurrent use
