@@ -1367,7 +1367,12 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 )
                 nprobe_o = min(self.nprobe, self._centroids_np.shape[0])
                 rr = "score" if self.rerank == "score" else "gather"
-                interp = jax.default_backend() != "tpu"
+                # Interpret must follow the MESH's platform, not the
+                # default backend: on a single-chip TPU session make_mesh
+                # falls back to the virtual CPU host platform, where the
+                # Mosaic kernels can only run interpreted.
+                interp = next(
+                    iter(self._mesh.devices.flat)).platform != "tpu"
                 qd = replicate(self._mesh, jnp.asarray(q_p))
                 if self._pq_m(self.dtype) is not None:
                     rc = None if self._cents_codec_dev is None else \
@@ -1403,7 +1408,15 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 )
                 nprobe_o = min(self.nprobe, self._centroids_np.shape[0])
                 rr = "score" if self.rerank == "score" else "gather"
-                interp = jax.default_backend() != "tpu"
+                # Gate interpret on the ACTUAL placement of the tiles
+                # (tests/users may pin computation to CPU via
+                # jax.default_device while the default backend is still
+                # the TPU — Mosaic cannot run there).
+                try:
+                    interp = next(
+                        iter(self._dev3.devices())).platform != "tpu"
+                except Exception:  # pragma: no cover - exotic arrays
+                    interp = jax.default_backend() != "tpu"
                 if self._pq_m(self.dtype) is not None:
                     dists, rows = ivf_query_dma_tiled_table_pq(
                         self._dev3, self._s2t, self._cb_dev,

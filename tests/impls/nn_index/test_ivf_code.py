@@ -61,15 +61,19 @@ class TestIvfCodeTierConfig:
             IvfNearestNeighborsIndex(storage="code", dtype="sq8",
                                      metric="cosine")
 
-    def test_multi_device_supported_except_residual(self):
+    def test_multi_device_supported(self):
         # Round 4: the capacity tier shards over a mesh
-        # (parallel/sharded_ivf_code.py); only residual PQ remains
-        # single-device.
+        # (parallel/sharded_ivf_code.py), residual PQ included; only the
+        # ROWS tier's residual stays single-device (its sharded PQ scan
+        # carries raw codes).
         i = IvfNearestNeighborsIndex(storage="code", dtype="sq8",
                                      n_devices=4)
         assert i.n_devices == 4
+        i2 = IvfNearestNeighborsIndex(storage="code", dtype="pq4",
+                                      pq_residual=True, n_devices=4)
+        assert i2.pq_residual is True
         with pytest.raises(ValueError, match="single-device"):
-            IvfNearestNeighborsIndex(storage="code", dtype="pq4",
+            IvfNearestNeighborsIndex(storage="rows", dtype="pq4",
                                      pq_residual=True, n_devices=4)
 
     def test_bad_values(self):

@@ -13,6 +13,8 @@ TPU matmul precision semantics differ; see CLAUDE.md):
 6. RESIDUAL PQ code tier (pq_residual=True): same contract over the
    c_T[list] + r_hat reconstructions (per-probe offsets + the
    centroid-adding exact re-rank on chip).
+7. SHARDED code tier (n_devices=8; virtual CPU mesh on one chip):
+   results identical to the single-device capacity tier at 256K.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/verify_exactness.py
 """
@@ -210,6 +212,30 @@ def main() -> None:
             np.abs(np.asarray(dists) - ref_d).max()
         assert list(dists) == sorted(dists), j
     _log("6. RESIDUAL PQ code tier exact vs float64 at 256K OK")
+
+    # 7. SHARDED code tier (round 4): the 8-way mesh (virtual CPU when
+    # only one real chip exists — make_mesh falls back) must return the
+    # single-device results exactly: same codec, same layout semantics,
+    # per-shard clipped scans + hierarchical merge.
+    idx_sh = IvfNearestNeighborsIndex(
+        n_lists=64, nprobe=64, kmeans_iterations=4, random_seed=0,
+        dtype="sq8", storage="code", n_devices=8)
+    idx_sh.build_index([DescriptorMemoryElement(i, db[i])
+                        for i in range(n_pq)])
+    idx_1 = IvfNearestNeighborsIndex(
+        n_lists=64, nprobe=64, kmeans_iterations=4, random_seed=0,
+        dtype="sq8", storage="code")
+    idx_1.build_index([DescriptorMemoryElement(i, db[i])
+                       for i in range(n_pq)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res_sh = idx_sh.nn_many(q_elems, K)
+        res_1 = idx_1.nn_many(q_elems, K)
+    for j, ((e_s, d_s), (e_1, d_1)) in enumerate(zip(res_sh, res_1)):
+        assert e_s[0].uuid() == e_1[0].uuid(), j
+        assert np.allclose(d_s, d_1, atol=1e-3, rtol=1e-5), \
+            (j, np.abs(np.asarray(d_s) - np.asarray(d_1)).max())
+    _log("7. SHARDED code tier == single-device at 256K OK")
 
     _log("ALL EXACTNESS DRIVES PASSED")
 
