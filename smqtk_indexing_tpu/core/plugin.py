@@ -34,6 +34,7 @@ _BUILTIN_IMPL_MODULES = (
     "smqtk_indexing_tpu.models.nn_index.ivf",
     "smqtk_indexing_tpu.models.nn_index.lsh",
     "smqtk_indexing_tpu.models.nn_index.mrpt",
+    "smqtk_indexing_tpu.models.nn_index.faiss_compat",
     "smqtk_indexing_tpu.models.hash_index.linear",
     "smqtk_indexing_tpu.models.hash_index.block",
     "smqtk_indexing_tpu.models.lsh_functor.itq",
