@@ -28,7 +28,6 @@ norm table, never from materializing the decoded matrix.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Tuple
 
