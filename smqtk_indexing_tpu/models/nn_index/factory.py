@@ -140,10 +140,8 @@ def index_from_factory_string(factory_string: str,
         # FAISS builds 'IVF<n>,PQ<M>' with by_residual=True (L2): codes
         # quantize x - centroid(list). Match that default here; explicit
         # kwargs and non-L2 metrics (where FAISS too disables residual)
-        # override/opt out. Residual serving is single-device-only, so
-        # the default stays off for sharded builds rather than raising.
-        multi = kwargs.get("n_devices") not in (None, 1)
-        kwargs.setdefault("pq_residual", m == "euclidean" and not multi)
+        # override/opt out.
+        kwargs.setdefault("pq_residual", m == "euclidean")
         return IvfNearestNeighborsIndex(
             metric=m, n_lists=int(ivf.group(1)),
             dtype=_pq_dtype(parts[1]), **kwargs)

@@ -75,8 +75,8 @@ def _is_pq_dtype(dtype: str) -> bool:
 #:             euclidean single-device through the tiled DMA kernel
 #:             (_tiled_rows_ok; SMQTK_TPU_NO_ROWS_TILED opts out)
 #:   pq/opq<M> euclidean/inner_product/cosine  1..N      same routing
-#:   pq/opq<M> +pq_residual: euclidean only, single-device only (the
-#:             sharded rows-PQ scan carries raw codes)
+#:   pq/opq<M> +pq_residual: euclidean only, 1..N (row2list row-shards
+#:             with the codes; codec-space centroids replicate)
 #: storage='code' (int8/uint8 code host mirror — the capacity tier):
 #:   dtype     metric      devices   notes
 #:   sq8       euclidean   1..N      tiled DMA scan; sharded via
@@ -95,8 +95,7 @@ def validate_ivf_combination(metric: str, dtype: str, storage: str,
 
     Raises ValueError on: unknown metric/dtype/storage/rerank values;
     storage='code' with a float dtype or non-euclidean metric;
-    pq_residual with a non-PQ dtype, non-euclidean metric, or a
-    multi-device mesh.
+    pq_residual with a non-PQ dtype or non-euclidean metric.
     """
     if metric not in METRICS:
         raise ValueError(
@@ -112,7 +111,6 @@ def validate_ivf_combination(metric: str, dtype: str, storage: str,
     if rerank not in ("exact", "score"):
         raise ValueError(
             f"rerank must be 'exact' | 'score', got {rerank!r}")
-    multi = n_devices is not None and n_devices > 1
     if pq_residual:
         if not _is_pq_dtype(dtype):
             raise ValueError(
@@ -122,12 +120,6 @@ def validate_ivf_combination(metric: str, dtype: str, storage: str,
             raise ValueError(
                 "pq_residual serves euclidean only (the score's "
                 "per-probe -2<q,c> term comes from L2 probe selection)")
-        if multi and storage != "code":
-            raise ValueError(
-                "pq_residual on the rows tier is single-device (the "
-                "sharded rows-PQ scan carries raw codes); use "
-                "storage='code' for sharded residual serving, or "
-                "pq_residual=False with n_devices.")
     if storage == "code":
         if dtype != "sq8" and not _is_pq_dtype(dtype):
             raise ValueError(
@@ -977,6 +969,15 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 self._pq_cb_dev = replicate(self._mesh, self._pq_cb_dev)
                 self._dev_centroids_pq = replicate(
                     self._mesh, self._dev_centroids_pq)
+                if self.pq_residual:
+                    # Residual PQ: the row -> original-list map shards
+                    # with the codes; codec-space centroids replicate
+                    # (the per-probe -2<q,c> offset derives from each
+                    # shard's own probe-selection matmul).
+                    self._row2list_dev = shard_rows(
+                        self._mesh, self._row2list_dev)
+                    self._cents_codec_dev = replicate(
+                        self._mesh, self._cents_codec_dev)
 
     # ------------------------------------------------------------------
     # persistence
@@ -1447,7 +1448,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                         _pq_prep(q_p, self._pq_perm, self._pq_rot))),
                     k=k_dev, nprobe=nprobe, l_max=self._l_max,
                     metric=self.metric, first_virt=first_virt,
-                    nprobe_orig=nprobe_orig, has_dead=has_dead)
+                    nprobe_orig=nprobe_orig, has_dead=has_dead,
+                    res_cents=self._cents_codec_dev,
+                    row2list=self._row2list_dev)
             elif self._mesh is not None:
                 from smqtk_indexing_tpu.parallel.mesh import replicate
                 from smqtk_indexing_tpu.parallel.sharded_ivf import (

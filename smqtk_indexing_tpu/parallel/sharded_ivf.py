@@ -61,22 +61,33 @@ def sharded_ivf_query_pq(mesh: Mesh, codes, codebooks, s2, valid,
                          centroids, offsets, lens, q, *, k: int,
                          nprobe: int, l_max: int,
                          metric: str = "euclidean", first_virt=None,
-                         nprobe_orig=None, has_dead: bool = True):
+                         nprobe_orig=None, has_dead: bool = True,
+                         res_cents=None, row2list=None):
     """
     Row-sharded IVF over PQ codes: each shard runs
     ops/ivf.ivf_query_pq on its clipped CSR view (same per-shard layout
     as :func:`sharded_ivf_query`; codebooks/centroids/queries
     replicated), winners merge with the standard k-sized all-gather.
+
+    Residual mode (``res_cents``/``row2list`` — FAISS ``by_residual``):
+    the per-probe ``-2<q, c>`` offset derives from each shard's own
+    replicated probe-selection matmul, and the exact re-rank's
+    centroid-add is row-local, so the codec-space centroids replicate
+    and the row→original-list map row-shards with the codes.
     """
     from smqtk_indexing_tpu.ops.ivf import ivf_query_pq
 
-    def local(codes_l, cb_l, s2_l, va_l, c, off_l, len_l, q_l, *fv_l):
-        fv = fv_l[0] if fv_l else None
+    def local(codes_l, cb_l, s2_l, va_l, c, off_l, len_l, q_l, *extra_l):
+        extra_l = list(extra_l)
+        r2l = extra_l.pop() if row2list is not None else None
+        rc = extra_l.pop() if res_cents is not None else None
+        fv = extra_l.pop() if first_virt is not None else None
         k_loc = min(k, codes_l.shape[0])
         d, r = ivf_query_pq(codes_l, cb_l, s2_l, va_l, c, off_l[0],
                             len_l[0], q_l, k=k_loc, nprobe=nprobe,
                             l_max=l_max, metric=metric, first_virt=fv,
-                            nprobe_orig=nprobe_orig, has_dead=has_dead)
+                            nprobe_orig=nprobe_orig, has_dead=has_dead,
+                            res_cents=rc, row2list=r2l)
         if k_loc < k:
             b = q_l.shape[0]
             d = jnp.concatenate(
@@ -89,11 +100,19 @@ def sharded_ivf_query_pq(mesh: Mesh, codes, codebooks, s2, valid,
         return _hier_merge(mesh, d, r, k)
 
     rows_spec = row_axes(mesh)
-    extra = (first_virt,) if first_virt is not None else ()
+    extra, extra_specs = (), ()
+    if first_virt is not None:
+        extra += (first_virt,)
+        extra_specs += (P(None),)
+    if res_cents is not None:
+        extra += (res_cents,)
+        extra_specs += (P(None, None),)
+    if row2list is not None:
+        extra += (row2list,)
+        extra_specs += (P(rows_spec),)
     in_specs = (P(rows_spec, None), P(None, None, None), P(rows_spec),
                 P(rows_spec), P(None, None), P(rows_spec, None),
-                P(rows_spec, None), P(None, None)) \
-        + tuple(P(None) for _ in extra)
+                P(rows_spec, None), P(None, None)) + extra_specs
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=in_specs,

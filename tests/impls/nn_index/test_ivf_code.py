@@ -63,18 +63,18 @@ class TestIvfCodeTierConfig:
 
     def test_multi_device_supported(self):
         # Round 4: the capacity tier shards over a mesh
-        # (parallel/sharded_ivf_code.py), residual PQ included; only the
-        # ROWS tier's residual stays single-device (its sharded PQ scan
-        # carries raw codes).
+        # (parallel/sharded_ivf_code.py), residual PQ included; the
+        # ROWS tier's residual shards too (row2list rides the row shards,
+        # codec-space centroids replicate — parallel/sharded_ivf.py).
         i = IvfNearestNeighborsIndex(storage="code", dtype="sq8",
                                      n_devices=4)
         assert i.n_devices == 4
         i2 = IvfNearestNeighborsIndex(storage="code", dtype="pq4",
                                       pq_residual=True, n_devices=4)
         assert i2.pq_residual is True
-        with pytest.raises(ValueError, match="single-device"):
-            IvfNearestNeighborsIndex(storage="rows", dtype="pq4",
-                                     pq_residual=True, n_devices=4)
+        i3 = IvfNearestNeighborsIndex(storage="rows", dtype="pq4",
+                                      pq_residual=True, n_devices=4)
+        assert i3.pq_residual is True
 
     def test_bad_values(self):
         with pytest.raises(ValueError, match="storage"):

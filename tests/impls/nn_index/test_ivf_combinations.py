@@ -31,9 +31,7 @@ RESIDUALS = (False, True)
 def _expected_ok(metric, dtype, storage, rerank, n_devices, residual):
     """Independent restatement of the support matrix (the test oracle)."""
     is_pq = dtype in ("pq4", "opq4")
-    multi = n_devices is not None and n_devices > 1
-    if residual and (not is_pq or metric != "euclidean"
-                     or (multi and storage != "code")):
+    if residual and (not is_pq or metric != "euclidean"):
         return False
     if storage == "code" and (dtype in ("float32", "bfloat16")
                               or metric != "euclidean"):
@@ -91,8 +89,9 @@ BUILD_CELLS = (
     # capacity tier, single + sharded
     + [("code", dt, "euclidean", nd, "exact", False)
        for dt in ("sq8", "pq4", "opq4") for nd in (None, 8)]
-    # residual cells (incl. the sharded capacity-tier residual)
+    # residual cells (incl. sharded residual on BOTH tiers)
     + [("rows", "pq4", "euclidean", None, "exact", True),
+       ("rows", "pq4", "euclidean", 8, "exact", True),
        ("code", "pq4", "euclidean", None, "exact", True),
        ("code", "pq4", "euclidean", 8, "exact", True)]
     # score-mode finalization on the tiled tier

@@ -75,10 +75,10 @@ class TestValidation:
             IvfNearestNeighborsIndex(dtype="pq8", pq_residual=True,
                                      metric="cosine")
 
-    def test_single_device(self):
-        with pytest.raises(ValueError, match="single-device"):
-            IvfNearestNeighborsIndex(dtype="pq8", pq_residual=True,
-                                     n_devices=4)
+    def test_multi_device_accepted(self):
+        idx = IvfNearestNeighborsIndex(dtype="pq8", pq_residual=True,
+                                       n_devices=4)
+        assert idx.pq_residual is True
 
     def test_config_roundtrip(self):
         idx = _index()
@@ -149,6 +149,30 @@ class TestExactness:
             assert n_e[0].uuid() == n_s[0].uuid()
             np.testing.assert_allclose(d_e[0], d_s[0], rtol=5e-3,
                                        atol=5e-3)
+
+
+class TestShardedRows:
+    def test_sharded_rows_residual_matches_single_device(self):
+        """Rows-tier residual PQ over an 8-device mesh: per-shard scans
+        carry the same -2<q,c> probe offsets and row-local centroid
+        re-adds, so full-probe results agree with the single-device
+        path (near-tie order tolerance at the k boundary only)."""
+        x = _clustered(n=1600)
+        els = [_elem(i, x[i]) for i in range(len(x))]
+        idx1 = _index()
+        idx1.build_index(els)
+        idx8 = _index(n_devices=8)
+        idx8.build_index(els)
+        assert idx8._mesh is not None
+        assert idx8._row2list_dev is not None
+        for qi in (3, 444, 1200):
+            n1, d1 = _query(idx1, x[qi])
+            n8, d8 = _query(idx8, x[qi])
+            ids1 = [e.uuid() for e in n1]
+            ids8 = [e.uuid() for e in n8]
+            assert len(set(ids1) & set(ids8)) >= 4, (ids1, ids8)
+            np.testing.assert_allclose(d8[0], d1[0], rtol=1e-4,
+                                       atol=1e-4)
 
 
 class TestRecallGain:

@@ -138,10 +138,13 @@ def test_sharded_code_residual_matches_single_device():
         np.testing.assert_allclose(d1, d8, rtol=1e-4, atol=1e-4)
 
 
-def test_rows_residual_multi_device_rejected():
-    with pytest.raises(ValueError, match="rows tier is single-device"):
-        IvfNearestNeighborsIndex(storage="rows", dtype="pq4",
-                                 pq_residual=True, n_devices=8)
+def test_rows_residual_multi_device_accepted():
+    # Round 4: the rows tier's residual shards too (row2list rides the
+    # row shards; single-device agreement covered in
+    # tests/impls/nn_index/test_pq_residual.py::TestShardedRows).
+    idx = IvfNearestNeighborsIndex(storage="rows", dtype="pq4",
+                                   pq_residual=True, n_devices=8)
+    assert idx.pq_residual is True
 
 
 def test_sharded_code_persistence_roundtrip():
