@@ -21,6 +21,8 @@ baseline = host (numpy/BLAS, this machine) exhaustive scan QPS on the same
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -141,5 +143,39 @@ def main() -> None:
     }))
 
 
+def _wait_for_backend(max_wait: float = 900.0) -> None:
+    """Gate on ``jax.devices()`` ANSWERING before the real run.
+
+    A tunnel outage makes backend init hang indefinitely (round 3's
+    BENCH rc=1 was exactly this), so probe in a SUBPROCESS with a
+    timeout and retry through a transient outage. A probe killed on
+    timeout holds the device claim ~60-90 s, so retries space out by
+    90 s; a clean probe exit releases it (small settle sleep anyway).
+    """
+    deadline = time.monotonic() + max_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            time.sleep(10)
+            return
+        if time.monotonic() >= deadline:
+            print(f"backend unavailable after {attempt} probes over "
+                  f"{max_wait:.0f}s (jax.devices() hangs — tunnel "
+                  "outage?)", file=sys.stderr)
+            raise SystemExit(2)
+        print(f"backend probe {attempt} failed (rc={rc}); retrying...",
+              file=sys.stderr)
+        time.sleep(90)
+
+
 if __name__ == "__main__":
+    _wait_for_backend()
     main()
