@@ -18,6 +18,21 @@ Q() {  # Q <name> <timeout_s> <cmd...>
   sleep 90
 }
 echo "$(date +%T) queue begin" > /tmp/tpu_queue.log
+# Wait out the tunnel outage: probe jax.devices() in a bounded
+# subprocess until it answers (a killed probe holds the device claim
+# ~60-90 s — space retries accordingly). Bounded at ~10 h.
+for i in $(seq 1 60); do
+  if timeout 180 python -c "import jax; jax.devices()" \
+      > /dev/null 2>&1; then
+    echo "$(date +%T) backend up after $i probes" >> /tmp/tpu_queue.log
+    sleep 30
+    break
+  fi
+  echo "$(date +%T) probe $i: backend unavailable" >> /tmp/tpu_queue.log
+  [ "$i" = 60 ] && { echo "$(date +%T) giving up" >> /tmp/tpu_queue.log;
+                     exit 2; }
+  sleep 420
+done
 Q headline      1200 python bench.py
 Q ivf_code      3600 python bench_all.py ivf_code
 Q ivf_code_pq   5400 python bench_all.py ivf_code_pq
