@@ -280,8 +280,9 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
 
     def _sync_kvs(self) -> None:
         from smqtk_indexing_tpu.models.nn_index._kvs import sync_uid_kvs
-        sync_uid_kvs(self.uid2idx_kvs, self.idx2uid_kvs,
-                     self._store.uid_to_row())
+        self._kvs_synced = sync_uid_kvs(
+            self.uid2idx_kvs, self.idx2uid_kvs, self._store.uid_to_row(),
+            prev=getattr(self, "_kvs_synced", None))
 
     def _build_index(self, descriptors: Iterable[DescriptorElement]) -> None:
         with self._model_lock:

@@ -103,3 +103,61 @@ def test_config_roundtrip_with_slots():
     cfg4 = json.loads(json.dumps(i4.get_config()))
     i5 = IvfNearestNeighborsIndex.from_config(cfg4)
     assert isinstance(i5.uid2idx_kvs, MemoryKeyValueStore)
+
+
+class _CountingKVS(MemoryKeyValueStore):
+    """Tracks write volume so tests can assert the mirror sync is
+    incremental (O(delta), not a clear + full rewrite per mutation)."""
+
+    def __init__(self):
+        super().__init__()
+        self.writes = 0
+        self.removes = 0
+        self.clears = 0
+
+    def add(self, key, value):
+        self.writes += 1
+        return super().add(key, value)
+
+    def add_many(self, d):
+        self.writes += len(d)
+        return super().add_many(d)
+
+    def remove(self, key):
+        self.removes += 1
+        return super().remove(key)
+
+    def remove_many(self, keys):
+        keys = list(keys)
+        self.removes += len(keys)
+        return super().remove_many(keys)
+
+    def clear(self):
+        self.clears += 1
+        return super().clear()
+
+
+def test_mirror_sync_is_incremental():
+    u2i, i2u = _CountingKVS(), _CountingKVS()
+    idx = FlatNearestNeighborsIndex(
+        descriptor_set=MemoryDescriptorSet(),
+        uid2idx_kvs=u2i, idx2uid_kvs=i2u)
+    idx.build_index(_els(40, 8))
+    base_writes = u2i.writes
+    assert base_writes >= 40          # first sync is the full rewrite
+    # A non-compacting removal must write only the delta, never re-sync
+    # the surviving 38 mappings (reference stores may be DB-backed).
+    idx.remove_from_index([3, 5])
+    _check_mirrors(u2i, i2u, 38)
+    assert u2i.clears == i2u.clears == 1      # only the initial full sync
+    assert u2i.writes - base_writes <= 4      # row moves only, if any
+    assert u2i.removes >= 2 and u2i.removes <= 6
+    # An update adds only the new uids (plus any rows the append moved).
+    new = _els(3, 8, seed=77)
+    for j, e in enumerate(new):
+        e._uuid = 1000 + j
+    before = u2i.writes
+    idx.update_index(new)
+    _check_mirrors(u2i, i2u, 41)
+    assert u2i.clears == 1
+    assert u2i.writes - before <= 10

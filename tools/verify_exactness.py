@@ -20,8 +20,19 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/verify_exactness.py
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# Check 7 builds an 8-device mesh; on the single-chip TPU box make_mesh
+# falls back to the CPU host platform, which must be forced to 8 virtual
+# devices BEFORE any jax backend initializes (backends are lazy — the
+# sitecustomize only registers the plugin). Same pattern as
+# __graft_entry__.dryrun_multichip.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import numpy as np
 
