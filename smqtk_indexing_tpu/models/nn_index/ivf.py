@@ -761,6 +761,20 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 # Residual PQ: the row -> original-list map is
                 # row-aligned with the tiles — shard it the same way.
                 self._row2list_dev = shard_rows(mesh, self._row2list_dev)
+            # Codec arrays are per-query shard_map operands: replicate
+            # them ONCE here so the query path's replicate() calls are
+            # no-ops (device_put to an equal sharding), not a fresh
+            # cross-mesh transfer per batch (res_cents alone is ~8MB at
+            # 16K lists x 128 dims).
+            if self._pq_m(self.dtype) is not None:
+                self._cb_dev = replicate(mesh, self._cb_dev)
+                self._perm_dev = replicate(mesh, self._perm_dev)
+                if self._cents_codec_dev is not None:
+                    self._cents_codec_dev = replicate(
+                        mesh, self._cents_codec_dev)
+            else:
+                self._sq8_a = replicate(mesh, self._sq8_a)
+                self._sq8_b = replicate(mesh, self._sq8_b)
             self._dev_centroids = replicate(
                 mesh, jnp.asarray(self._centroids_np.astype(np.float32)))
             self._capacity = n_pad
