@@ -56,6 +56,8 @@ PLANT_STRIDE = N // (B * K_PLANT)
 #: SMQTK_CAP_LAYOUT=rowmajor selects the XLA path for comparison.
 import os  # noqa: E402
 TILED = os.environ.get("SMQTK_CAP_LAYOUT", "tiled") == "tiled"
+#: Opt-in int8 x int8 stage-1 dot (tools/probe_int8_mxu.py gates it).
+I8DOT = os.environ.get("SMQTK_TPU_SQ8_I8DOT") == "1"
 
 
 @partial(jax.jit, static_argnames=())
@@ -157,7 +159,7 @@ def main() -> None:
     def scan_once():
         if TILED:
             return sq8.sq8_topk_blocked(codes, a, b, s2, valid, qd,
-                                        k=16)
+                                        k=16, i8dot=I8DOT)
         return sq8.sq8_topk(codes, a, b, s2, nrm, valid, qd, k=16)
 
     t0 = time.perf_counter()
@@ -199,7 +201,7 @@ def main() -> None:
     if TILED:
         def scan_big():
             return sq8.sq8_topk_blocked(codes, a, b, s2, valid, q_big,
-                                        k=16)
+                                        k=16, i8dot=I8DOT)
     else:
         def scan_big():
             return sq8.sq8_topk(codes, a, b, s2, nrm, valid, q_big,

@@ -48,6 +48,15 @@ _DOT_NUMS = (((1,), (0,)), ((), ()))
 def _tile_ip(q, tile, mode):
     """Query x (d, tile_n) tile inner products in the requested mode
     (shared by the mirror and tiled-layout kernel bodies)."""
+    if tile.dtype == jnp.int8 and q.dtype == jnp.int8:
+        # int8 x int8 -> int32 MXU form (2x the bf16 rate on v5e): the
+        # caller pre-quantized the query side with one global scale and
+        # pre-divided the row stats by it, so these raw integer products
+        # rank segments directly (tools/probe_int8_mxu.py is the
+        # measured go/no-go for this lowering).
+        return jax.lax.dot_general(
+            q, tile, dimension_numbers=_DOT_NUMS,
+            preferred_element_type=jnp.int32).astype(jnp.float32)
     if tile.dtype == jnp.int8:
         tile = tile.astype(jnp.bfloat16)
     if mode == "split3":
@@ -69,6 +78,23 @@ def _tile_ip(q, tile, mode):
     return jax.lax.dot_general(
         q, tile, dimension_numbers=_DOT_NUMS,
         preferred_element_type=jnp.float32, precision=precision)
+
+
+def _q_kernel_dtype(q: jnp.ndarray, db_dtype) -> jnp.ndarray:
+    """Query operand dtype for a scan kernel: bf16/int8 databases take
+    bf16 queries (int8 tiles cast to bf16 in-kernel), EXCEPT a
+    pre-quantized int8 query, which rides through untouched and selects
+    the int8 x int8 MXU dot in :func:`_tile_ip` (the caller pre-divided
+    the row stats by its scale — ops/sq8.py's i8dot path)."""
+    if q.dtype == jnp.int8:
+        if db_dtype != jnp.int8:
+            raise ValueError(
+                "int8 queries require an int8 (SQ8-coded) database; got "
+                f"db dtype {db_dtype}.")
+        return q
+    if db_dtype in (jnp.bfloat16, jnp.int8):
+        return q.astype(jnp.bfloat16)
+    return q
 
 
 def _scan_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, mode):
@@ -110,43 +136,18 @@ def _scan_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, mode):
             else jnp.concatenate(sub_outs, axis=-1)
         out_ref[:] = out.reshape(1, b_rows, t_count * nseg_sub)
         return
-    tile = full
-    if tile.dtype == jnp.int8:
-        # SQ8 codes: integers in [-127, 127] are exact in bf16, so the
-        # in-VMEM cast feeds the MXU true code values at 1 byte/dim of
-        # HBM traffic (the query side is pre-cast to bf16 by the
-        # wrapper; its rounding is the caller's documented margin).
-        tile = tile.astype(jnp.bfloat16)
-    if mode == "split3":
-        # Split-bf16 3-pass f32 dot: x = hi + lo with hi = bf16(x) makes
-        # hi exactly representable and |lo| <= 2^-9 |x|, so
-        # q.x = qh.dh + qh.dl + ql.dh + O(2^-18) — three full-rate bf16
-        # MXU passes for ~1e-5 relative score error (measured: the
-        # Mosaic HIGHEST lowering costs ~14x a bf16 pass, this costs 3x;
-        # the k+8 segment margin + exact stage-2 re-rank absorb the
-        # residual noise, keeping the pipeline's top-k selection exact in
-        # practice — see flat_topk_fused's error budget note).
-        q_hi = q.astype(jnp.bfloat16)
-        q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        d_hi = tile.astype(jnp.bfloat16)
-        d_lo = (tile - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        ip = jax.lax.dot_general(
-            q_hi, d_hi, dimension_numbers=_DOT_NUMS,
-            preferred_element_type=jnp.float32)
-        ip += jax.lax.dot_general(
-            q_hi, d_lo, dimension_numbers=_DOT_NUMS,
-            preferred_element_type=jnp.float32)
-        ip += jax.lax.dot_general(
-            q_lo, d_hi, dimension_numbers=_DOT_NUMS,
-            preferred_element_type=jnp.float32)
-    else:
-        # "highest": Mosaic's exact f32 lowering (expensive, provably
-        # exact). "native": operands used as stored — exact for bf16
-        # inputs (bf16 is full-rate and exact on the MXU).
-        precision = jax.lax.Precision.HIGHEST if mode == "highest" else None
-        ip = jax.lax.dot_general(
-            q, tile, dimension_numbers=_DOT_NUMS,
-            preferred_element_type=jnp.float32, precision=precision)
+    # SQ8 int8 tiles: cast to bf16 in-register inside _tile_ip (integers
+    # in [-127, 127] are EXACT in bf16, 1 byte/dim of HBM traffic; the
+    # query side's bf16 rounding is the caller's documented margin), or
+    # run the int8 x int8 MXU form when the query arrives pre-quantized.
+    # split3 mode: x = hi + lo with hi = bf16(x) makes hi exactly
+    # representable and |lo| <= 2^-9 |x|, so q.x = qh.dh + qh.dl + ql.dh
+    # + O(2^-18) — three full-rate bf16 MXU passes for ~1e-5 relative
+    # score error (measured: the Mosaic HIGHEST lowering costs ~14x a
+    # bf16 pass, this costs 3x; the k+8 segment margin + exact stage-2
+    # re-rank absorb the residual noise — see flat_topk_fused's error
+    # budget note).
+    ip = _tile_ip(q, full, mode)
     # L2 surrogate (||q||^2 constant omitted); +inf penalty masks dead
     # rows. sq/pen arrive as (1, TILE_N) row vectors — an in-kernel
     # (TILE_N, 1) -> (1, TILE_N) reshape is a cross-lane transpose that
@@ -205,10 +206,10 @@ def segment_minima(db_t: jnp.ndarray, db_sq: jnp.ndarray,
 
     # Queries ship as (q_tiles, tile_b, d) so each q block is a leading
     # full slice (cheap reshape, no relayout). bf16/int8 databases take
-    # bf16 queries (int8 tiles cast to bf16 in-kernel).
-    q3 = (q.astype(jnp.bfloat16)
-          if db_t.dtype in (jnp.bfloat16, jnp.int8) else q) \
-        .reshape(b // tile_b, tile_b, d)
+    # bf16 queries (int8 tiles cast to bf16 in-kernel); an int8 QUERY
+    # rides through untouched and selects the int8 x int8 MXU dot
+    # (callers pre-quantize + pre-scale the row stats — ops/sq8.py).
+    q3 = _q_kernel_dtype(q, db_t.dtype).reshape(b // tile_b, tile_b, d)
 
     kernel = partial(_scan_kernel, mode=mode)
     out = pl.pallas_call(
@@ -280,9 +281,7 @@ def segment_minima_tiled(db3: jnp.ndarray, db_sq: jnp.ndarray,
         t_step //= 2
     n_steps = n_tiles // t_step
     grid = (b // tile_b, n_steps)
-    q3 = (q.astype(jnp.bfloat16)
-          if db3.dtype in (jnp.bfloat16, jnp.int8) else q) \
-        .reshape(b // tile_b, tile_b, d)
+    q3 = _q_kernel_dtype(q, db3.dtype).reshape(b // tile_b, tile_b, d)
 
     kernel = partial(_scan_kernel, mode=mode)
     out = pl.pallas_call(
@@ -398,11 +397,7 @@ def _blocked_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, acc):
     def body(j, _):
         d = db_ref.shape[1]
         tile = db_ref[pl.ds(j, 1), :, :].reshape(d, SEG)
-        if tile.dtype == jnp.int8:
-            tile = tile.astype(jnp.bfloat16)  # codes exact in bf16
-        ip = jax.lax.dot_general(
-            q, tile, dimension_numbers=_DOT_NUMS,
-            preferred_element_type=jnp.float32)          # (b, SEG)
+        ip = _tile_ip(q, tile, "native")                 # (b, SEG)
         # (1, SEG) row slices (1-D vectors are a Mosaic hazard).
         sq_row = sq_ref[pl.ds(j, 1), :]
         pen_row = pen_ref[pl.ds(j, 1), :]
@@ -447,9 +442,7 @@ def segment_minima_blocked(db_blk: jnp.ndarray, db_sq: jnp.ndarray,
     assert b % tile_b == 0
     n_tiles = nseg // SEGS_PER_TILE
     grid = (b // tile_b, n_tiles)
-    q3 = (q.astype(jnp.bfloat16)
-          if db_blk.dtype in (jnp.bfloat16, jnp.int8) else q) \
-        .reshape(b // tile_b, tile_b, d)
+    q3 = _q_kernel_dtype(q, db_blk.dtype).reshape(b // tile_b, tile_b, d)
 
     out = pl.pallas_call(
         _blocked_kernel,
@@ -767,9 +760,7 @@ def segment_minima_tiled2(db3: jnp.ndarray, db_sq: jnp.ndarray,
     assert g % bw == 0
     n_steps = n_tiles // t_step
     grid = (b // tile_b, n_steps)
-    q3 = (q.astype(jnp.bfloat16)
-          if db3.dtype in (jnp.bfloat16, jnp.int8) else q) \
-        .reshape(b // tile_b, tile_b, d)
+    q3 = _q_kernel_dtype(q, db3.dtype).reshape(b // tile_b, tile_b, d)
 
     kernel = partial(_scan_kernel_tiled2, mode=mode, bw=bw)
     out, out2 = pl.pallas_call(

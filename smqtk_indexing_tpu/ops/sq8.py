@@ -127,12 +127,27 @@ def _code_ip(t: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
                    preferred_element_type=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "chunk", "interpret"))
+def _i8dot_q(t: jnp.ndarray, sq_row: jnp.ndarray):
+    """Quantize the query-side operand to int8 with ONE global scale g
+    (max |t| / 127 across the batch) and pre-divide the stage-1 row
+    stats by g: the kernel's raw int32 products then satisfy
+    score_true ~= g * (sq/g - 2 <t_i8, u>), a positive per-batch rescale
+    of the surrogate — ranking-invariant, +inf dead-row poison preserved
+    — selecting the int8 x int8 MXU dot (2x bf16 rate on v5e; rounding
+    ~2^-8 relative, the same order as the bf16 path's documented
+    margin). Stage 2 rescores the winners in f32 as usual."""
+    g = jnp.maximum(jnp.max(jnp.abs(t)) / 127.0, 1e-30)
+    t_i8 = jnp.clip(jnp.round(t / g), -127, 127).astype(jnp.int8)
+    return t_i8, sq_row / g
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "chunk", "interpret",
+                                   "i8dot"))
 def sq8_topk(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
              s2: jnp.ndarray, nrm: jnp.ndarray, valid: jnp.ndarray,
              q: jnp.ndarray, *, k: int, metric: str = "euclidean",
              chunk: int = DEFAULT_CHUNK, codes_t: jnp.ndarray = None,
-             interpret: bool = False
+             interpret: bool = False, i8dot: bool = False
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Exhaustive top-k over an SQ8-coded database.
@@ -228,7 +243,13 @@ def sq8_topk(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
                 .astype(jnp.float32).reshape(1, n)
             sq_row = s2.reshape(1, n) if metric == "euclidean" \
                 else jnp.zeros((1, n), jnp.float32)
-            minima = segment_minima(codes_t, sq_row, penalty, t,
+            t_k = t
+            if i8dot:
+                # int8 x int8 stage 1 (opt-in, SMQTK_TPU_SQ8_I8DOT at
+                # the store layer): minima come back rescaled by 1/g —
+                # ranking-invariant, and downstream only ranks them.
+                t_k, sq_row = _i8dot_q(t, sq_row)
+            minima = segment_minima(codes_t, sq_row, penalty, t_k,
                                     interpret=interpret)
         else:
             minima = streamed_segment_minima(
@@ -280,11 +301,12 @@ def sq8_topk(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
     return exact_rerank_decoded(x, q, q_norm, best_s, best_r, metric, k)
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "interpret"))
+@partial(jax.jit, static_argnames=("k", "metric", "interpret", "i8dot"))
 def sq8_topk_blocked(codes_blk: jnp.ndarray, a: jnp.ndarray,
                      b: jnp.ndarray, s2: jnp.ndarray, valid: jnp.ndarray,
                      q: jnp.ndarray, *, k: int,
-                     metric: str = "euclidean", interpret: bool = False
+                     metric: str = "euclidean", interpret: bool = False,
+                     i8dot: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Exhaustive SQ8 top-k over a SINGLE-COPY transposed layout — no flat
@@ -336,19 +358,27 @@ def sq8_topk_blocked(codes_blk: jnp.ndarray, a: jnp.ndarray,
     pen_flat = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32)
     seg = SEG
     s_keep = min(k + 16, nseg)
+    t1, sq1 = t, sq_flat
+    if i8dot:
+        # int8 x int8 stage 1 (opt-in, SMQTK_TPU_SQ8_I8DOT at the call
+        # sites): stage-1 minima come back rescaled by 1/g —
+        # ranking-invariant (one positive scale per batch, +inf poison
+        # preserved) and used only for selection; stage 2 below rescores
+        # the gathered candidates from the unscaled operands.
+        t1, sq1 = _i8dot_q(t, sq_flat)
     if tiled:
         # Dual-output stage 1: selection runs hierarchically on the
         # in-kernel 16-segment block minima in STEP-MAJOR layout — the
         # transposed full-minima reduce cost ~21 ms/batch at 100M
         # (tools/profile_100m.py).
         m1, m2 = segment_minima_tiled2(
-            codes_blk, sq_flat.reshape(1, n), pen_flat.reshape(1, n), t,
+            codes_blk, sq1.reshape(1, n), pen_flat.reshape(1, n), t1,
             interpret=interpret)
         smin, sid = topk_segments_stepmajor(m1, m2, s_keep)
     else:
         minima = segment_minima_blocked(
-            codes_blk, sq_flat.reshape(nseg, SEG),
-            pen_flat.reshape(nseg, SEG), t, interpret=interpret)
+            codes_blk, sq1.reshape(nseg, SEG),
+            pen_flat.reshape(nseg, SEG), t1, interpret=interpret)
         smin, sid = topk_smallest(minima, s_keep, blk=16)
     sid = jnp.where(jnp.isinf(smin), -1, sid)
     sid_c = jnp.maximum(sid, 0)

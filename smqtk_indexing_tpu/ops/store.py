@@ -490,11 +490,16 @@ class VectorStore:
                                                       pq_rot))),
                 k=k_dev, metric=metric)
         elif self._dtype_name == "sq8" and self._mesh is None:
+            import os
             from smqtk_indexing_tpu.ops.sq8 import sq8_topk
+            # Opt-in int8 x int8 stage-1 dot (2x bf16 MXU rate on v5e);
+            # flag read here, un-jitted, so toggles take effect per call.
+            i8 = (use_sq8_fused
+                  and os.environ.get("SMQTK_TPU_SQ8_I8DOT") == "1")
             dists, rows = sq8_topk(
                 dev, sq8_a, sq8_b, dev_sq, dev_norm,
                 dev_valid, jnp.asarray(q_pad), k=k_dev, metric=metric,
-                codes_t=sq8_dev_t if use_sq8_fused else None)
+                codes_t=sq8_dev_t if use_sq8_fused else None, i8dot=i8)
         elif self._dtype_name == "sq8":
             from smqtk_indexing_tpu.parallel.mesh import replicate
             from smqtk_indexing_tpu.parallel.sharded_scan import (

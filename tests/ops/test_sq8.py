@@ -226,3 +226,56 @@ def test_sq8_blocked_matches_rowmajor():
     with pytest.raises(ValueError, match="euclidean"):
         sq8.sq8_topk_blocked(blk, aj, bj, s2, vj, jnp.asarray(q), k=2,
                              metric="cosine", interpret=True)
+
+
+def test_sq8_i8dot_matches_bf16_path():
+    """The opt-in int8 x int8 stage-1 dot (i8dot=True) must reproduce the
+    bf16 path's results through BOTH fused entry points: the query-side
+    quantization error (~2^-8 relative, one global scale) only perturbs
+    segment selection inside its k+16 margin, and stage 2 / exact
+    re-rank rescore from the unscaled operands."""
+    import jax.numpy as jnp
+
+    from smqtk_indexing_tpu.ops import sq8
+
+    rng = np.random.default_rng(7)
+    n, d, b, k = 16384, 128, 8, 8
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    a, bb = sq8.sq8_train(mat)
+    codes = sq8.sq8_encode_np(mat, a, bb)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    aj, bj = jnp.asarray(a), jnp.asarray(bb)
+    cj = jnp.asarray(codes)
+    s2, nrm = sq8.sq8_row_stats(cj, aj, bj)
+    valid = np.ones(n, bool)
+    valid[50:150] = False            # dead-row +inf poison must survive
+    vj = jnp.asarray(valid)
+    qj = jnp.asarray(q)
+    tiled = jnp.asarray(np.ascontiguousarray(
+        codes.reshape(n // 4096, 4096, d).transpose(0, 2, 1)))
+    blk = jnp.asarray(np.ascontiguousarray(
+        codes.reshape(n // 128, 128, d).transpose(0, 2, 1)))
+    ct = jnp.asarray(codes.T.copy())
+    for metric in ("euclidean", "inner_product"):
+        d_ref, r_ref = sq8.sq8_topk(cj, aj, bj, s2, nrm, vj, qj, k=k,
+                                    metric=metric, chunk=4096)
+        # Fused row-major mirror (sq8_topk codes_t branch).
+        d_i8, r_i8 = sq8.sq8_topk(cj, aj, bj, s2, nrm, vj, qj, k=k,
+                                  metric=metric, chunk=4096, codes_t=ct,
+                                  interpret=True, i8dot=True)
+        assert np.array_equal(np.asarray(r_i8), np.asarray(r_ref)), metric
+        np.testing.assert_allclose(np.asarray(d_i8), np.asarray(d_ref),
+                                   atol=1e-5, rtol=1e-6)
+        # Single-copy layouts (sq8_topk_blocked, tiled + blocked).
+        for layout in (tiled, blk):
+            d_b, r_b = sq8.sq8_topk_blocked(layout, aj, bj, s2, vj, qj,
+                                            k=k, metric=metric,
+                                            interpret=True, i8dot=True)
+            assert np.array_equal(np.asarray(r_b),
+                                  np.asarray(r_ref)), metric
+            np.testing.assert_allclose(np.asarray(d_b),
+                                       np.asarray(d_ref),
+                                       atol=1e-5, rtol=1e-6)
+    # No dead row may surface.
+    assert not (set(np.asarray(r_i8).ravel().tolist())
+                & set(range(50, 150)))

@@ -21,3 +21,8 @@ Q() {
 }
 Q probe_i8 1800 python tools/probe_int8_mxu.py
 echo "$(date +%T) queue2 done" >> /tmp/tpu_queue2.log
+# Appended while queue2 waits (bash reads on demand): the real-pipeline
+# i8dot A/B in one window, gated by the probe result above in analysis.
+Q cap_i8   1500 env SMQTK_TPU_SQ8_I8DOT=1 python examples/capacity_100m.py
+Q cap_bf16 1500 python examples/capacity_100m.py
+echo "$(date +%T) queue2 ab done" >> /tmp/tpu_queue2.log
