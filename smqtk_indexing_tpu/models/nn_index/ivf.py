@@ -71,10 +71,13 @@ def _is_pq_dtype(dtype: str) -> bool:
 #:   dtype     metric                          devices   notes
 #:   float32   euclidean/inner_product/cosine  1..N
 #:   bfloat16  euclidean/inner_product/cosine  1..N
-#:   sq8       euclidean/inner_product/cosine  1..N      TPU routes
-#:             euclidean single-device through the tiled DMA kernel
-#:             (_tiled_rows_ok; SMQTK_TPU_NO_ROWS_TILED opts out)
-#:   pq/opq<M> euclidean/inner_product/cosine  1..N      same routing
+#:   sq8       euclidean/inner_product/cosine  1..N      row-major DMA
+#:             kernel (measured faster than tiled at <=HBM scale); TPU
+#:             routes euclidean single-device through the TILED kernel
+#:             only for rerank='score' (_tiled_rows_ok;
+#:             SMQTK_TPU_NO_ROWS_TILED opts out)
+#:   pq/opq<M> euclidean/inner_product/cosine  1..N      TPU routes
+#:             euclidean single-device through the tiled ADC kernel
 #:   pq/opq<M> +pq_residual: euclidean only, 1..N (row2list row-shards
 #:             with the codes; codec-space centroids replicate)
 #: storage='code' (int8/uint8 code host mirror — the capacity tier):
@@ -381,15 +384,25 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 and self._capacity >= L_MAX)
 
     def _tiled_rows_ok(self) -> bool:
-        """Route the rows-tier compressed configurations (sq8 / pq<M>)
-        through the tiled DMA list-scan (the capacity tier's engine): on
-        the real chip the tiled kernels beat the row-major list gather
-        (and the XLA PQ dequant scan by an order of magnitude) and
-        score-mode finalization is available; the float32 host mirror
-        keeps the rows tier's exact-re-rank/persistence semantics
-        untouched. SMQTK_TPU_NO_ROWS_TILED=1 restores the row-major
-        device layout; SMQTK_TPU_ROWS_TILED=1 forces the routing off-TPU
-        (interpret mode — CPU parity tests)."""
+        """Route rows-tier compressed configurations through the tiled
+        DMA list-scan (the capacity tier's engine) where that is the
+        measured win:
+
+        - pq/opq<M>: always on TPU — the tiled in-kernel ADC beats the
+          XLA grouped dequant scan by ~6x at Deep1M (972 vs 5988 qps
+          B=1024 nprobe=4, docs/benchmarks.md Config 3 vs the round-4
+          code-tier A/B).
+        - sq8: only when ``rerank='score'`` (score-mode finalization is
+          a tiled-only capability). With the default exact re-rank the
+          ROW-MAJOR DMA kernel is faster at <=HBM scale — same-window
+          A/B at Deep1M B=1024 (2026-08-18, one process): row-major
+          7596/5519/5417 qps vs tiled-exact 5949/4745/3802 at
+          nprobe 4/16/64 (tiled 22-30% slower; the rows tier is <=HBM
+          by construction, so there is no large-N regime to gate on).
+
+        SMQTK_TPU_NO_ROWS_TILED=1 restores the row-major device layout
+        unconditionally; SMQTK_TPU_ROWS_TILED=1 forces the routing
+        off-TPU (interpret mode — CPU parity tests)."""
         import os
         if self.storage != "rows" \
                 or (self.dtype != "sq8"
@@ -400,6 +413,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             return False
         if os.environ.get("SMQTK_TPU_ROWS_TILED"):
             return True
+        if self.dtype == "sq8" and self.rerank != "score":
+            return False
         from smqtk_indexing_tpu.ops.device import tpu_kernel_enabled
         return tpu_kernel_enabled("SMQTK_TPU_NO_DMA_IVF")
 

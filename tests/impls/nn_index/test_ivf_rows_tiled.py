@@ -204,3 +204,30 @@ def test_nprobe_partial_coverage(forced):
     assert n[0].uuid() == elems[17].uuid()
     # Self-distance is the sq8 quantization residual (±10-scale data).
     assert d[0] < 0.5
+
+
+def test_default_routing_matrix(monkeypatch):
+    """The data-gated routing default (round-4 same-window A/B at
+    Deep1M): rows-sq8 with exact re-rank stays ROW-MAJOR even when the
+    TPU kernels are live; rows-sq8 + rerank='score' and rows-pq<M>
+    route tiled. Force-flags override in both directions."""
+    monkeypatch.delenv("SMQTK_TPU_ROWS_TILED", raising=False)
+    monkeypatch.delenv("SMQTK_TPU_NO_ROWS_TILED", raising=False)
+    import smqtk_indexing_tpu.ops.device as device_mod
+    monkeypatch.setattr(device_mod, "tpu_kernel_enabled", lambda _: True)
+
+    def ok(**kw):
+        return IvfNearestNeighborsIndex(
+            storage="rows", n_lists=4, **kw)._tiled_rows_ok()
+
+    assert not ok(dtype="sq8", rerank="exact")
+    assert ok(dtype="sq8", rerank="score")
+    assert ok(dtype="pq8", rerank="exact")
+    assert ok(dtype="opq8", rerank="exact")
+    assert not ok(dtype="float32", rerank="exact")
+    assert not ok(dtype="sq8", rerank="exact", metric="cosine") \
+        and not ok(dtype="pq8", rerank="exact", metric="cosine")
+    monkeypatch.setenv("SMQTK_TPU_ROWS_TILED", "1")
+    assert ok(dtype="sq8", rerank="exact")
+    monkeypatch.setenv("SMQTK_TPU_NO_ROWS_TILED", "1")
+    assert not ok(dtype="pq8", rerank="exact")

@@ -156,8 +156,12 @@ class TestIvfOpqRows:
         """SMQTK_TPU_ROWS_TILED=1 forces the tiled ADC DMA kernel
         (interpret mode on CPU) — same winners as the XLA scan path."""
         elems, x = _correlated_elems()
+        # On TPU rows-opq routes tiled BY DEFAULT — pin the baseline to
+        # the row-major XLA scan so the A/B is real on every backend.
+        monkeypatch.setenv("SMQTK_TPU_NO_ROWS_TILED", "1")
         idx_x = self._index()
         idx_x.build_index(elems)
+        monkeypatch.delenv("SMQTK_TPU_NO_ROWS_TILED")
         monkeypatch.setenv("SMQTK_TPU_ROWS_TILED", "1")
         idx_t = self._index()
         idx_t.build_index(elems)

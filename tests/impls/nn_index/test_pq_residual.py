@@ -120,8 +120,11 @@ class TestExactness:
 
     def test_forced_tiled_routing_parity(self, monkeypatch):
         x = _clustered(n=1200)
+        # Pin the baseline row-major (TPU default routes rows-pq tiled).
+        monkeypatch.setenv("SMQTK_TPU_NO_ROWS_TILED", "1")
         idx_x = _index()
         idx_x.build_index([_elem(i, x[i]) for i in range(len(x))])
+        monkeypatch.delenv("SMQTK_TPU_NO_ROWS_TILED")
         monkeypatch.setenv("SMQTK_TPU_ROWS_TILED", "1")
         idx_t = _index()
         idx_t.build_index([_elem(i, x[i]) for i in range(len(x))])
