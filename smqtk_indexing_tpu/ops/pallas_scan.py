@@ -24,6 +24,7 @@ falls back to interpret mode off-TPU (tests).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -336,9 +337,74 @@ def _seg_gather_kernel(ti_ref, c0_ref, db_ref, out_ref, buf, sems, *,
     out_ref[:] = buf[:]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def _seg_gather_kernel_pf(ti_ref, c0_ref, db_ref, out_ref, buf, sems, *,
+                          grp: int):
+    """Double-buffered segment gather: step ``i`` waits only on the DMAs
+    issued one grid step EARLIER (into scratch slot ``i % 2``) and issues
+    step ``i+1``'s group into the other slot before waiting — so each
+    group's ~4 us/16KB-block latency overlaps the previous step's wait +
+    output copy-back instead of serializing behind it. Scratch slots are
+    addressed with static indices under parity predicates (dynamic
+    leading-dim scratch indexing is a Mosaic hazard)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def copies(step, slot):
+        base = step * grp
+        cps = []
+        for j in range(grp):
+            c0 = pl.multiple_of(c0_ref[base + j], SEG)
+            cps.append(pltpu.make_async_copy(
+                db_ref.at[ti_ref[base + j], :, pl.ds(c0, SEG)],
+                buf.at[slot, j], sems.at[slot, j]))
+        return cps
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    even = jax.lax.rem(i, 2) == 0
+
+    @pl.when((i + 1 < n) & even)
+    def _():
+        for cp in copies(i + 1, 1):
+            cp.start()
+
+    @pl.when((i + 1 < n) & jnp.logical_not(even))
+    def _():
+        for cp in copies(i + 1, 0):
+            cp.start()
+
+    @pl.when(even)
+    def _():
+        for cp in copies(i, 0):
+            cp.wait()
+        out_ref[:] = buf[0]
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        for cp in copies(i, 1):
+            cp.wait()
+        out_ref[:] = buf[1]
+
+
 def seg_gather_tiled(db3: jnp.ndarray, sid: jnp.ndarray, *,
                      interpret: bool = False) -> jnp.ndarray:
+    """Env-gated wrapper: cross-step DMA prefetch is the default;
+    ``SMQTK_TPU_NO_GATHER_PREFETCH=1`` restores the per-step-barrier
+    kernel. The flag is resolved OUTSIDE the jit (a static argument) so
+    A/B runs in one process actually switch kernels instead of hitting
+    the first trace's cache."""
+    prefetch = not os.environ.get("SMQTK_TPU_NO_GATHER_PREFETCH")
+    return _seg_gather_tiled(db3, sid, interpret=interpret,
+                             prefetch=prefetch)
+
+
+@partial(jax.jit, static_argnames=("interpret", "prefetch"))
+def _seg_gather_tiled(db3: jnp.ndarray, sid: jnp.ndarray, *,
+                      interpret: bool = False,
+                      prefetch: bool = True) -> jnp.ndarray:
     """
     Gather segments from the tiled-transposed layout as a Pallas DMA
     kernel: an XLA ``gather``/advanced-index over the (n_tiles, d,
@@ -362,19 +428,24 @@ def seg_gather_tiled(db3: jnp.ndarray, sid: jnp.ndarray, *,
     ti = (flat // nseg_t).astype(jnp.int32)
     c0 = ((flat % nseg_t) * SEG).astype(jnp.int32)
 
+    if prefetch and total // grp > 1:
+        kernel = partial(_seg_gather_kernel_pf, grp=grp)
+        scratch = [pltpu.VMEM((2, grp, d, SEG), db3.dtype),
+                   pltpu.SemaphoreType.DMA((2, grp))]
+    else:
+        kernel = partial(_seg_gather_kernel, grp=grp)
+        scratch = [pltpu.VMEM((grp, d, SEG), db3.dtype),
+                   pltpu.SemaphoreType.DMA((grp,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(total // grp,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((grp, d, SEG), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((grp, d, SEG), db3.dtype),
-            pltpu.SemaphoreType.DMA((grp,)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        partial(_seg_gather_kernel, grp=grp),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((total, d, SEG), db3.dtype),
         interpret=interpret,

@@ -218,3 +218,45 @@ def test_blocked_stage1_matches_flat(tmp_path):
         interpret=True)
     np.testing.assert_allclose(np.asarray(got8), np.asarray(ref8),
                                atol=1e-2, rtol=1e-5)
+
+
+def test_seg_gather_prefetch_matches_barrier_and_numpy(monkeypatch):
+    """The double-buffered gather returns exactly the blocks of the
+    per-step-barrier kernel and of a numpy oracle, across dtypes and at
+    a grid length that exercises both scratch slots (odd step count,
+    first/last-step edges)."""
+    from smqtk_indexing_tpu.ops.pallas_scan import SEG, seg_gather_tiled
+
+    rng = np.random.default_rng(7)
+    n_tiles, d, tile_n = 3, 64, 4 * SEG
+    b, s_keep = 12, 8          # total=96 -> grp 32, 3 grid steps (odd)
+    nseg = n_tiles * tile_n // SEG
+    sid = rng.integers(0, nseg, size=(b, s_keep)).astype(np.int32)
+
+    for dtype in (np.int8, np.float32):
+        if dtype is np.int8:
+            db3 = rng.integers(-127, 128,
+                               size=(n_tiles, d, tile_n)).astype(dtype)
+        else:
+            db3 = rng.normal(size=(n_tiles, d, tile_n)).astype(dtype)
+
+        monkeypatch.delenv("SMQTK_TPU_NO_GATHER_PREFETCH", raising=False)
+        got = np.asarray(seg_gather_tiled(
+            jnp.asarray(db3), jnp.asarray(sid), interpret=True))
+
+        monkeypatch.setenv("SMQTK_TPU_NO_GATHER_PREFETCH", "1")
+        ref = np.asarray(seg_gather_tiled(
+            jnp.asarray(db3), jnp.asarray(sid), interpret=True))
+        monkeypatch.delenv("SMQTK_TPU_NO_GATHER_PREFETCH", raising=False)
+
+        # Numpy oracle: block s of query q is the (d, SEG) column slice
+        # of tile sid//nseg_t starting at (sid%nseg_t)*SEG.
+        nseg_t = tile_n // SEG
+        oracle = np.empty((b, s_keep, d, SEG), dtype=dtype)
+        for qi in range(b):
+            for si in range(s_keep):
+                t = sid[qi, si] // nseg_t
+                c0 = (sid[qi, si] % nseg_t) * SEG
+                oracle[qi, si] = db3[t, :, c0:c0 + SEG]
+        assert np.array_equal(got, ref)
+        assert np.array_equal(got, oracle)
