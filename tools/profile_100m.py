@@ -112,6 +112,57 @@ def main() -> None:
         return topk_smallest(minima, K + 16, blk=128)
 
     timed("stage1+sel", stage1_sel, codes, sq_row, pen, t)
+
+    # Cumulative stages of the ACTUAL serving path (sq8_topk_blocked
+    # tiled mode): dual-output kernel -> step-major hierarchical
+    # selection -> Pallas DMA candidate gather -> surrogate rescore ->
+    # exact decode re-rank. Each stage reduces its outputs to tiny
+    # checksums IN-JIT (tunnel + HBM discipline as above).
+    from smqtk_indexing_tpu.ops.pallas_scan import (
+        SEG, seg_gather_tiled, segment_minima_tiled2,
+        topk_segments_stepmajor,
+    )
+    s_keep = K + 16
+
+    @jax.jit
+    def s1_dual(codes, sq_row, pen, t):
+        m1, m2 = segment_minima_tiled2(codes, sq_row, pen, t)
+        return jnp.min(m1, axis=(0, 2)), jnp.min(m2, axis=(0, 2))
+
+    timed("s1_dual", s1_dual, codes, sq_row, pen, t)
+
+    @jax.jit
+    def s1_stepsel(codes, sq_row, pen, t):
+        m1, m2 = segment_minima_tiled2(codes, sq_row, pen, t)
+        return topk_segments_stepmajor(m1, m2, s_keep)
+
+    timed("s1+stepsel", s1_stepsel, codes, sq_row, pen, t)
+
+    @jax.jit
+    def s1_gather(codes, sq_row, pen, t):
+        m1, m2 = segment_minima_tiled2(codes, sq_row, pen, t)
+        smin, sid = topk_segments_stepmajor(m1, m2, s_keep)
+        blk = seg_gather_tiled(codes, jnp.maximum(sid, 0))
+        return smin, jnp.sum(blk.astype(jnp.int32), axis=(1, 2, 3))
+
+    timed("s1+sel+gather", s1_gather, codes, sq_row, pen, t)
+
+    @jax.jit
+    def s1_rescore(codes, sq_row, pen, t):
+        m1, m2 = segment_minima_tiled2(codes, sq_row, pen, t)
+        smin, sid = topk_segments_stepmajor(m1, m2, s_keep)
+        sid_c = jnp.maximum(sid, 0)
+        cand_blk = seg_gather_tiled(codes, sid_c)
+        m_rows = s_keep * SEG
+        cand = jnp.transpose(cand_blk, (0, 1, 3, 2)).reshape(B, m_rows, D)
+        ip = jnp.einsum("bmd,bd->bm", cand.astype(jnp.bfloat16),
+                        t.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        s = jnp.take(sq_row.reshape(-1, SEG), sid_c, axis=0) \
+            .reshape(B, m_rows) - 2.0 * ip
+        return topk_smallest(s, K + 8)
+
+    timed("s1+sel+gather+rescore", s1_rescore, codes, sq_row, pen, t)
     timed("full", sq8.sq8_topk_blocked, codes, a, b, s2, valid, q, k=K)
 
 
