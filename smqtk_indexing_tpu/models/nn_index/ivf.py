@@ -81,12 +81,17 @@ def _is_pq_dtype(dtype: str) -> bool:
 #:   pq/opq<M> +pq_residual: euclidean only, 1..N (row2list row-shards
 #:             with the codes; codec-space centroids replicate)
 #: storage='code' (int8/uint8 code host mirror — the capacity tier):
-#:   dtype     metric      devices   notes
-#:   sq8       euclidean   1..N      tiled DMA scan; sharded via
-#:                                   parallel/sharded_ivf_code.py
-#:   pq/opq<M> euclidean   1..N      in-kernel ADC one-hot MXU dot
-#:   pq/opq<M> +pq_residual: euclidean, 1..N (row2list row-shards with
-#:             the tiles; res-centroids replicate)
+#:   dtype     metric                          devices   notes
+#:   sq8       euclidean/inner_product/cosine  1..N      tiled DMA scan;
+#:             sharded via parallel/sharded_ivf_code.py. inner_product
+#:             zeroes the row stats (the kernel score becomes exactly
+#:             -<q, x_hat - b>); cosine encodes L2-NORMALIZED rows and
+#:             normalizes queries (euclidean pipeline == cosine ranking
+#:             on the unit sphere)
+#:   pq/opq<M> euclidean/inner_product/cosine  1..N      in-kernel ADC
+#:             one-hot MXU dot (the LUT is a pure IP either way)
+#:   pq/opq<M> +pq_residual: euclidean only, 1..N (row2list row-shards
+#:             with the tiles; res-centroids replicate)
 #: rerank: 'exact' everywhere; 'score' changes behavior only on the
 #:   tiled serving paths (code tier always; rows-sq8/pq when routed) —
 #:   on every other path distances are already exact, so 'score' is a
@@ -128,10 +133,10 @@ def validate_ivf_combination(metric: str, dtype: str, storage: str,
             raise ValueError(
                 "storage='code' (code-resident capacity tier) requires "
                 f"dtype='sq8', 'pq<M>' or 'opq<M>', got {dtype!r}")
-        if metric != "euclidean":
+        if metric not in ("euclidean", "inner_product", "cosine"):
             raise ValueError(
-                "storage='code' serves euclidean only (the tiled "
-                f"list-scan surrogate form), got {metric!r}")
+                "storage='code' serves euclidean, inner_product or "
+                f"cosine (no matmul surrogate exists for {metric!r})")
 
 
 class IvfNearestNeighborsIndex (NearestNeighborsIndex):
@@ -159,14 +164,17 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         saves/reloads codes (never float originals), and queries run
         through the tiled-transposed Pallas DMA list-scan — the same
         single-copy device layout as the 100M demo (examples/ivf_100m.py).
-        Requires dtype='sq8' or 'pq<M>', metric='euclidean', single
-        device. With 'pq<M>' the mirror is (n, M) uint8 PQ codes (16
-        bytes/vector at PQ16 — the ~800M-vectors/chip ceiling) and the
-        scan is the in-kernel ADC one-hot MXU dot
-        (ops/pallas_ivf.ivf_query_dma_tiled_table_pq). The codec is
-        trained once at build and reused by updates (FAISS quantizer
-        semantics: train() fixes the codec, adds encode with it —
-        faiss.py:368-386).
+        Requires dtype='sq8' or 'pq<M>' and metric euclidean,
+        inner_product or cosine (FAISS's METRIC_* axis on the same
+        factory configs, faiss.py:51-67; cosine encodes L2-normalized
+        rows — codes persist on the unit sphere). With 'pq<M>' the
+        mirror is (n, M) uint8 PQ codes (16 bytes/vector at PQ16 — the
+        ~800M-vectors/chip ceiling) and the scan is the in-kernel ADC
+        one-hot MXU dot (ops/pallas_ivf.ivf_query_dma_tiled_table_pq).
+        The codec is trained once at build and reused by updates (FAISS
+        quantizer semantics: train() fixes the codec, adds encode with
+        it — faiss.py:368-386). Shards over ``n_devices``
+        (parallel/sharded_ivf_code.py).
     :param rerank: Finalization for the 'code' tier. 'exact' (default)
         fetches winners through the DMA segment gather and reports
         distances exact w.r.t. the quantized vectors; 'score' takes
@@ -590,7 +598,11 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                         pq_encode_np, pq_train,
                     )
                     m, _, _ = self._pq_grid()
-                    rows_c = self._pq_prep_rows(mat, rotate=False)
+                    # Cosine: the codes ARE the persisted representation,
+                    # so they must carry the unit-sphere rows (the tiled
+                    # euclidean scan is then cosine ranking exactly).
+                    rows_c = self._pq_prep_rows(
+                        self._prep_for_metric(mat), rotate=False)
                     if self.pq_residual:
                         rows_c = rows_c \
                             - self._pq_cents_codec(None)[assigns]
@@ -611,11 +623,12 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 from smqtk_indexing_tpu.ops.sq8 import (
                     sq8_encode_np, sq8_train,
                 )
+                mat = self._prep_for_metric(
+                    np.asarray(mat, np.float32))     # cosine: unit rows
                 if self._code_a is None:
                     live = mat[valid] if not valid.all() else mat
                     self._code_a, self._code_b = sq8_train(live)
-                mat = sq8_encode_np(np.asarray(mat, np.float32),
-                                    self._code_a, self._code_b)
+                mat = sq8_encode_np(mat, self._code_a, self._code_b)
             self._host = np.ascontiguousarray(mat)
         else:
             self._host = np.ascontiguousarray(mat, dtype=np.float32)
@@ -703,6 +716,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                     cents_c.astype(np.float32))
                 self._row2list_dev = jnp.asarray(asg_pad)
             s2 = s2.astype(np.float32)
+            if self.metric == "inner_product":
+                # IP kernel form: score = -2<q, x_hat> needs NO row
+                # stats — zero them (the +inf dead poison below stays).
+                s2[:] = 0.0
             s2[dead] = np.inf
             # uint8 codes bit-reinterpreted to int8 (Mosaic's proven
             # int8 DMA path; the kernel masks back with & 0xFF).
@@ -739,9 +756,14 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             for t0 in range(0, n_tiles, t_chunk):
                 t1 = min(t0 + t_chunk, n_tiles)
                 r0, r1 = t0 * TILE_ROWS, t1 * TILE_ROWS
-                u = codes[r0:r1].astype(np.float32)
-                u *= a_p
-                s2[r0:r1] = np.einsum("nd,nd->n", u, u)
+                if self.metric == "inner_product":
+                    # IP kernel form scores -<q, x_hat - b> directly —
+                    # zero stats, +inf dead poison below.
+                    s2[r0:r1] = 0.0
+                else:
+                    u = codes[r0:r1].astype(np.float32)
+                    u *= a_p
+                    s2[r0:r1] = np.einsum("nd,nd->n", u, u)
                 tiles[t0:t1] = codes[r0:r1] \
                     .reshape(t1 - t0, TILE_ROWS, d_pad).transpose(0, 2, 1)
             s2[dead] = np.inf
@@ -1246,7 +1268,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                 if self.storage == "code":
                     # Updates encode with the build-time codec (FAISS
                     # quantizer adds never retrain) so the merged mirror
-                    # stays codes end to end.
+                    # stays codes end to end. Cosine codes carry
+                    # unit-sphere rows, matching _layout's build encode.
+                    new_mat = self._prep_for_metric(new_mat)
                     if self._pq_m(self.dtype) is not None:
                         from smqtk_indexing_tpu.ops.pq import pq_encode_np
                         rows_c = self._pq_prep_rows(new_mat,
@@ -1341,6 +1365,12 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             b = q.shape[0]
             b_pad = _pow2_at_least(b, 8)
             q_p = pad_rows_np(q, b_pad, d_pad)
+            if self.storage == "code" and self.metric == "cosine":
+                # The code tier's cosine representation is the unit
+                # sphere (codes carry normalized rows); queries must
+                # match. Zero pad rows stay zero (results discarded).
+                nrm = np.linalg.norm(q_p, axis=1, keepdims=True)
+                q_p = q_p / np.where(nrm == 0, 1.0, nrm)
             k_eff = min(n, self._n_live)
             k_dev = min(_pow2_at_least(k_eff), self._capacity)
             # FAISS-faithful nprobe (faiss.py:715-749): nprobe counts
@@ -1416,7 +1446,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                         self._v_tile, self._v_col, self._v_len, qd,
                         k=k_dev, nprobe_orig=nprobe_o,
                         interpret=interp, rerank=rr,
-                        res_cents=rc, row2list=self._row2list_dev)
+                        res_cents=rc, row2list=self._row2list_dev,
+                        metric=self.metric)
                 else:
                     dists, rows = sharded_ivf_query_tiled(
                         self._mesh, self._dev3, self._s2t,
@@ -1425,7 +1456,8 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                         self._dev_centroids, self._slot_table,
                         self._v_tile, self._v_col, self._v_len, qd,
                         k=k_dev, nprobe_orig=nprobe_o,
-                        interpret=interp, rerank=rr)
+                        interpret=interp, rerank=rr,
+                        metric=self.metric)
             elif self._dev3 is not None:
                 # Tiled-transposed DMA list-scan with original-centroid
                 # table probe selection (the 100M demo's serving path,
@@ -1456,14 +1488,15 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                         self._v_len, jnp.asarray(q_p), k=k_dev,
                         nprobe_orig=nprobe_o, interpret=interp,
                         rerank=rr, res_cents=self._cents_codec_dev,
-                        row2list=self._row2list_dev)
+                        row2list=self._row2list_dev,
+                        metric=self.metric)
                 else:
                     dists, rows = ivf_query_dma_tiled_table(
                         self._dev3, self._s2t, self._sq8_a, self._sq8_b,
                         self._dev_centroids, self._slot_table,
                         self._v_tile, self._v_col, self._v_len,
                         jnp.asarray(q_p), k=k_dev, nprobe_orig=nprobe_o,
-                        interpret=interp, rerank=rr)
+                        interpret=interp, rerank=rr, metric=self.metric)
             elif self._mesh is not None \
                     and self._pq_m(self.dtype) is not None:
                 from smqtk_indexing_tpu.parallel.mesh import replicate

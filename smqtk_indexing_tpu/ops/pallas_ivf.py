@@ -17,6 +17,7 @@ the list length).
 """
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Tuple
 
@@ -595,19 +596,27 @@ def ivf_query_dma_tiled(db3: jnp.ndarray, s2t: jnp.ndarray, a: jnp.ndarray,
 
 def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,
                        *, k: int, n_probe: int, interpret: bool,
-                       rerank: str = "gather"):
+                       rerank: str = "gather", metric: str = "euclidean"):
     """Shared tail of the tiled IVF query: kernel scan over the selected
     probe windows, top-k, then finalization per ``rerank``:
 
     - "gather": fetch each winner's 128-row segment through the DMA
       gather, dequantize, exact f32 distance (bit-faithful to the
-      quantized vectors).
-    - "score": distances come straight from the kernel surrogate
-      (sqrt(score + ||q - b_codec||^2)) — the additive cancellation
-      bound is ~2^-16 * (||q - b||^2 + s2) on the SQUARED distance
-      (measured on-chip: the two-level bf16 split leaves ~16 mantissa
-      bits of the query side), well below the SQ8 quantization step;
-      rankings use the same surrogate either way.
+      quantized vectors) under ``metric`` (ops/scan.exact_rerank_decoded).
+    - "score": distances come straight from the kernel surrogate —
+      euclidean: sqrt(score + ||q - b_codec||^2); the additive
+      cancellation bound is ~2^-16 * (||q - b||^2 + s2) on the SQUARED
+      distance (measured on-chip: the two-level bf16 split leaves ~16
+      mantissa bits of the query side), well below the SQ8 quantization
+      step; rankings use the same surrogate either way.
+      inner_product: the kernel score IS -<q, x_hat - b_codec> (the
+      caller passed t = q * a / 2 with zeroed s2t), so the reported
+      negated IP is score - <q, b_codec> — exact up to the same bf16
+      split bound, no surrogate gap at all.
+      cosine: rows were L2-normalized BEFORE encoding and q arrives
+      normalized, so score + ||q - b||^2 = ||q - x_hat||^2 and the
+      angular distance is 2*arccos(1 - d^2/2)/pi up to the codec's
+      ~1e-2 deviation of ||x_hat|| from 1.
       At 100M/B=1024 the winner-segment gather measured ~100 ms/batch
       (24K scattered 16KB blocks), the dominant serving cost; "score"
       removes it entirely.
@@ -656,9 +665,18 @@ def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,
     top_rows = jnp.where(jnp.isinf(top_scores), -1, top_rows)
 
     if rerank == "score":
-        rq = q - b_codec[None, :]
-        r_sq = jnp.sum(rq * rq, axis=-1)
-        dists = jnp.sqrt(jnp.maximum(top_scores + r_sq[:, None], 0.0))
+        if metric == "inner_product":
+            qb = jnp.sum(q * b_codec[None, :], axis=-1)
+            dists = top_scores - qb[:, None]
+        else:
+            rq = q - b_codec[None, :]
+            r_sq = jnp.sum(rq * rq, axis=-1)
+            d2 = jnp.maximum(top_scores + r_sq[:, None], 0.0)
+            if metric == "cosine":
+                sim = jnp.clip(1.0 - d2 / 2.0, -1.0, 1.0)
+                dists = 2.0 * jnp.arccos(sim) / math.pi
+            else:
+                dists = jnp.sqrt(d2)
         dists = jnp.where(top_rows < 0, jnp.inf, dists)
         return dists[:, :k], top_rows[:, :k]
 
@@ -673,7 +691,7 @@ def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,
     ).reshape(b, kk, d)
     x = codes_sel.astype(jnp.float32) * a + b_codec
     dists, out_rows = exact_rerank_decoded(
-        x, q, q_norm, top_scores, top_rows, "euclidean", k)
+        x, q, q_norm, top_scores, top_rows, metric, k)
     return dists, out_rows
 
 
@@ -825,7 +843,8 @@ def ivf_list_scores_tiled_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
 def _tiled_scan_finish_pq(db3c, s2t, codebooks, q_c, lut, ti, c0, lo, hi,
                           *, k: int, n_probe: int, interpret: bool,
                           rerank: str = "gather", probe_off=None,
-                          res_cents=None, row2list=None):
+                          res_cents=None, row2list=None,
+                          metric: str = "euclidean"):
     """PQ counterpart of :func:`_tiled_scan_finish`: chunked kernel scan
     + top-k over the probe windows, then finalization per ``rerank`` —
     "gather" fetches winner code segments through the DMA gather, decodes
@@ -885,7 +904,16 @@ def _tiled_scan_finish_pq(db3c, s2t, codebooks, q_c, lut, ti, c0, lo, hi,
     top_rows = jnp.where(jnp.isinf(top_scores), -1, top_rows)
 
     if rerank == "score":
-        dists = jnp.sqrt(jnp.maximum(top_scores + q_sq[:, None], 0.0))
+        if metric == "inner_product":
+            # Kernel score with zeroed s2t is exactly -2<q, x_hat>.
+            dists = top_scores / 2.0
+        else:
+            d2 = jnp.maximum(top_scores + q_sq[:, None], 0.0)
+            if metric == "cosine":
+                sim = jnp.clip(1.0 - d2 / 2.0, -1.0, 1.0)
+                dists = 2.0 * jnp.arccos(sim) / math.pi
+            else:
+                dists = jnp.sqrt(d2)
         dists = jnp.where(top_rows < 0, jnp.inf, dists)
         return dists[:, :k], top_rows[:, :k]
 
@@ -903,11 +931,11 @@ def _tiled_scan_finish_pq(db3c, s2t, codebooks, q_c, lut, ti, c0, lo, hi,
         x = x + jnp.take(res_cents,
                          jnp.take(row2list, rows_c, axis=0), axis=0)
     return exact_rerank_decoded(x, q_c, q_norm, top_scores, top_rows,
-                                "euclidean", k)
+                                metric, k)
 
 
 @partial(jax.jit, static_argnames=("k", "nprobe_orig", "interpret",
-                                   "rerank"))
+                                   "rerank", "metric"))
 def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
                                  codebooks: jnp.ndarray,
                                  perm: jnp.ndarray,
@@ -918,7 +946,8 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
                                  k: int, nprobe_orig: int,
                                  interpret: bool = False,
                                  rerank: str = "gather",
-                                 res_cents=None, row2list=None
+                                 res_cents=None, row2list=None,
+                                 metric: str = "euclidean"
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Tiled IVF-PQ query with original-centroid probe selection — the
@@ -940,9 +969,20 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
     :param row2list: (n_pad,) int32 original-list id per tiled row
         (residual mode; required for rerank="gather" — score-mode
         finalization needs only the per-probe offsets).
+    :param metric: 'euclidean' | 'inner_product' | 'cosine'. The ADC
+        LUT is a pure inner product either way; inner_product zeroes
+        the s2 stats build-side so the kernel score is exactly
+        ``-2 <q, x_hat>`` (IP is invariant under the perm/orthogonal
+        codec transform), and probe selection ranks centroids by -IP.
+        Cosine callers pass q normalized over codes of normalized rows
+        (euclidean pipeline == cosine ranking on the unit sphere).
+        Residual mode is euclidean-only (the -2<q,c> probe offset is an
+        L2 decomposition).
     """
     if res_cents is not None and rerank != "score" and row2list is None:
         raise ValueError("residual gather re-rank needs row2list")
+    if res_cents is not None and metric != "euclidean":
+        raise ValueError("residual PQ serves euclidean only")
     n_tiles, m_sub, tile_n = db3c.shape
     b, d_pad = q.shape
     d_codec = perm.shape[0]
@@ -964,10 +1004,13 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
         precision=jax.lax.Precision.HIGHEST).reshape(b, m_sub * 256)
 
     c = centroids.astype(jnp.float32)
-    c_sq = jnp.sum(c * c, axis=-1)
     ip_c = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
-    c_scores = c_sq[None, :] - 2.0 * ip_c
+    if metric == "inner_product":
+        c_scores = -ip_c
+    else:
+        c_sq = jnp.sum(c * c, axis=-1)
+        c_scores = c_sq[None, :] - 2.0 * ip_c
     _, lists = jax.lax.top_k(-c_scores, nprobe_orig)      # (B, n_orig)
 
     slots = slot_table[lists]                    # (B, n_orig, S_max)
@@ -1004,7 +1047,8 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
                                  k=k, n_probe=n_probe,
                                  interpret=interpret, rerank=rerank,
                                  probe_off=probe_off,
-                                 res_cents=res_cents, row2list=row2list)
+                                 res_cents=res_cents, row2list=row2list,
+                                 metric=metric)
 
 
 def build_slot_table(v_orig, c_lists: int):
@@ -1026,7 +1070,7 @@ def build_slot_table(v_orig, c_lists: int):
 
 
 @partial(jax.jit, static_argnames=("k", "nprobe_orig", "interpret",
-                                   "rerank"))
+                                   "rerank", "metric"))
 def ivf_query_dma_tiled_table(db3: jnp.ndarray, s2t: jnp.ndarray,
                               a: jnp.ndarray, b_codec: jnp.ndarray,
                               centroids: jnp.ndarray,
@@ -1035,7 +1079,8 @@ def ivf_query_dma_tiled_table(db3: jnp.ndarray, s2t: jnp.ndarray,
                               v_len: jnp.ndarray, q: jnp.ndarray, *,
                               k: int, nprobe_orig: int,
                               interpret: bool = False,
-                              rerank: str = "gather"
+                              rerank: str = "gather",
+                              metric: str = "euclidean"
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Tiled IVF query with ORIGINAL-centroid probe selection: rank the
@@ -1046,18 +1091,35 @@ def ivf_query_dma_tiled_table(db3: jnp.ndarray, s2t: jnp.ndarray,
     pad slots skipping their DMAs — at 100M scale this replaces a
     ~262K-wide duplicated-centroid matmul + top_k per batch with a
     16K-wide one.
+
+    ``metric``: 'euclidean' (default), 'inner_product' or 'cosine' —
+    the capacity tier's metric axis (FAISS IVF serves METRIC_INNER_PRODUCT
+    through the same list scans, faiss.py:51-67). The kernel is shared:
+    its score is always ``s2 - 2 <t, u>``, so inner_product folds the
+    query as ``t = q * a / 2`` against ZEROED row stats (the caller
+    builds s2t = 0 with +inf dead poison), making the score exactly
+    ``-<q, x_hat - b_codec>`` — a per-query constant away from -IP.
+    Probe selection ranks centroids by -IP. Cosine callers pass q and
+    centroids/codes already L2-normalized (build-side contract) and the
+    euclidean pipeline IS cosine ranking on the unit sphere.
     """
     n_tiles, d, tile_n = db3.shape
     b = q.shape[0]
     q = q.astype(jnp.float32)
     q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
-    t = (q - b_codec[None, :]) * a[None, :]
+    if metric == "inner_product":
+        t = q * (0.5 * a[None, :])
+    else:
+        t = (q - b_codec[None, :]) * a[None, :]
 
     c = centroids.astype(jnp.float32)
-    c_sq = jnp.sum(c * c, axis=-1)
     ip_c = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
-    c_scores = c_sq[None, :] - 2.0 * ip_c
+    if metric == "inner_product":
+        c_scores = -ip_c
+    else:
+        c_sq = jnp.sum(c * c, axis=-1)
+        c_scores = c_sq[None, :] - 2.0 * ip_c
     _, lists = jax.lax.top_k(-c_scores, nprobe_orig)      # (B, n_orig)
 
     slots = slot_table[lists]                    # (B, n_orig, S_max)
@@ -1085,4 +1147,4 @@ def ivf_query_dma_tiled_table(db3: jnp.ndarray, s2t: jnp.ndarray,
     return _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t,
                               flat(ti), flat(c0), flat(lo), flat(hi),
                               k=k, n_probe=n_probe, interpret=interpret,
-                              rerank=rerank)
+                              rerank=rerank, metric=metric)

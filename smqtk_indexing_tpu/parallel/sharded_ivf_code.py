@@ -99,12 +99,13 @@ def _pad_to_k(d, r, k: int, b: int):
 
 
 @partial(jax.jit, static_argnames=("k", "nprobe_orig", "interpret",
-                                   "rerank", "mesh"))
+                                   "rerank", "mesh", "metric"))
 def sharded_ivf_query_tiled(mesh: Mesh, db3, s2t, a, b_codec, centroids,
                             slot_table, v_tile, v_col, v_len, q, *,
                             k: int, nprobe_orig: int,
                             interpret: bool = False,
-                            rerank: str = "gather"
+                            rerank: str = "gather",
+                            metric: str = "euclidean"
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Sharded tiled IVF-SQ8 query.
@@ -126,7 +127,7 @@ def sharded_ivf_query_tiled(mesh: Mesh, db3, s2t, a, b_codec, centroids,
         d, r = ivf_query_dma_tiled_table(
             db3_l, s2_l, a_l, b_l, c, st_l[0], vt_l[0], vc_l[0], vl_l[0],
             q_l, k=k_loc, nprobe_orig=nprobe_orig, interpret=interpret,
-            rerank=rerank)
+            rerank=rerank, metric=metric)
         d, r = _pad_to_k(d, r, k, q_l.shape[0])
         offset = _global_shard_index(mesh) * n_local
         r = jnp.where(r >= 0, r + offset, r)
@@ -146,13 +147,14 @@ def sharded_ivf_query_tiled(mesh: Mesh, db3, s2t, a, b_codec, centroids,
 
 
 @partial(jax.jit, static_argnames=("k", "nprobe_orig", "interpret",
-                                   "rerank", "mesh"))
+                                   "rerank", "mesh", "metric"))
 def sharded_ivf_query_tiled_pq(mesh: Mesh, db3c, s2t, codebooks, perm,
                                centroids, slot_table, v_tile, v_col,
                                v_len, q, *, k: int, nprobe_orig: int,
                                interpret: bool = False,
                                rerank: str = "gather",
-                               res_cents=None, row2list=None
+                               res_cents=None, row2list=None,
+                               metric: str = "euclidean"
                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     Sharded tiled IVF-PQ query (raw/OPQ, or residual when
@@ -182,7 +184,7 @@ def sharded_ivf_query_tiled_pq(mesh: Mesh, db3c, s2t, codebooks, perm,
             db3_l, s2_l, cb_l, pm_l, c, st_l[0], vt_l[0], vc_l[0],
             vl_l[0], q_l, k=k_loc, nprobe_orig=nprobe_orig,
             interpret=interpret, rerank=rerank,
-            res_cents=rc_l, row2list=r2l_l)
+            res_cents=rc_l, row2list=r2l_l, metric=metric)
         d, r = _pad_to_k(d, r, k, q_l.shape[0])
         offset = _global_shard_index(mesh) * n_local
         r = jnp.where(r >= 0, r + offset, r)

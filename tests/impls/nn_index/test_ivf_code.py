@@ -56,10 +56,16 @@ class TestIvfCodeTierConfig:
         i = IvfNearestNeighborsIndex(storage="code", dtype="pq4")
         assert i.dtype == "pq4"
 
-    def test_requires_euclidean(self):
-        with pytest.raises(ValueError, match="euclidean"):
+    def test_metric_axis(self):
+        # Round 4: the capacity tier serves euclidean, inner_product and
+        # cosine (FAISS METRIC_* parity, faiss.py:51-67); nothing else.
+        for m in ("euclidean", "inner_product", "cosine"):
+            i = IvfNearestNeighborsIndex(storage="code", dtype="sq8",
+                                         metric=m)
+            assert i.metric == m
+        with pytest.raises(ValueError, match="metric"):
             IvfNearestNeighborsIndex(storage="code", dtype="sq8",
-                                     metric="cosine")
+                                     metric="hik")
 
     def test_multi_device_supported(self):
         # Round 4: the capacity tier shards over a mesh

@@ -33,8 +33,7 @@ def _expected_ok(metric, dtype, storage, rerank, n_devices, residual):
     is_pq = dtype in ("pq4", "opq4")
     if residual and (not is_pq or metric != "euclidean"):
         return False
-    if storage == "code" and (dtype in ("float32", "bfloat16")
-                              or metric != "euclidean"):
+    if storage == "code" and dtype in ("float32", "bfloat16"):
         return False
     return True
 
@@ -89,6 +88,11 @@ BUILD_CELLS = (
     # capacity tier, single + sharded
     + [("code", dt, "euclidean", nd, "exact", False)
        for dt in ("sq8", "pq4", "opq4") for nd in (None, 8)]
+    # capacity tier metric axis (round 4): IP/cosine through the tiled
+    # kernels, single + sharded, both finalizations
+    + [("code", dt, m, nd, rr, False)
+       for dt in ("sq8", "pq4") for m in ("inner_product", "cosine")
+       for nd in (None, 8) for rr in ("exact", "score")]
     # residual cells (incl. sharded residual on BOTH tiers)
     + [("rows", "pq4", "euclidean", None, "exact", True),
        ("rows", "pq4", "euclidean", 8, "exact", True),
