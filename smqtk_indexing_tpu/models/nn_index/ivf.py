@@ -102,8 +102,9 @@ def validate_ivf_combination(metric: str, dtype: str, storage: str,
     """Reject unsupported IVF configuration cells with an explanation.
 
     Raises ValueError on: unknown metric/dtype/storage/rerank values;
-    storage='code' with a float dtype or non-euclidean metric;
-    pq_residual with a non-PQ dtype or non-euclidean metric.
+    storage='code' with a float dtype or a metric outside
+    euclidean/inner_product/cosine; pq_residual with a non-PQ dtype or
+    non-euclidean metric.
     """
     if metric not in METRICS:
         raise ValueError(
