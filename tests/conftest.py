@@ -12,6 +12,8 @@ run the suite against the real TPU backend instead.
 """
 import os
 
+import pytest
+
 if not os.environ.get("SMQTK_TPU_TESTS"):
     _flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in _flags:
@@ -20,3 +22,20 @@ if not os.environ.get("SMQTK_TPU_TESTS"):
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_compile_state():
+    """Drop JAX/XLA compilation caches between test modules.
+
+    The ~900-test suite compiles thousands of distinct XLA:CPU programs in a
+    single process; retained executables/LLVM JIT state accumulated until the
+    CPU backend segfaulted deterministically inside ``backend_compile_and_load``
+    at ~88% of the run (rc=139, twice, same stack — see VERDICT round 4).
+    Clearing per-module bounds the live compile state; re-compiles of shared
+    programs in later modules are cheap relative to the suite.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

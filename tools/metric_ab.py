@@ -31,17 +31,20 @@ def _log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def _truth(db, queries, metric):
-    """Float64 exact top-K ids under `metric` over the original rows."""
+def _truth(dbf, queries, metric, db_sq):
+    """Float64 exact top-K ids under `metric` over the original rows.
+
+    ``dbf`` is the float64 db converted ONCE by the caller; euclidean uses
+    the expanded form ``db_sq - 2*db@q`` (q² is rank-constant) so no
+    per-query (N, d) temporary is allocated.
+    """
     out = []
-    dbf = db.astype(np.float64)
     if metric == "cosine":
-        dbn = dbf / np.maximum(np.linalg.norm(dbf, axis=1, keepdims=True),
-                               1e-30)
+        dbn = dbf / np.maximum(np.sqrt(db_sq)[:, None], 1e-30)
     for q in queries:
         qf = q.astype(np.float64)
         if metric == "euclidean":
-            d = ((dbf - qf[None, :]) ** 2).sum(1)
+            d = db_sq - 2.0 * (dbf @ qf)
         elif metric == "inner_product":
             d = -(dbf @ qf)
         else:
@@ -67,8 +70,10 @@ def main() -> None:
                for i in range(1024)]
     _log(f"dataset={dataset} n={n} d={D}")
 
+    dbf = db.astype(np.float64)
+    db_sq = (dbf * dbf).sum(1)
     for metric in ("euclidean", "inner_product", "cosine"):
-        truth = _truth(db, queries[:NQ], metric)
+        truth = _truth(dbf, queries[:NQ], metric, db_sq)
         idx = IvfNearestNeighborsIndex(
             n_lists=4096, kmeans_iterations=6, max_points_per_centroid=64,
             random_seed=0, dtype="sq8", storage="code", rerank="score",

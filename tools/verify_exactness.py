@@ -57,7 +57,12 @@ def main() -> None:
     from smqtk_indexing_tpu.ops.device import capacity_for, pad_rows_np
     from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused
 
-    sel = {int(a) for a in sys.argv[1:]} or set(range(1, 9))
+    known = set(range(1, 9))
+    sel = {int(a) for a in sys.argv[1:]} or known
+    unknown = sel - known
+    if unknown:
+        sys.exit(f"unknown check id(s) {sorted(unknown)}; "
+                 f"valid: {sorted(known)}")
 
     rng = np.random.default_rng(0)
     db = (rng.random((N, D), dtype=np.float32) * 218.0)
