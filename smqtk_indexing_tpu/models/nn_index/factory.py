@@ -26,10 +26,12 @@ always on here):
 - ``IVF<nlist>,SQ8``            -> IvfNearestNeighborsIndex(n_lists=nlist,
   dtype='sq8')
 - ``IVF<nlist>,PQ<M>``          -> IvfNearestNeighborsIndex(n_lists=nlist,
-  dtype='pq<M>', pq_residual=True for L2 — FAISS builds this factory
-  config with ``by_residual=True``, so codes quantize x - centroid(list);
-  pass ``pq_residual=False`` for raw-row codes, and non-L2 metrics opt
-  out automatically as FAISS does)
+  dtype='pq<M>', pq_residual=True for L2 (and for cosine when
+  storage='code' — unit-sphere codes make the L2 residual pipeline
+  cosine ranking) — FAISS builds this factory config with
+  ``by_residual=True``, so codes quantize x - centroid(list); pass
+  ``pq_residual=False`` for raw-row codes; inner_product opts out
+  automatically)
 - ``OPQ<M>,PQ<M>`` / ``OPQ<M>,IVF<nlist>,PQ<M>`` -> the same with
   dtype='opq<M>' (FAISS's OPQ rotation pre-transform, faiss.py:182-199:
   an orthogonal matrix learned to minimize PQ reconstruction error —
@@ -139,9 +141,14 @@ def index_from_factory_string(factory_string: str,
     if ivf and len(parts) == 2 and _pq_dtype(parts[1]) is not None:
         # FAISS builds 'IVF<n>,PQ<M>' with by_residual=True (L2): codes
         # quantize x - centroid(list). Match that default here; explicit
-        # kwargs and non-L2 metrics (where FAISS too disables residual)
-        # override/opt out.
-        kwargs.setdefault("pq_residual", m == "euclidean")
+        # kwargs override/opt out. Cosine gets the same default on the
+        # code tier only (its codes carry unit-sphere rows, so the L2
+        # residual pipeline IS cosine ranking there); inner_product has
+        # no residual mode.
+        kwargs.setdefault(
+            "pq_residual",
+            m == "euclidean"
+            or (m == "cosine" and kwargs.get("storage") == "code"))
         return IvfNearestNeighborsIndex(
             metric=m, n_lists=int(ivf.group(1)),
             dtype=_pq_dtype(parts[1]), **kwargs)

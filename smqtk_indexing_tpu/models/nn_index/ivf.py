@@ -90,8 +90,12 @@ def _is_pq_dtype(dtype: str) -> bool:
 #:             on the unit sphere)
 #:   pq/opq<M> euclidean/inner_product/cosine  1..N      in-kernel ADC
 #:             one-hot MXU dot (the LUT is a pure IP either way)
-#:   pq/opq<M> +pq_residual: euclidean only, 1..N (row2list row-shards
-#:             with the tiles; res-centroids replicate)
+#:   pq/opq<M> +pq_residual: euclidean OR cosine, 1..N (row2list
+#:             row-shards with the tiles; res-centroids replicate).
+#:             Cosine residual = the euclidean residual pipeline over
+#:             the unit-sphere codes (rows normalized at encode,
+#:             queries at serve) — rows-tier residual stays euclidean
+#:             (its codes carry raw rows)
 #: rerank: 'exact' everywhere; 'score' changes behavior only on the
 #:   tiled serving paths (code tier always; rows-sq8/pq when routed) —
 #:   on every other path distances are already exact, so 'score' is a
@@ -125,10 +129,19 @@ def validate_ivf_combination(metric: str, dtype: str, storage: str,
             raise ValueError(
                 "pq_residual requires a PQ dtype ('pq<M>'/'opq<M>'), "
                 f"got {dtype!r}")
-        if metric != "euclidean":
+        if metric == "cosine":
+            if storage != "code":
+                raise ValueError(
+                    "pq_residual with metric='cosine' requires "
+                    "storage='code' (the code tier's codes carry "
+                    "L2-NORMALIZED rows, so the L2 residual pipeline is "
+                    "cosine ranking on the unit sphere; the rows tier's "
+                    "codes carry raw rows)")
+        elif metric != "euclidean":
             raise ValueError(
-                "pq_residual serves euclidean only (the score's "
-                "per-probe -2<q,c> term comes from L2 probe selection)")
+                "pq_residual serves euclidean (any storage) or cosine "
+                "(storage='code'); inner_product has no L2 probe-score "
+                "decomposition for the per-probe -2<q,c> term")
     if storage == "code":
         if dtype != "sq8" and not _is_pq_dtype(dtype):
             raise ValueError(

@@ -975,14 +975,17 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
         ``-2 <q, x_hat>`` (IP is invariant under the perm/orthogonal
         codec transform), and probe selection ranks centroids by -IP.
         Cosine callers pass q normalized over codes of normalized rows
-        (euclidean pipeline == cosine ranking on the unit sphere).
-        Residual mode is euclidean-only (the -2<q,c> probe offset is an
-        L2 decomposition).
+        (euclidean pipeline == cosine ranking on the unit sphere) —
+        this composes with residual mode unchanged (the -2<q,c> L2
+        probe offset is valid on the sphere). Residual inner_product is
+        rejected (IP probe selection has no L2 decomposition).
     """
     if res_cents is not None and rerank != "score" and row2list is None:
         raise ValueError("residual gather re-rank needs row2list")
-    if res_cents is not None and metric != "euclidean":
-        raise ValueError("residual PQ serves euclidean only")
+    if res_cents is not None and metric == "inner_product":
+        raise ValueError(
+            "residual PQ serves euclidean or cosine (IP probe selection "
+            "has no L2 -2<q,c> decomposition)")
     n_tiles, m_sub, tile_n = db3c.shape
     b, d_pad = q.shape
     d_codec = perm.shape[0]

@@ -31,8 +31,15 @@ RESIDUALS = (False, True)
 def _expected_ok(metric, dtype, storage, rerank, n_devices, residual):
     """Independent restatement of the support matrix (the test oracle)."""
     is_pq = dtype in ("pq4", "opq4")
-    if residual and (not is_pq or metric != "euclidean"):
-        return False
+    if residual:
+        if not is_pq:
+            return False
+        # euclidean: both tiers; cosine: code tier only (unit-sphere
+        # codes); inner_product: never (round 5).
+        if metric == "inner_product":
+            return False
+        if metric == "cosine" and storage != "code":
+            return False
     if storage == "code" and dtype in ("float32", "bfloat16"):
         return False
     return True
@@ -98,6 +105,11 @@ BUILD_CELLS = (
        ("rows", "pq4", "euclidean", 8, "exact", True),
        ("code", "pq4", "euclidean", None, "exact", True),
        ("code", "pq4", "euclidean", 8, "exact", True)]
+    # cosine residual (round 5): code tier only, single + sharded,
+    # both finalizations
+    + [("code", "pq4", "cosine", nd, rr, True)
+       for nd in (None, 8) for rr in ("exact", "score")]
+    + [("code", "opq4", "cosine", None, "exact", True)]
     # score-mode finalization on the tiled tier
     + [("code", "sq8", "euclidean", None, "score", False)]
 )

@@ -60,6 +60,12 @@ class TestFactoryDefault:
             "IVF8,PQ4", pq_residual=False).pq_residual is False
         assert index_from_factory_string(
             "IVF8,PQ4", metric="ip").pq_residual is False
+        # Cosine defaults to residual ON the code tier only (round 5).
+        assert index_from_factory_string(
+            "IVF8,PQ4", metric="cosine",
+            storage="code").pq_residual is True
+        assert index_from_factory_string(
+            "IVF8,PQ4", metric="cosine").pq_residual is False
         # Flat PQ has no lists to residualize against.
         assert index_from_factory_string("PQ4").get_config().get(
             "pq_residual") is None
@@ -70,10 +76,19 @@ class TestValidation:
         with pytest.raises(ValueError, match="PQ dtype"):
             IvfNearestNeighborsIndex(dtype="sq8", pq_residual=True)
 
-    def test_requires_euclidean(self):
-        with pytest.raises(ValueError, match="euclidean"):
+    def test_metric_matrix(self):
+        # cosine residual exists ONLY on the code tier (unit-sphere
+        # codes); rows-tier cosine and inner_product stay rejected.
+        with pytest.raises(ValueError, match="storage='code'"):
             IvfNearestNeighborsIndex(dtype="pq8", pq_residual=True,
                                      metric="cosine")
+        with pytest.raises(ValueError, match="inner_product"):
+            IvfNearestNeighborsIndex(dtype="pq8", pq_residual=True,
+                                     metric="inner_product",
+                                     storage="code")
+        idx = IvfNearestNeighborsIndex(dtype="pq8", pq_residual=True,
+                                       metric="cosine", storage="code")
+        assert idx.pq_residual is True
 
     def test_multi_device_accepted(self):
         idx = IvfNearestNeighborsIndex(dtype="pq8", pq_residual=True,
@@ -209,6 +224,115 @@ class TestRecallGain:
 
         r_raw, r_res = recall(False), recall(True)
         assert r_res > r_raw + 0.1, (r_raw, r_res)
+
+
+class TestCosineResidual:
+    """Round-5 cell: cosine + pq_residual on the code tier (the L2
+    residual pipeline over unit-sphere codes IS cosine ranking)."""
+
+    def test_full_probe_matches_angular_oracle_on_reconstructions(self):
+        """At full probe, results match a float64 angular oracle over
+        the index's OWN reconstructions (codec is the only loss), and
+        reported distances are the angular 2*arccos(sim)/pi values."""
+        x = _clustered(n=800)
+        idx = _index(storage="code", metric="cosine")
+        idx.build_index([_elem(i, x[i]) for i in range(len(x))])
+        uid_of_row = list(idx._row2uid)
+        rec = np.stack([idx._row_vector(i)
+                        for i in range(idx._host.shape[0])]
+                       ).astype(np.float64)
+        rec_n = rec / np.maximum(
+            np.linalg.norm(rec, axis=1, keepdims=True), 1e-30)
+        rng = np.random.default_rng(7)
+        for qv in x[rng.choice(len(x), 5, replace=False)]:
+            qn = qv.astype(np.float64)
+            qn = qn / max(np.linalg.norm(qn), 1e-30)
+            sim = np.clip(rec_n @ qn, -1.0, 1.0)
+            d64 = 2.0 * np.arccos(sim) / np.pi
+            want = {uid_of_row[r] for r in np.argsort(d64)[:5]}
+            nbrs, dists = _query(idx, qv, 5)
+            got = [e.uuid() for e in nbrs]
+            assert len(set(got) & want) >= 4, (got, want)
+            row_of_uid = {u: r for r, u in enumerate(uid_of_row)}
+            ref = np.sort(d64[[row_of_uid[u] for u in got]])
+            np.testing.assert_allclose(dists, ref, rtol=1e-3, atol=1e-3)
+
+    def test_score_mode_consistent(self):
+        x = _clustered(n=1200)
+        els = [_elem(i, x[i]) for i in range(len(x))]
+        idx_e = _index(storage="code", metric="cosine", rerank="exact")
+        idx_e.build_index(els)
+        idx_s = _index(storage="code", metric="cosine", rerank="score")
+        idx_s.build_index(els)
+        for qi in (10, 500):
+            n_e, d_e = _query(idx_e, x[qi])
+            n_s, d_s = _query(idx_s, x[qi])
+            assert n_e[0].uuid() == n_s[0].uuid()
+            np.testing.assert_allclose(d_e[0], d_s[0], rtol=5e-3,
+                                       atol=5e-3)
+
+    def test_sharded_matches_single_device(self):
+        x = _clustered(n=1600)
+        els = [_elem(i, x[i]) for i in range(len(x))]
+        idx1 = _index(storage="code", metric="cosine")
+        idx1.build_index(els)
+        idx8 = _index(storage="code", metric="cosine", n_devices=8)
+        idx8.build_index(els)
+        assert idx8._mesh is not None
+        for qi in (3, 444, 1200):
+            n1, d1 = _query(idx1, x[qi])
+            n8, d8 = _query(idx8, x[qi])
+            ids1 = [e.uuid() for e in n1]
+            ids8 = [e.uuid() for e in n8]
+            assert len(set(ids1) & set(ids8)) >= 4, (ids1, ids8)
+            np.testing.assert_allclose(d8[0], d1[0], rtol=1e-4,
+                                       atol=1e-4)
+
+    def test_cosine_residual_beats_raw_on_clustered_sphere(self):
+        """The recall lever carries to the angular metric: clustered
+        directions quantize better as residuals at identical bytes."""
+        rng = np.random.default_rng(1)
+        n, d, c = 4000, 32, 64
+        centers = rng.normal(size=(c, d)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        x = centers[rng.integers(0, c, size=n)] \
+            + rng.normal(size=(n, d)).astype(np.float32) * 0.15
+        q = centers[rng.integers(0, c, size=32)] \
+            + rng.normal(size=(32, d)).astype(np.float32) * 0.15
+        els = [_elem(i, x[i]) for i in range(n)]
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        truth = np.argsort(-(qn.astype(np.float64)
+                             @ xn.astype(np.float64).T), 1)[:, :10]
+
+        def recall(residual):
+            idx = _index(n_lists=64, nprobe=64, kmeans_iterations=8,
+                         storage="code", metric="cosine",
+                         pq_residual=residual)
+            idx.build_index(els)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                res = idx.nn_many([_elem(f"q{i}", q[i])
+                                   for i in range(32)], 10)
+            return np.mean([
+                len({e.uuid() for e in r[0]} & set(t.tolist())) / 10.0
+                for r, t in zip(res, truth)])
+
+        r_raw, r_res = recall(False), recall(True)
+        assert r_res > r_raw + 0.05, (r_raw, r_res)
+
+    def test_persistence_roundtrip(self):
+        x = _clustered(n=600)
+        els = [_elem(i, x[i]) for i in range(len(x))]
+        el = DataMemoryElement(readonly=False)
+        idx = _index(storage="code", metric="cosine", index_element=el)
+        idx.build_index(els)
+        n1, d1 = _query(idx, x[42])
+        idx2 = _index(storage="code", metric="cosine", index_element=el)
+        assert idx2.pq_residual is True
+        n2, d2 = _query(idx2, x[42])
+        assert [e.uuid() for e in n1] == [e.uuid() for e in n2]
+        np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-6)
 
 
 class TestLifecycle:

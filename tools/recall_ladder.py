@@ -94,6 +94,59 @@ def main(n: int = 200_000, d: int = 64, rank: int = 8) -> None:
         print(f"| {name} ({bytes_per[name]}B) | {cells} |",
               file=sys.stderr, flush=True)
 
+    cosine_ladder(db, queries, els, qels, n_lists, nprobes, label, n, d)
+
+
+# Round-5 cell: cosine + residual on the code tier (unit-sphere codes).
+COSINE_CODECS = [
+    ("cos_sq8", dict(dtype="sq8")),
+    ("cos_pq16", dict(dtype="pq16", pq_residual=False)),
+    ("cos_pq16_res", dict(dtype="pq16", pq_residual=True)),
+    ("cos_opq16_res", dict(dtype="opq16", pq_residual=True)),
+]
+
+
+def cosine_ladder(db, queries, els, qels, n_lists, nprobes, label, n, d
+                  ) -> None:
+    """Angular-metric rung of the ladder: code-tier codecs under
+    metric='cosine', incl. the round-5 residual cell, against a float64
+    angular oracle."""
+    dbn = db.astype(np.float64)
+    dbn /= np.maximum(np.linalg.norm(dbn, axis=1, keepdims=True), 1e-30)
+    qn = queries.astype(np.float64)
+    qn /= np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-30)
+    true_ids = [np.argsort(-(dbn @ qv), kind="stable")[:10].tolist()
+                for qv in qn]
+
+    rows = {}
+    for name, kw in COSINE_CODECS:
+        idx = IvfNearestNeighborsIndex(
+            descriptor_set=MemoryDescriptorSet(), n_lists=n_lists,
+            nprobe=nprobes[0], random_seed=0, metric="cosine",
+            storage="code", **kw)
+        idx.build_index(els)
+        for nprobe in nprobes:
+            idx.nprobe = nprobe
+            res = idx.nn_many(qels, 10)
+            got = [[e.uuid() for e in r[0]] for r in res]
+            rec = _recall_at_10(got, true_ids)
+            rows.setdefault(name, {})[nprobe] = rec
+            print(json.dumps({"section": "recall_ladder_cosine",
+                              "dataset": label, "n": n, "d": d,
+                              "codec": name, "nprobe": nprobe,
+                              "recall_at_10": round(rec, 4)}), flush=True)
+        del idx
+
+    bytes_per = {"cos_sq8": d, "cos_pq16": 16, "cos_pq16_res": 16,
+                 "cos_opq16_res": 16}
+    print("| cosine codec (bytes/vec) | " + " | ".join(
+        f"np={p}" for p in nprobes) + " |", file=sys.stderr)
+    print("|" + "---|" * (len(nprobes) + 1), file=sys.stderr)
+    for name, _ in COSINE_CODECS:
+        cells = " | ".join(f"{rows[name][p]:.3f}" for p in nprobes)
+        print(f"| {name} ({bytes_per[name]}B) | {cells} |",
+              file=sys.stderr, flush=True)
+
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
