@@ -4,7 +4,14 @@ SIFT1M-shaped data (1M x 128-d float32, k=10) — the configuration the
 reference serves through CPU-FAISS 'IDMap,Flat'
 (/root/reference/smqtk_indexing/impls/nn_index/faiss.py:190).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints TWO JSON lines, headline first:
+1. {"metric": "sift1m_flat_l2_knn_qps_b2048_bestof3", ...} — the exact
+   flat-scan headline (vs_baseline = host BLAS exhaustive scan).
+2. {"metric": "deep1m_ivf4096_sq8_code_score_np4_b1024_qps", ...} — the
+   SERVING tier (IVF-4096 SQ8 code storage, rerank='score', nprobe=4,
+   B=1024 through the public nn_many path), with recall@10 vs float64
+   exact on held-out queries, so codec/routing regressions are visible
+   in BENCH_r*.json (round-4 verdict item 7).
 
 value    = TPU queries/second through the fused scan+top-k program
            at batch 2048, database resident in HBM. Batch 2048 amortizes
@@ -140,7 +147,83 @@ def main() -> None:
         "unit": "queries/s",
         "vs_baseline": round(tpu_qps / host_qps, 2),
         "median_window": round(tpu_qps_median, 2),
-    }))
+    }), flush=True)
+
+    # Free the flat-scan device arrays before the serving-tier build.
+    del dev, dev_sq, dev_norm, valid, qd, run
+    try:
+        serving_metric(host_qps * N)  # host baseline rescales by N below
+    except Exception as e:  # pragma: no cover - keep the headline valid
+        print(f"serving metric failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+
+def serving_metric(host_scan_qps_times_n: float) -> None:
+    """Second line: the production serving configuration (docs Config 3a —
+    IVF-4096, SQ8 code tier, rerank='score', nprobe=4) on Deep1M-shaped
+    data (1M x 96), measured through the PUBLIC ``nn_many`` path at
+    B=1024 (best-of-3 windows, same tunnel-variance policy as the
+    headline). vs_baseline = host exhaustive-scan stand-in rescaled to
+    this N*d (the same comparator the headline uses — CPU-FAISS IVF is
+    not installed, BASELINE.json "published": {})."""
+    import jax
+
+    from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+    from smqtk_indexing_tpu.models.nn_index.ivf import (
+        IvfNearestNeighborsIndex,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_serve, d_serve = (1_000_000, 96) if on_tpu else (20_000, 96)
+    rng = np.random.default_rng(2)
+    db = rng.random((n_serve, d_serve), dtype=np.float32)
+    queries = rng.random((1024, d_serve), dtype=np.float32)
+
+    elems = [DescriptorMemoryElement(i, db[i]) for i in range(n_serve)]
+    q_large = [DescriptorMemoryElement(f"Q{i}", queries[i])
+               for i in range(1024)]
+    nq_r = 128
+
+    idx = IvfNearestNeighborsIndex(
+        n_lists=4096 if on_tpu else 256, nprobe=4, kmeans_iterations=10,
+        max_points_per_centroid=64, random_seed=0, dtype="sq8",
+        storage="code", rerank="score")
+    t0 = time.perf_counter()
+    idx.build_index(elems)
+    build_s = time.perf_counter() - t0
+
+    # recall@10 vs float64 exact (expanded form; q^2 is rank-constant)
+    dbf = db.astype(np.float64)
+    db_sq64 = np.einsum("ij,ij->i", dbf, dbf)
+    truth = []
+    for i in range(nq_r):
+        d2 = db_sq64 - 2.0 * (dbf @ queries[i].astype(np.float64))
+        truth.append(set(np.argsort(d2, kind="stable")[:K].tolist()))
+    res = idx.nn_many(q_large[:nq_r], K)
+    got = [[e.uuid() for e in r] for r, _ in res]
+    recall = float(np.mean([len(set(g) & t) / K
+                            for g, t in zip(got, truth)]))
+
+    idx.nn_many(q_large, K)  # compile + warm the B=1024 program
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            idx.nn_many(q_large, K)
+        windows.append(2 * 1024 / (time.perf_counter() - t0))
+    qps = max(windows)
+
+    host_qps = host_scan_qps_times_n / n_serve * (DIM / d_serve)
+    print(json.dumps({
+        "metric": "deep1m_ivf4096_sq8_code_score_np4_b1024_qps",
+        "value": round(qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / host_qps, 2),
+        "median_window": round(sorted(windows)[1], 2),
+        "recall_at_10": round(recall, 4),
+        "build_wall_s": round(build_s, 1),
+        "n": n_serve,
+    }), flush=True)
 
 
 def _wait_for_backend(max_wait: float = 900.0) -> None:

@@ -352,6 +352,67 @@ def bench_ivf(tags=("", "_sq8", "_pq16"),
                  recall_at_10=round(_recall_at_10(got, truth), 4))
 
 
+def bench_lsh_e2e() -> None:
+    """END-TO-END LSH serving through the public model API (round-5
+    Config 2 refresh): ITQ-128 + hash2uuids buckets + exact re-rank over
+    SIFT1M-shaped data, measured at B=128 (latency row) and B=1024
+    (amortized row), fused single-dispatch vs the two-dispatch path in
+    the SAME window (SMQTK_TPU_NO_LSH_FUSED A/B)."""
+    from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
+    from smqtk_indexing_tpu.models.lsh_functor.itq import ItqFunctor
+    from smqtk_indexing_tpu.models.nn_index.lsh import (
+        LSHNearestNeighborIndex,
+    )
+
+    n, d = 1_000_000, 128
+    db, queries, dataset = _load_or_make("sift_base.fvecs", n, d, 218.0,
+                                         seed=0, nq=1024)
+    n = db.shape[0]
+    truth = _exact_ground_truth(db, queries[:128])
+    els = [DescriptorMemoryElement(i, db[i]) for i in range(n)]
+    q128 = [DescriptorMemoryElement(f"q{i}", queries[i])
+            for i in range(128)]
+    q1024 = [DescriptorMemoryElement(f"Q{i}", queries[i])
+             for i in range(1024)]
+
+    functor = ItqFunctor(bit_length=128, random_seed=0)
+    functor.fit(els[:100_000])
+    idx = LSHNearestNeighborIndex(lsh_functor=functor,
+                                  distance_method="euclidean")
+    t0 = time.perf_counter()
+    idx.build_index(els)
+    emit(metric="lsh_e2e_itq128_build_wall",
+         value=round(time.perf_counter() - t0, 1), unit="s",
+         dataset=dataset)
+
+    for tag, env in (("fused", {}),
+                     ("twodispatch", {"SMQTK_TPU_NO_LSH_FUSED": "1"})):
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            for label, qs, iters in (("b128", q128, 3),
+                                     ("b1024", q1024, 2)):
+                res = idx.nn_many(qs, 10)       # compile + warm
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    res = idx.nn_many(qs, 10)
+                dt = (time.perf_counter() - t0) / iters
+                kw = {}
+                if label == "b128":
+                    got = [[e.uuid() for e in r] for r, _ in res]
+                    kw["recall_at_10"] = round(
+                        _recall_at_10(got, truth), 4)
+                emit(metric=f"lsh_e2e_itq128_{tag}_{label}",
+                     value=round(len(qs) / dt, 0), unit="queries/s",
+                     dataset=dataset, **kw)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+
 def bench_mrpt() -> None:
     from smqtk_indexing_tpu.data.descriptor import DescriptorMemoryElement
     from smqtk_indexing_tpu.models.nn_index.mrpt import (
@@ -436,7 +497,8 @@ def bench_sq8() -> None:
 
 if __name__ == "__main__":
     import sys
-    sections = {"itq": bench_itq_linear, "ivf": bench_ivf,
+    sections = {"itq": bench_itq_linear, "lsh_e2e": bench_lsh_e2e,
+                "ivf": bench_ivf,
                 "mrpt": bench_mrpt, "sq8": bench_sq8,
                 # Focused same-window A/B: the legacy row-major sq8
                 # layout vs the tiled routing (exact + score) vs the

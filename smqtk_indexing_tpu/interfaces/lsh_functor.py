@@ -46,3 +46,17 @@ class LshFunctor (Configurable, Pluggable):
         """
         mat = np.atleast_2d(np.asarray(descriptors))
         return np.vstack([self.get_hash(row) for row in mat])
+
+    def hash_model(self):
+        """
+        Optional jit-fusable affine form of this functor:
+        ``hash(x) = ((norm_rows(x, normalize) - mean) @ proj) >= 0``.
+
+        :return: ``(mean (d,) float32, proj (d, bits) float32, normalize)``
+            when the functor is expressible this way AND fitted, else
+            ``None``. Enables the single-dispatch LSH serving program
+            (ops/lsh_fused.py) to inline hashing; functors with other
+            shapes simply return None and serve through the two-dispatch
+            path.
+        """
+        return None

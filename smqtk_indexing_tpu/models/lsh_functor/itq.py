@@ -220,3 +220,12 @@ class ItqFunctor (LshFunctor):
         mat = norm_rows(mat, self.normalize)
         return np.asarray(hash_batch(jnp.asarray(mat), self.mean_vec,
                                      self.rotation))
+
+    def hash_model(self):
+        """(mean, rotation, normalize) — ITQ is exactly the affine
+        sign-hash form, so the fused LSH serving program can inline it."""
+        if not self.has_model():
+            return None
+        return (np.asarray(self.mean_vec, dtype=np.float32),
+                np.asarray(self.rotation, dtype=np.float32),
+                self.normalize)

@@ -106,3 +106,11 @@ class SimpleRPFunctor (LshFunctor):
         mat = norm_rows(mat, self.normalize)
         return np.asarray(hash_batch(jnp.asarray(mat), self.mean_vec,
                                      self.rps))
+
+    def hash_model(self):
+        """(mean, rps, normalize) — the affine sign-hash form for the
+        fused LSH serving program."""
+        if not self.has_model():
+            return None
+        return (np.asarray(self.mean_vec, dtype=np.float32),
+                np.asarray(self.rps, dtype=np.float32), self.normalize)

@@ -213,6 +213,12 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
         # on EVERY query, lsh.py:481-487 — an O(N) host pass per lookup;
         # here it is invalidated only when the KV mapping mutates).
         self._fallback_hi: Optional[LinearHashIndex] = None
+        # Cached device-resident bucket state for the SINGLE-DISPATCH
+        # serving program (ops/lsh_fused.py) — hash + near-code scan +
+        # bucket expand + exact re-rank in one device round trip instead
+        # of two with a host hop between (round 5; invalidated with the
+        # fallback on every mutation).
+        self._fused: Optional[dict] = None
 
     def get_config(self) -> Dict[str, Any]:
         c = self.get_default_config()
@@ -280,6 +286,7 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
             self.hash2uuids_kvstore.clear()
             self.hash2uuids_kvstore.add_many(kv_update)
             self._fallback_hi = None
+            self._fused = None
 
             if self.hash_index is not None:
                 # Unique codes only (HashIndex contract).
@@ -310,6 +317,7 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
             self.descriptor_set.add_many_descriptors(elems)
             self.hash2uuids_kvstore.add_many(kv_update)
             self._fallback_hi = None
+            self._fused = None
             if self.hash_index is not None and new_code_rows:
                 self.hash_index.update_index(codes[new_code_rows])
 
@@ -349,6 +357,7 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
             if kv_delete:
                 self.hash2uuids_kvstore.remove_many(kv_delete)
             self._fallback_hi = None
+            self._fused = None
             if self.hash_index is not None and dead_code_rows:
                 self.hash_index.remove_from_index(codes[dead_code_rows])
             self.descriptor_set.remove_many_descriptors(uids)
@@ -370,6 +379,88 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
             self._fallback_hi = hi
         return self._fallback_hi
 
+    #: Candidate-slot budget for the fused program: B x n_codes x l_max
+    #: gathered rows per dispatch. Beyond this the padded gather's
+    #: memory/FLOP waste outgrows the saved round trip (degenerate
+    #: all-rows-in-one-bucket distributions land here) — serve through
+    #: the two-dispatch path instead.
+    _FUSED_SLOT_BUDGET = 1 << 24
+
+    def _fused_ready(self, n: int, b: int) -> Optional[dict]:
+        """Device-resident bucket state for the single-dispatch serving
+        program (ops/lsh_fused.py), or None when ineligible.
+
+        Eligible when: no configured ``hash_index`` (the fused near-code
+        scan IS the on-the-fly-linear fallback semantics, reference
+        lsh.py:481-487), single device, the functor exposes its affine
+        form (``LshFunctor.hash_model``), and the padded candidate
+        budget is sane. SMQTK_TPU_NO_LSH_FUSED=1 opts out (A/B against
+        the two-dispatch path)."""
+        import os
+        if os.environ.get("SMQTK_TPU_NO_LSH_FUSED") \
+                or self.hash_index is not None \
+                or (self.n_devices is not None and self.n_devices > 1):
+            return None
+        model = self.lsh_functor.hash_model()
+        if model is None:
+            return None
+        if self._fused is None:
+            from smqtk_indexing_tpu.utils.bits import ints_to_packed_u32
+            keys = list(self.hash2uuids_kvstore.keys())
+            if not keys:
+                return None
+            mean, proj, normalize = model
+            bits = proj.shape[1]
+            u = len(keys)
+            u_pad = _pow2_at_least(u)
+            packed = np.zeros((u_pad, (bits + 31) // 32), dtype=np.uint32)
+            packed[:u] = ints_to_packed_u32(keys, bits)
+            code_valid = np.zeros(u_pad, dtype=bool)
+            code_valid[:u] = True
+            # Bucket-sorted row layout (the IVF list-sorted trick): each
+            # unique code's members contiguous, so expansion is a CSR
+            # window — no host hop to look UIDs up per query.
+            off = np.zeros(u_pad, dtype=np.int32)
+            ln = np.zeros(u_pad, dtype=np.int32)
+            uids: List[Hashable] = []
+            pos = 0
+            for i, c in enumerate(keys):
+                members = list(self.hash2uuids_kvstore.get(c))
+                off[i] = pos
+                ln[i] = len(members)
+                uids.extend(members)
+                pos += len(members)
+            elems = list(self.descriptor_set.get_many_descriptors(uids))
+            n_rows = len(elems)
+            d_dim = int(np.asarray(elems[0].vector()).shape[-1]) \
+                if n_rows else proj.shape[0]
+            n_pad = _pow2_at_least(max(n_rows, 1))
+            mat = np.zeros((n_pad, d_dim), dtype=np.float32)
+            if n_rows:
+                mat[:n_rows] = np.vstack([e.vector() for e in elems])
+            row_valid = np.zeros(n_pad, dtype=bool)
+            row_valid[:n_rows] = True
+            l_max = int(ln.max()) if u else 1
+            self._fused = {
+                "db": jnp.asarray(mat),
+                "row_valid": jnp.asarray(row_valid),
+                "packed": jnp.asarray(packed),
+                "code_valid": jnp.asarray(code_valid),
+                "off": jnp.asarray(off),
+                "ln": jnp.asarray(ln),
+                "mean": jnp.asarray(mean),
+                "proj": jnp.asarray(proj),
+                "normalize": normalize,
+                "l_max": _pow2_at_least(max(l_max, 1), lo=1),
+                "n_codes_live": u,
+                "row2elem": elems,
+            }
+        st = self._fused
+        n_codes = _pow2_at_least(min(n, st["n_codes_live"]), lo=1)
+        if b * n_codes * st["l_max"] > self._FUSED_SLOT_BUDGET:
+            return None
+        return st
+
     def _nn_many(self, ds: Sequence[DescriptorElement],
                  n: int = 1) -> List[NNResult]:
         """
@@ -380,6 +471,9 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
         """
         with self._model_lock, trace_span("lsh.query_batch"):
             q_mat = np.vstack([d.vector() for d in ds]).astype(np.float32)
+            st = self._fused_ready(n, len(ds))
+            if st is not None:
+                return self._nn_many_fused(st, q_mat, n)
             q_codes = self.lsh_functor.get_hash_batch(q_mat)
             bits = q_codes.shape[1]
             hi = self._choose_hash_index(bits)
@@ -456,9 +550,48 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
                         tuple(float(x) for x in dists[i, :k])))
         return out
 
+    def _nn_many_fused(self, st: dict, q_mat: np.ndarray, n: int
+                       ) -> List[NNResult]:
+        """Serve a batch through the SINGLE-DISPATCH program: hash +
+        near-code Hamming top-n + bucket-window expansion + exact
+        re-rank in one jitted call (ops/lsh_fused.py) — one device round
+        trip where the two-dispatch path pays two plus a host expansion
+        between them (reference flow lsh.py:452-518)."""
+        from smqtk_indexing_tpu.ops.lsh_fused import lsh_fused_query
+        b = q_mat.shape[0]
+        b_pad = _pow2_at_least(b)
+        q_p = np.zeros((b_pad, q_mat.shape[1]), dtype=np.float32)
+        q_p[:b] = q_mat
+        n_sel = min(n, st["n_codes_live"])
+        n_codes = _pow2_at_least(n_sel, lo=1)
+        n_rows = len(st["row2elem"])
+        k_dev = _pow2_at_least(min(n, max(n_rows, 1)), lo=1)
+        COUNTERS.add("lsh.queries", b)
+        COUNTERS.add("lsh.fused_queries", b)
+        dists, rows = lsh_fused_query(
+            st["db"], st["row_valid"], st["packed"], st["code_valid"],
+            st["off"], st["ln"], jnp.asarray(q_p), st["mean"],
+            st["proj"], k=k_dev, n_codes=n_codes, n_sel=n_sel,
+            l_max=st["l_max"], metric=self.distance_method,
+            normalize=st["normalize"])
+        dists = np.asarray(dists)[:b]
+        rows = np.asarray(rows)[:b]
+        elems = st["row2elem"]
+        out: List[NNResult] = []
+        for i in range(b):
+            ok = rows[i] >= 0
+            k = min(n, int(ok.sum()))
+            out.append((tuple(elems[r] for r in rows[i, :k]),
+                        tuple(float(x) for x in dists[i, :k])))
+        return out
+
     def _nn(self, d: DescriptorElement, n: int = 1) -> NNResult:
         with self._model_lock:
             q_vec = np.asarray(d.vector(), dtype=np.float32)
+            st = self._fused_ready(n, 1)
+            if st is not None:
+                return self._nn_many_fused(
+                    st, np.atleast_2d(q_vec), n)[0]
             q_code = self.lsh_functor.get_hash(q_vec)
             bits = len(q_code)
             hi = self._choose_hash_index(bits)
