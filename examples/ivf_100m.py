@@ -43,6 +43,12 @@ infeasible):
 
 Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site python \
     examples/ivf_100m.py
+
+Scale knobs (round 5): SMQTK_IVF100M_CHUNKS=<n> sets the corpus size in
+~6.29M-row chunks; SMQTK_IVF100M_NO_SQ8=1 skips the SQ8 phase (REQUIRED
+above ~20 chunks — int8-per-dim needs N bytes of HBM; the PQ tier is
+~N/8); SMQTK_IVF100M_OPQ=1 adds the OPQ rotation. examples/ivf_400m.py
+presets these for the 402.7M capacity demonstration.
 """
 from __future__ import annotations
 
@@ -68,11 +74,23 @@ if MINI:
 
 D = 128
 TILE = 4096
-N_CHUNKS = 4 if MINI else 16
+#: SMQTK_IVF100M_CHUNKS scales the corpus (each chunk ~6.29M rows):
+#: 16 -> 100.7M (the SQ8+PQ demo), 64 -> 402.7M (the PQ capacity
+#: demonstration, examples/ivf_400m.py — SQ8 no longer fits HBM there,
+#: so SMQTK_IVF100M_NO_SQ8=1 must accompany CHUNKS > 20).
+N_CHUNKS = int(os.environ.get("SMQTK_IVF100M_CHUNKS", "4" if MINI
+                              else "16"))
 TILES_PER_CHUNK = 4 if MINI else 1536
 CHUNK = TILES_PER_CHUNK * TILE           # 6,291,456 at full scale
-N = N_CHUNKS * CHUNK                     # 100,663,296 at full scale
+N = N_CHUNKS * CHUNK                     # 100,663,296 at 16 chunks
+#: Skip the 12.9GB-resident SQ8 phase (exhaustive oracle + IVF-SQ8
+#: sweep): list lengths then come from an assignment-only pass and the
+#: PQ phase's truth is the wide-probe ADC oracle alone. REQUIRED above
+#: ~20 chunks (the SQ8 buffer would exceed HBM).
+SKIP_SQ8 = bool(os.environ.get("SMQTK_IVF100M_NO_SQ8"))
 C_LISTS = 64 if MINI else 16384
+#: Human label for metric names ("100m", "403m", ...).
+LBL = f"{round(N / 1e6)}m" if not MINI else "mini"
 L_GEN = C_LISTS                          # generation mixture components
 SIGMA = 0.25
 A_SCALE = 1.0 / 16.0                     # codec: x ~= a*u, b = 0
@@ -94,6 +112,13 @@ PQ_PHASE = not bool(os.environ.get("SMQTK_IVF100M_NO_PQ"))
 #: intra-cell noise (SIGMA) instead of the full mixture geometry.
 #: SMQTK_IVF100M_RAW_PQ=1 restores raw-row encoding for the A/B.
 RESIDUAL_PQ = not bool(os.environ.get("SMQTK_IVF100M_RAW_PQ"))
+#: SMQTK_IVF100M_OPQ=1 learns an OPQ rotation (ops/opq.opq_train on the
+#: residualized training sample) and encodes (x - c) @ R — the
+#: 'OPQ16,IVF16384,PQ16' factory configuration at capacity scale. On
+#: this near-iid mixture the rotation is close to identity (OPQ's win
+#: is on correlated data, docs Config 3b); it is exercised here to
+#: demonstrate the full capacity pipeline.
+OPQ_ROT = bool(os.environ.get("SMQTK_IVF100M_OPQ"))
 
 
 def _gen_rows(centers: jnp.ndarray, row_ids: jnp.ndarray) -> jnp.ndarray:
@@ -183,11 +208,17 @@ def _assign_order(cents: jnp.ndarray, centers: jnp.ndarray,
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
-def _ingest_chunk_pq(bigp, s2bigp, cents, cb, cb_sq, centers, ci):
+def _ingest_chunk_pq(bigp, s2bigp, cents, cb, cb_sq, centers, ci,
+                     rot=None):
     """PQ counterpart of :func:`_ingest_chunk`: same assignment/sort
     (the CSR built by the SQ8 pass is reused verbatim), rows encode to
     (M, TILE) uint8 code tiles (bit-reinterpreted int8 — the kernel's
-    DMA dtype) + per-row reconstruction norms."""
+    DMA dtype) + per-row reconstruction norms.
+
+    ``rot``: optional (D, D) OPQ rotation — encoding happens in the
+    rotated codec space (enc = (x - c) @ R), stats are rotation
+    invariant only through the full reconstruction, so ``xhat`` is
+    assembled in codec space (c @ R + r_hat)."""
     base = ci * CHUNK
     order, asg, _ = _assign_order(cents, centers, base)
 
@@ -200,19 +231,27 @@ def _ingest_chunk_pq(bigp, s2bigp, cents, cb, cb_sq, centers, ci):
             enc = rows - c_rows
         else:
             enc = rows
+        if rot is not None:
+            enc = jnp.dot(enc, rot,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         rs = enc.reshape(TILE, M_PQ, DSUB)
         ip = jnp.einsum("tms,mvs->tmv", rs, cb,
                         precision=jax.lax.Precision.HIGHEST)
         d2 = cb_sq[None, :, :] - 2.0 * ip                # (TILE, M, 256)
         codes = jnp.argmin(d2, axis=2)                   # (TILE, M) int32
         if RESIDUAL_PQ:
-            # Full reconstruction norms ||c + r_hat||^2: decode r_hat
-            # (16 tiny gathers) and add the centroid back — the stats
-            # form the residual serving score needs.
+            # Full reconstruction norms ||c_T + r_hat||^2 in CODEC space:
+            # decode r_hat (16 tiny gathers) and add the (rotated)
+            # centroid back — the stats form the residual serving score
+            # needs.
             rhat = jnp.concatenate(
                 [jnp.take(cb[mi], codes[:, mi], axis=0)
                  for mi in range(M_PQ)], axis=1)         # (TILE, D)
-            xhat = c_rows + rhat
+            c_codec = c_rows if rot is None else jnp.dot(
+                c_rows, rot, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            xhat = c_codec + rhat
             s2 = jnp.sum(xhat * xhat, axis=-1)           # (TILE,)
         else:
             s2 = jnp.sum(jnp.take_along_axis(
@@ -232,9 +271,20 @@ def _ingest_chunk_pq(bigp, s2bigp, cents, cb, cb_sq, centers, ci):
     return bigp, s2bigp
 
 
+@jax.jit
+def _chunk_lens_only(cents, centers, ci):
+    """Assignment-only pass for SKIP_SQ8 builds: per-list row counts of
+    one chunk (the CSR needs lengths, not codes)."""
+    _, _, lens = _assign_order(cents, centers, ci * CHUNK)
+    return lens
+
+
 def main() -> None:
     assert MINI or jax.default_backend() != "cpu", \
         "full-scale demo needs a real accelerator (12.9GB resident codes)"
+    assert SKIP_SQ8 or N_CHUNKS <= 20, \
+        "SQ8 needs N bytes of HBM — set SMQTK_IVF100M_NO_SQ8=1 above " \
+        "~20 chunks (the PQ capacity tier is the point at that scale)"
     from smqtk_indexing_tpu.ops import sq8
     from smqtk_indexing_tpu.ops.kmeans import kmeans_lloyd
     from smqtk_indexing_tpu.ops.pallas_ivf import (
@@ -251,29 +301,41 @@ def main() -> None:
     cents.block_until_ready()
     del sample
     train_s = time.perf_counter() - t0
-    emit(metric="ivf16384_100m_kmeans_train_wall",
+    emit(metric=f"ivf16384_{LBL}_kmeans_train_wall",
          value=round(train_s, 1), unit="s", train_rows=TRAIN_ROWS,
          n_lists=C_LISTS)
 
     t0 = time.perf_counter()
-    big = jnp.zeros((N_CHUNKS * TILES_PER_CHUNK, D, TILE), jnp.int8)
-    s2big = jnp.zeros((N_CHUNKS * TILES_PER_CHUNK, 1, TILE), jnp.float32)
     chunk_lens = np.zeros((N_CHUNKS, C_LISTS), np.int64)
-    for ci in range(N_CHUNKS):
-        big, s2big, lens = _ingest_chunk(big, s2big, cents, centers,
-                                         jnp.int32(ci))
-        chunk_lens[ci] = np.asarray(lens)
-    build_s = time.perf_counter() - t0
+    if SKIP_SQ8:
+        # Assignment-only build pass: the CSR needs per-(chunk, list)
+        # lengths; the PQ ingest below regenerates + encodes the rows.
+        for ci in range(N_CHUNKS):
+            chunk_lens[ci] = np.asarray(
+                _chunk_lens_only(cents, centers, jnp.int32(ci)))
+        big = s2big = None
+        emit(metric=f"ivf16384_{LBL}_assign_pass_wall",
+             value=round(time.perf_counter() - t0, 1), unit="s", rows=N)
+    else:
+        big = jnp.zeros((N_CHUNKS * TILES_PER_CHUNK, D, TILE), jnp.int8)
+        s2big = jnp.zeros((N_CHUNKS * TILES_PER_CHUNK, 1, TILE),
+                          jnp.float32)
+        for ci in range(N_CHUNKS):
+            big, s2big, lens = _ingest_chunk(big, s2big, cents, centers,
+                                             jnp.int32(ci))
+            chunk_lens[ci] = np.asarray(lens)
+        emit(metric=f"ivf16384_{LBL}_build_wall",
+             value=round(time.perf_counter() - t0, 1),
+             unit="s", rows=N,
+             hbm_gb=round((N * D + N * 4) / 2 ** 30, 2))
     assert chunk_lens.sum() == N
-    emit(metric="ivf16384_100m_build_wall", value=round(build_s, 1),
-         unit="s", rows=N,
-         hbm_gb=round((N * D + N * 4) / 2 ** 30, 2))
 
     chunk_bases = np.arange(N_CHUNKS, dtype=np.int64) * CHUNK
     v_tile, v_col, v_len, v_orig, first_virt = build_tiled_csr(
         chunk_lens, chunk_bases)
     table = build_slot_table(v_orig, C_LISTS)
-    emit(metric="ivf16384_100m_layout", value=len(v_len), unit="sublists",
+    emit(metric=f"ivf16384_{LBL}_layout", value=len(v_len),
+         unit="sublists",
          s_max=int(table.shape[1]),
          mean_sublist_rows=round(float(v_len.mean()), 1),
          max_list_rows=int(chunk_lens.sum(0).max()))
@@ -298,25 +360,29 @@ def main() -> None:
 
     # Exhaustive oracle over the SAME tiled buffer: ground truth + the
     # QPS baseline the IVF path must beat.
-    s2_rows = s2big.reshape(N)
-    valid = jnp.ones((N,), bool)
-    t0 = time.perf_counter()
-    dd_o, rr_o = sq8.sq8_topk_blocked(big, a_vec, b_vec, s2_rows, valid,
-                                      qd, k=K, interpret=INTERP)
-    truth = np.asarray(rr_o)[:, :10]
-    cold = time.perf_counter() - t0
+    truth = None
     reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    if not SKIP_SQ8:
+        s2_rows = s2big.reshape(N)
+        valid = jnp.ones((N,), bool)
+        t0 = time.perf_counter()
         dd_o, rr_o = sq8.sq8_topk_blocked(big, a_vec, b_vec, s2_rows,
                                           valid, qd, k=K,
                                           interpret=INTERP)
-    np.asarray(rr_o)
-    exh_dt = (time.perf_counter() - t0) / reps
-    exh_qps = B / exh_dt
-    emit(metric="sq8_100m_exhaustive_scan_b128", value=round(exh_qps, 1),
-         unit="queries/s", batch_ms=round(exh_dt * 1e3, 1),
-         cold_incl_compile_s=round(cold, 1))
+        truth = np.asarray(rr_o)[:, :10]
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            dd_o, rr_o = sq8.sq8_topk_blocked(big, a_vec, b_vec, s2_rows,
+                                              valid, qd, k=K,
+                                              interpret=INTERP)
+        np.asarray(rr_o)
+        exh_dt = (time.perf_counter() - t0) / reps
+        exh_qps = B / exh_dt
+        emit(metric=f"sq8_{LBL}_exhaustive_scan_b128",
+             value=round(exh_qps, 1),
+             unit="queries/s", batch_ms=round(exh_dt * 1e3, 1),
+             cold_incl_compile_s=round(cold, 1))
 
     # The exhaustive oracle cannot run B_LARGE at all (its (B, N/128)
     # segment-minima buffer alone is 3.2GB at B=1024) — serving large
@@ -327,7 +393,7 @@ def main() -> None:
     # mixture, and at B=1024/nprobe=32 the statically-unrolled batch
     # chunks' score transients exceed the ~2.5GB HBM slack beside the
     # 12.9GB corpus (measured 409MB over).
-    for nprobe in (2, 4, 8, 16):
+    for nprobe in () if SKIP_SQ8 else (2, 4, 8, 16):
         run = partial(ivf_query_dma_tiled_table, big, s2big, a_vec,
                       b_vec, cents, table_d, v_tile_d, v_col_d, v_len_d,
                       qd, k=K, nprobe_orig=nprobe, interpret=INTERP,
@@ -355,7 +421,7 @@ def main() -> None:
             dd, rr = run_l()
         np.asarray(rr)
         dt_l = (time.perf_counter() - t0) / reps
-        emit(metric=f"ivf16384_sq8_100m_nprobe{nprobe}",
+        emit(metric=f"ivf16384_sq8_{LBL}_nprobe{nprobe}",
              value=round(B / dt, 1), unit="queries/s",
              recall_at_10=round(recall, 4),
              batch_ms=round(dt * 1e3, 2),
@@ -369,14 +435,17 @@ def main() -> None:
     if not PQ_PHASE:
         return
 
-    # ---- PQ16 phase: 100M vectors in 1.6 GB -----------------------------
-    # Free the 12.9 GB SQ8 buffer first (regeneration makes the corpus
-    # free to rebuild); the CSR/table stay valid (same assignments).
+    # ---- PQ16 phase: N vectors in N*16 bytes ----------------------------
+    # Free the SQ8 buffer first when it exists (regeneration makes the
+    # corpus free to rebuild); the CSR/table stay valid (same
+    # assignments).
     from smqtk_indexing_tpu.ops.kmeans import kmeans_lloyd
     from smqtk_indexing_tpu.ops.pallas_ivf import (
         ivf_query_dma_tiled_table_pq,
     )
-    del big, s2big, s2_rows, valid, dd_o, rr_o, dd, rr
+    if not SKIP_SQ8:
+        del s2_rows, valid, dd_o, rr_o, dd, rr
+    del big, s2big
 
     t0 = time.perf_counter()
     sample = _train_sample(centers)
@@ -401,18 +470,30 @@ def main() -> None:
             return res.reshape(TRAIN_ROWS, D)
 
         sample = _residualize(sample, cents)
-    v_all = jnp.ones(TRAIN_ROWS, bool)
-    cbs = []
-    for m in range(M_PQ):
-        sub = jnp.asarray(sample[:, m * DSUB:(m + 1) * DSUB])
-        cb_m, _ = kmeans_lloyd(sub, v_all, sub[:256], n_iter=KM_ITERS)
-        cbs.append(cb_m)
-    cb = jnp.stack(cbs)                              # (M, 256, DSUB)
-    cb.block_until_ready()
-    del sample, v_all
-    emit(metric="pq16_100m_train_wall",
+    rot_d = None
+    if OPQ_ROT:
+        # Learn the rotation + codebooks together on the (residualized)
+        # host sample (ops/opq.opq_train subsamples internally); encode
+        # and serve in the rotated codec space.
+        from smqtk_indexing_tpu.ops.opq import opq_train
+        rot_np, cb_np = opq_train(np.asarray(sample), M_PQ)
+        rot_d = jnp.asarray(rot_np)
+        cb = jnp.asarray(cb_np)
+        del sample
+    else:
+        v_all = jnp.ones(TRAIN_ROWS, bool)
+        cbs = []
+        for m in range(M_PQ):
+            sub = jnp.asarray(sample[:, m * DSUB:(m + 1) * DSUB])
+            cb_m, _ = kmeans_lloyd(sub, v_all, sub[:256],
+                                   n_iter=KM_ITERS)
+            cbs.append(cb_m)
+        cb = jnp.stack(cbs)                          # (M, 256, DSUB)
+        cb.block_until_ready()
+        del sample, v_all
+    emit(metric=f"pq16_{LBL}_train_wall",
          value=round(time.perf_counter() - t0, 1), unit="s",
-         subspaces=M_PQ, dsub=DSUB, residual=RESIDUAL_PQ)
+         subspaces=M_PQ, dsub=DSUB, residual=RESIDUAL_PQ, opq=OPQ_ROT)
 
     t0 = time.perf_counter()
     cb_sq = jnp.sum(cb * cb, axis=-1)                # (M, 256)
@@ -420,18 +501,27 @@ def main() -> None:
     s2bigp = jnp.zeros((N_CHUNKS * TILES_PER_CHUNK, 1, TILE), jnp.float32)
     for ci in range(N_CHUNKS):
         bigp, s2bigp = _ingest_chunk_pq(bigp, s2bigp, cents, cb, cb_sq,
-                                        centers, jnp.int32(ci))
+                                        centers, jnp.int32(ci),
+                                        rot=rot_d)
     bigp.block_until_ready()
-    emit(metric="pq16_100m_build_wall",
+    emit(metric=f"pq16_{LBL}_build_wall",
          value=round(time.perf_counter() - t0, 1), unit="s", rows=N,
          hbm_gb=round((N * M_PQ + N * 4) / 2 ** 30, 2))
 
     # Identity dim interleave: D divides M_PQ evenly, codebooks trained
-    # on contiguous subspaces of the ORIGINAL grid. Residual mode hands
-    # the wrapper the centroid table (score-mode finalization needs no
-    # row->list map — only the per-probe -2<q,c> offsets).
-    perm = jnp.arange(D, dtype=jnp.int32)
-    res_c = cents if RESIDUAL_PQ else None
+    # on contiguous subspaces of the ORIGINAL grid — the wrapper's perm
+    # arg is arange, or the (D, D) OPQ rotation when learned (queries
+    # and probe centroids transform inside the wrapper). Residual mode
+    # hands the wrapper the CODEC-SPACE centroid table (score-mode
+    # finalization needs no row->list map — only the per-probe -2<q,c>
+    # offsets).
+    perm = rot_d if rot_d is not None else jnp.arange(D, dtype=jnp.int32)
+    if RESIDUAL_PQ:
+        res_c = cents if rot_d is None else jnp.dot(
+            cents, rot_d, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    else:
+        res_c = None
     # ADC oracle: a wide-probe scan over the SAME codes separates list-
     # coverage loss (the IVF tier's own contribution) from codec loss
     # (recall vs the float oracle, flat across nprobe when codec-bound).
@@ -454,10 +544,13 @@ def main() -> None:
             dd, rr = run()
         got = np.asarray(rr)[:, :10]
         dt = (time.perf_counter() - t0) / reps
-        # Recall vs the float-data oracle (the SQ8 exhaustive truth):
-        # includes PQ16's codec loss on this near-iid mixture — the
-        # honest capacity-tier tradeoff, not a pipeline defect.
-        recall = float(np.mean([
+        # Recall vs the float-data oracle (the SQ8 exhaustive truth —
+        # exists only when the SQ8 phase ran): includes PQ16's codec
+        # loss on this near-iid mixture — the honest capacity-tier
+        # tradeoff, not a pipeline defect. At SKIP_SQ8 scales the ADC
+        # oracle (wide-probe scan over the same codes) is the coverage
+        # check.
+        recall = None if truth is None else float(np.mean([
             len(set(g.tolist()) & set(t.tolist())) / 10.0
             for g, t in zip(got, truth)]))
         recall_adc = float(np.mean([
@@ -475,10 +568,11 @@ def main() -> None:
             dd, rr = run_l()
         np.asarray(rr)
         dt_l = (time.perf_counter() - t0) / reps
-        emit(metric=f"ivf16384_pq16_100m_nprobe{nprobe}",
+        emit(metric=f"ivf16384_pq16_{LBL}_nprobe{nprobe}",
              value=round(B / dt, 1), unit="queries/s",
-             residual=RESIDUAL_PQ,
-             recall_at_10_vs_float_oracle=round(recall, 4),
+             residual=RESIDUAL_PQ, opq=OPQ_ROT, rows=N,
+             recall_at_10_vs_float_oracle=(
+                 None if recall is None else round(recall, 4)),
              recall_at_10_vs_adc_oracle=round(recall_adc, 4),
              batch_ms=round(dt * 1e3, 2),
              qps_b1024=round(b_large / dt_l, 1),

@@ -18,8 +18,6 @@ persistence overwrites the configured index element on every mutation
 """
 from __future__ import annotations
 
-import io
-import json
 import logging
 import threading
 import warnings
@@ -41,8 +39,10 @@ from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
     NearestNeighborsIndex, NNResult,
 )
 from smqtk_indexing_tpu.ops.device import capacity_for, pad_dim, pad_rows_np
-from smqtk_indexing_tpu.ops.ivf import METRICS, ivf_query
-from smqtk_indexing_tpu.ops.pq import pq_prep_queries as _pq_prep
+from smqtk_indexing_tpu.ops.ivf import METRICS
+from smqtk_indexing_tpu.models.nn_index._ivf_matrix import (  # noqa: F401
+    _is_pq_dtype, validate_ivf_combination,
+)
 from smqtk_indexing_tpu.ops.kmeans import kmeans_assign, kmeans_lloyd
 from smqtk_indexing_tpu.utils.tracing import COUNTERS, trace_span
 
@@ -54,103 +54,6 @@ def _pow2_at_least(x: int, lo: int = 1) -> int:
     while p < x:
         p *= 2
     return p
-
-
-def _is_pq_dtype(dtype: str) -> bool:
-    import re
-    return bool(re.fullmatch(r"o?pq\d+", dtype))
-
-
-#: The supported IVF configuration matrix — the single authority for
-#: which (metric x dtype x storage x rerank x devices x residual) cells
-#: exist, enforced at construction so no constraint is discoverable only
-#: by reading kernel wrappers. Cells not rejected here are built and
-#: queried by tests/impls/nn_index/test_ivf_combinations.py.
-#:
-#: storage='rows' (float32 host mirror, exact re-rank semantics):
-#:   dtype     metric                          devices   notes
-#:   float32   euclidean/inner_product/cosine  1..N
-#:   bfloat16  euclidean/inner_product/cosine  1..N
-#:   sq8       euclidean/inner_product/cosine  1..N      row-major DMA
-#:             kernel (measured faster than tiled at <=HBM scale); TPU
-#:             routes euclidean single-device through the TILED kernel
-#:             only for rerank='score' (_tiled_rows_ok;
-#:             SMQTK_TPU_NO_ROWS_TILED opts out)
-#:   pq/opq<M> euclidean/inner_product/cosine  1..N      TPU routes
-#:             euclidean single-device through the tiled ADC kernel
-#:   pq/opq<M> +pq_residual: euclidean only, 1..N (row2list row-shards
-#:             with the codes; codec-space centroids replicate)
-#: storage='code' (int8/uint8 code host mirror — the capacity tier):
-#:   dtype     metric                          devices   notes
-#:   sq8       euclidean/inner_product/cosine  1..N      tiled DMA scan;
-#:             sharded via parallel/sharded_ivf_code.py. inner_product
-#:             zeroes the row stats (the kernel score becomes exactly
-#:             -<q, x_hat - b>); cosine encodes L2-NORMALIZED rows and
-#:             normalizes queries (euclidean pipeline == cosine ranking
-#:             on the unit sphere)
-#:   pq/opq<M> euclidean/inner_product/cosine  1..N      in-kernel ADC
-#:             one-hot MXU dot (the LUT is a pure IP either way)
-#:   pq/opq<M> +pq_residual: euclidean OR cosine, 1..N (row2list
-#:             row-shards with the tiles; res-centroids replicate).
-#:             Cosine residual = the euclidean residual pipeline over
-#:             the unit-sphere codes (rows normalized at encode,
-#:             queries at serve) — rows-tier residual stays euclidean
-#:             (its codes carry raw rows)
-#: rerank: 'exact' everywhere; 'score' changes behavior only on the
-#:   tiled serving paths (code tier always; rows-sq8/pq when routed) —
-#:   on every other path distances are already exact, so 'score' is a
-#:   no-op there by construction, never an error.
-def validate_ivf_combination(metric: str, dtype: str, storage: str,
-                             rerank: str, n_devices, pq_residual: bool
-                             ) -> None:
-    """Reject unsupported IVF configuration cells with an explanation.
-
-    Raises ValueError on: unknown metric/dtype/storage/rerank values;
-    storage='code' with a float dtype or a metric outside
-    euclidean/inner_product/cosine; pq_residual with a non-PQ dtype or
-    non-euclidean metric.
-    """
-    if metric not in METRICS:
-        raise ValueError(
-            f"metric must be one of {METRICS}, got {metric!r}")
-    if dtype not in ("float32", "bfloat16", "sq8") \
-            and not _is_pq_dtype(dtype):
-        raise ValueError(
-            "dtype must be 'float32' | 'bfloat16' | 'sq8' | 'pq<M>' "
-            f"| 'opq<M>', got {dtype!r}")
-    if storage not in ("rows", "code"):
-        raise ValueError(
-            f"storage must be 'rows' | 'code', got {storage!r}")
-    if rerank not in ("exact", "score"):
-        raise ValueError(
-            f"rerank must be 'exact' | 'score', got {rerank!r}")
-    if pq_residual:
-        if not _is_pq_dtype(dtype):
-            raise ValueError(
-                "pq_residual requires a PQ dtype ('pq<M>'/'opq<M>'), "
-                f"got {dtype!r}")
-        if metric == "cosine":
-            if storage != "code":
-                raise ValueError(
-                    "pq_residual with metric='cosine' requires "
-                    "storage='code' (the code tier's codes carry "
-                    "L2-NORMALIZED rows, so the L2 residual pipeline is "
-                    "cosine ranking on the unit sphere; the rows tier's "
-                    "codes carry raw rows)")
-        elif metric != "euclidean":
-            raise ValueError(
-                "pq_residual serves euclidean (any storage) or cosine "
-                "(storage='code'); inner_product has no L2 probe-score "
-                "decomposition for the per-probe -2<q,c> term")
-    if storage == "code":
-        if dtype != "sq8" and not _is_pq_dtype(dtype):
-            raise ValueError(
-                "storage='code' (code-resident capacity tier) requires "
-                f"dtype='sq8', 'pq<M>' or 'opq<M>', got {dtype!r}")
-        if metric not in ("euclidean", "inner_product", "cosine"):
-            raise ValueError(
-                "storage='code' serves euclidean, inner_product or "
-                f"cosine (no matmul surrogate exists for {metric!r})")
 
 
 class IvfNearestNeighborsIndex (NearestNeighborsIndex):
@@ -606,44 +509,9 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             valid = valid[order]
 
         if self.storage == "code":
-            if self._pq_m(self.dtype) is not None:
-                if mat.dtype != np.uint8:
-                    from smqtk_indexing_tpu.ops.pq import (
-                        pq_encode_np, pq_train,
-                    )
-                    m, _, _ = self._pq_grid()
-                    # Cosine: the codes ARE the persisted representation,
-                    # so they must carry the unit-sphere rows (the tiled
-                    # euclidean scan is then cosine ranking exactly).
-                    rows_c = self._pq_prep_rows(
-                        self._prep_for_metric(mat), rotate=False)
-                    if self.pq_residual:
-                        rows_c = rows_c \
-                            - self._pq_cents_codec(None)[assigns]
-                    if self._code_cb is None:
-                        live = rows_c[valid] if not valid.all() else rows_c
-                        if self._pq_rotate(self.dtype):
-                            from smqtk_indexing_tpu.ops.opq import (
-                                opq_train,
-                            )
-                            self._code_rot, self._code_cb = \
-                                opq_train(live, m)
-                        else:
-                            self._code_cb = pq_train(live, m)
-                    if self._code_rot is not None:
-                        rows_c = rows_c @ self._code_rot
-                    mat = pq_encode_np(rows_c, self._code_cb)
-            elif mat.dtype != np.int8:
-                from smqtk_indexing_tpu.ops.sq8 import (
-                    sq8_encode_np, sq8_train,
-                )
-                mat = self._prep_for_metric(
-                    np.asarray(mat, np.float32))     # cosine: unit rows
-                if self._code_a is None:
-                    live = mat[valid] if not valid.all() else mat
-                    self._code_a, self._code_b = sq8_train(live)
-                mat = sq8_encode_np(mat, self._code_a, self._code_b)
-            self._host = np.ascontiguousarray(mat)
+            from smqtk_indexing_tpu.models.nn_index import _ivf_code
+            self._host = np.ascontiguousarray(
+                _ivf_code.encode_rows(self, mat, assigns, valid))
         else:
             self._host = np.ascontiguousarray(mat, dtype=np.float32)
         self._valid_host = valid
@@ -662,432 +530,25 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
                       pq_codes: Optional[np.ndarray] = None,
                       pq_cb: Optional[np.ndarray] = None,
                       pq_rot: Optional[np.ndarray] = None) -> None:
-        """Tiled-transposed device build: the single-copy layout (rows
-        tile-major, dims contiguous — the DMA kernels' form,
-        ops/pallas_ivf.TILE_ROWS) + per-row surrogate stats (+inf on dead
-        rows so removed entries can never win a scan), sublist CSR and the
-        original->sublist slot table for table-form probe selection.
-
-        Two callers: the 'code' tier (host mirror IS the codes; codec in
-        ``_code_a``/``_code_b``/``_code_cb``) and the rows-sq8/pq TPU
-        routing (``sq8_codes``/``sq8_ab`` or ``pq_codes``/``pq_cb`` carry
-        an encode-on-upload view of the float32 host mirror — the codec
-        retrains per layout, matching the row-major compressed paths'
-        semantics, and is never persisted)."""
-        from smqtk_indexing_tpu.ops.pallas_ivf import (
-            TILE_ROWS, build_slot_table, build_tiled_csr,
-        )
-        # Symmetric to _upload's stale-tiled clearing: a tiled rebuild
-        # must not leave row-major device state behind.
-        self._dev = self._dev_sq = self._dev_norm = None
-        self._dev_valid = self._dev_offsets = self._dev_lens = None
-        self._dev_first_virt = None
-        n = self._host.shape[0]
-        dim = self._dim
-        d_pad = self._centroids_np.shape[1]
-        n_tiles = max(1, -(-n // TILE_ROWS))
-        # Mesh sharding splits the TILE axis: round the tile count up to
-        # the device count so every shard owns whole tiles (a lane-dim
-        # DMA cannot cross tiles); surplus rows are dead-poisoned below.
-        mesh = self._make_mesh()
-        if mesh is not None:
-            s_dev = mesh.devices.size
-            n_tiles = -(-n_tiles // s_dev) * s_dev
-        n_pad = n_tiles * TILE_ROWS
-        # Dead rows (and alignment padding) poison their surrogate: the
-        # kernels score s2 - 2<lut/t, codes>, so +inf rows can never be
-        # selected — no separate liveness gather exists on this path.
-        dead = np.ones(n_pad, dtype=bool)
-        dead[:n] = ~self._valid_host
-        if self._pq_m(self.dtype) is not None:
-            m, _, perm = self._pq_grid()
-            cb = pq_cb if pq_cb is not None else self._code_cb
-            rot = pq_rot if pq_rot is not None else self._code_rot
-            codes = np.zeros((n_pad, m), dtype=np.uint8)
-            codes[:n] = pq_codes if pq_codes is not None else self._host
-            cb_sq = (cb.astype(np.float64) ** 2).sum(-1)
-            s2 = np.zeros(n_pad, dtype=np.float64)
-            for mi in range(m):
-                s2 += cb_sq[mi][codes[:, mi]]
-            if self.pq_residual:
-                # Residual codec: stats are the FULL reconstruction
-                # norms ||c_T + r_hat||^2 = ||r_hat||^2 + 2<c_T, r_hat>
-                # + ||c_T||^2; <c_T, r_hat> decomposes per subspace into
-                # a (C, M, 256) centroid-codeword table (subspaces
-                # partition the dims).
-                cents_c = self._pq_cents_codec(rot)
-                cc64 = cents_c.astype(np.float64)
-                ipc = np.einsum(
-                    "lms,mvs->lmv",
-                    cc64.reshape(cc64.shape[0], m, -1),
-                    cb.astype(np.float64))
-                asg_pad = np.zeros(n_pad, dtype=np.int32)
-                asg_pad[:n] = self._assign_host
-                s2 += (cc64 ** 2).sum(-1)[asg_pad]
-                for mi in range(m):
-                    s2 += 2.0 * ipc[asg_pad, mi, codes[:, mi]]
-                self._cents_codec_dev = jnp.asarray(
-                    cents_c.astype(np.float32))
-                self._row2list_dev = jnp.asarray(asg_pad)
-            s2 = s2.astype(np.float32)
-            if self.metric == "inner_product":
-                # IP kernel form: score = -2<q, x_hat> needs NO row
-                # stats — zero them (the +inf dead poison below stays).
-                s2[:] = 0.0
-            s2[dead] = np.inf
-            # uint8 codes bit-reinterpreted to int8 (Mosaic's proven
-            # int8 DMA path; the kernel masks back with & 0xFF).
-            tiles = codes.view(np.int8).reshape(n_tiles, TILE_ROWS, m) \
-                .transpose(0, 2, 1)
-            self._cb_dev = jnp.asarray(cb.astype(np.float32))
-            if rot is not None:
-                # OPQ: the kernel wrapper's query transform generalizes
-                # from a 1-D perm (gather) to a 2-D orthogonal matrix
-                # (matmul); fold perm + rotation into one.
-                from smqtk_indexing_tpu.ops.opq import compose_transform
-                self._perm_dev = jnp.asarray(compose_transform(perm, rot))
-            else:
-                self._perm_dev = jnp.asarray(perm)
-        else:
-            code_a, code_b = sq8_ab if sq8_ab is not None \
-                else (self._code_a, self._code_b)
-            codes = np.zeros((n_pad, d_pad), dtype=np.int8)
-            codes[:n, :dim] = sq8_codes if sq8_codes is not None \
-                else self._host
-            # Padding dims: epsilon scale / zero offset (zero codes and
-            # query dims contribute nothing to any score term — ops/sq8).
-            a_p = np.full(d_pad, 1e-12, dtype=np.float32)
-            b_p = np.zeros(d_pad, dtype=np.float32)
-            a_p[:dim] = code_a
-            b_p[:dim] = code_b
-            # Chunked stats + tile build: never materialize a float32
-            # view of the whole code mirror (that is 8x the code bytes —
-            # ~100GB of temporaries at the 100M 'code' tier, defeating
-            # the tier's memory contract). ~1M rows per chunk.
-            s2 = np.empty(n_pad, dtype=np.float32)
-            tiles = np.empty((n_tiles, d_pad, TILE_ROWS), dtype=np.int8)
-            t_chunk = max(1, (1 << 20) // TILE_ROWS)
-            for t0 in range(0, n_tiles, t_chunk):
-                t1 = min(t0 + t_chunk, n_tiles)
-                r0, r1 = t0 * TILE_ROWS, t1 * TILE_ROWS
-                if self.metric == "inner_product":
-                    # IP kernel form scores -<q, x_hat - b> directly —
-                    # zero stats, +inf dead poison below.
-                    s2[r0:r1] = 0.0
-                else:
-                    u = codes[r0:r1].astype(np.float32)
-                    u *= a_p
-                    s2[r0:r1] = np.einsum("nd,nd->n", u, u)
-                tiles[t0:t1] = codes[r0:r1] \
-                    .reshape(t1 - t0, TILE_ROWS, d_pad).transpose(0, 2, 1)
-            s2[dead] = np.inf
-            self._sq8_a = jnp.asarray(a_p)
-            self._sq8_b = jnp.asarray(b_p)
-        c_count = self._centroids_np.shape[0]
-        lens = np.bincount(self._assign_host,
-                           minlength=c_count).astype(np.int64)
-        if mesh is not None:
-            # Sharded capacity tier: per-shard clipped CSR/slot tables
-            # (lists cut at shard boundaries are probed by both owners —
-            # the shard union scans exactly the global candidate set),
-            # codes/stats sharded on the tile axis, centroids replicated.
-            from smqtk_indexing_tpu.parallel.mesh import (
-                replicate, shard_rows,
-            )
-            from smqtk_indexing_tpu.parallel.sharded_ivf_code import (
-                shard_tiled_layout,
-            )
-            vt, vc, vl, st = shard_tiled_layout(
-                lens, n_pad, mesh.devices.size, c_count)
-            self._dev3 = shard_rows(
-                mesh, jnp.asarray(np.ascontiguousarray(tiles)))
-            self._s2t = shard_rows(
-                mesh, jnp.asarray(
-                    s2.reshape(n_tiles, 1, TILE_ROWS)))
-            self._v_tile = shard_rows(mesh, jnp.asarray(vt))
-            self._v_col = shard_rows(mesh, jnp.asarray(vc))
-            self._v_len = shard_rows(mesh, jnp.asarray(vl))
-            self._slot_table = shard_rows(mesh, jnp.asarray(st))
-            if self._row2list_dev is not None:
-                # Residual PQ: the row -> original-list map is
-                # row-aligned with the tiles — shard it the same way.
-                self._row2list_dev = shard_rows(mesh, self._row2list_dev)
-            # Codec arrays are per-query shard_map operands: replicate
-            # them ONCE here so the query path's replicate() calls are
-            # no-ops (device_put to an equal sharding), not a fresh
-            # cross-mesh transfer per batch (res_cents alone is ~8MB at
-            # 16K lists x 128 dims).
-            if self._pq_m(self.dtype) is not None:
-                self._cb_dev = replicate(mesh, self._cb_dev)
-                self._perm_dev = replicate(mesh, self._perm_dev)
-                if self._cents_codec_dev is not None:
-                    self._cents_codec_dev = replicate(
-                        mesh, self._cents_codec_dev)
-            else:
-                self._sq8_a = replicate(mesh, self._sq8_a)
-                self._sq8_b = replicate(mesh, self._sq8_b)
-            self._dev_centroids = replicate(
-                mesh, jnp.asarray(self._centroids_np.astype(np.float32)))
-            self._capacity = n_pad
-            self._n_virtual = int((vl > 0).sum())
-            self._mesh = mesh
-            return
-        self._dev3 = jnp.asarray(np.ascontiguousarray(tiles))
-        self._s2t = jnp.asarray(s2.reshape(n_tiles, 1, TILE_ROWS))
-        v_tile, v_col, v_len, v_orig, _ = build_tiled_csr(
-            lens[None, :], np.zeros(1, dtype=np.int64))
-        table = build_slot_table(v_orig, c_count)
-        self._v_tile = jnp.asarray(v_tile)
-        self._v_col = jnp.asarray(v_col)
-        self._v_len = jnp.asarray(v_len)
-        self._slot_table = jnp.asarray(table)
-        self._dev_centroids = jnp.asarray(
-            self._centroids_np.astype(np.float32))
-        self._capacity = n_pad
-        self._n_virtual = len(v_len)
-        self._mesh = None
-
+        """Tiled-transposed (capacity-tier) device build (engine:
+        models/nn_index/_ivf_code.upload_tiled). Two callers: the 'code'
+        tier (host mirror IS the codes) and the rows-sq8/pq TPU routing
+        (encode-on-upload views of the float32 mirror)."""
+        from smqtk_indexing_tpu.models.nn_index import _ivf_code
+        _ivf_code.upload_tiled(self, sq8_codes=sq8_codes, sq8_ab=sq8_ab,
+                               pq_codes=pq_codes, pq_cb=pq_cb,
+                               pq_rot=pq_rot)
     def _upload(self) -> None:
-        if self._tiled_rows_ok():
-            # rows-sq8/pq on a single chip: encode a per-layout codec
-            # view of the float32 mirror into the tiled-transposed layout
-            # and serve the capacity tier's DMA kernels (exact re-rank by
-            # default; the mirror itself stays float32).
-            if self._pq_m(self.dtype) is not None:
-                from smqtk_indexing_tpu.ops.pq import (
-                    pq_encode_np, pq_train,
-                )
-                m = self._pq_m(self.dtype)
-                rows_c = self._pq_prep_rows(self._host, rotate=False)
-                if self.pq_residual:
-                    # Residual codec: quantize x - centroid(list); the
-                    # OPQ rotation (if any) trains on the residuals.
-                    rows_c = rows_c - self._pq_cents_codec(None)[
-                        self._assign_host]
-                live = rows_c[self._valid_host] \
-                    if not self._valid_host.all() else rows_c
-                if self._pq_rotate(self.dtype):
-                    from smqtk_indexing_tpu.ops.opq import opq_train
-                    rot, cb = opq_train(live, m)
-                    rows_c = rows_c @ rot
-                else:
-                    rot, cb = None, pq_train(live, m)
-                self._upload_tiled(pq_codes=pq_encode_np(rows_c, cb),
-                                   pq_cb=cb, pq_rot=rot)
-            else:
-                from smqtk_indexing_tpu.ops.sq8 import (
-                    sq8_encode_np, sq8_train,
-                )
-                live = self._host[self._valid_host] \
-                    if not self._valid_host.all() else self._host
-                a, b = sq8_train(live)
-                self._upload_tiled(
-                    sq8_codes=sq8_encode_np(self._host, a, b),
-                    sq8_ab=(a, b))
-            return
-        # A re-layout may cross a routing-flag flip: the query path
-        # prefers tiled state when present, so stale tiled arrays from a
-        # previously-routed upload must not survive a row-major rebuild.
-        self._dev3 = self._s2t = None
-        self._v_tile = self._v_col = self._v_len = None
-        self._slot_table = None
-        n = self._host.shape[0]
-        self._capacity = capacity_for(n)
-        d_pad = self._centroids_np.shape[1]
-        valid = np.zeros(self._capacity, dtype=bool)
-        valid[:n] = self._valid_host
-        if self.dtype == "sq8":
-            # int8 code storage (the reference's 'IVFn,SQ8' codec axis,
-            # faiss.py:190): scoring stats come from the DEQUANTIZED rows
-            # so surrogate + exact re-rank agree (ops/sq8.py).
-            from smqtk_indexing_tpu.ops import sq8 as sq8_ops
-            (self._sq8_a, self._sq8_b, self._dev, _, nrm) = \
-                sq8_ops.sq8_build_store(self._host, self._valid_host,
-                                        self._capacity, d_pad, self._dim)
-            # ||x_hat||^2 = s2 + 2<a*u, b> + ||b||^2 == nrm^2; use the
-            # dequantized stats directly.
-            self._dev_sq = nrm * nrm
-            self._dev_norm = nrm
-            self._dev_valid = jnp.asarray(valid)
-        elif self._pq_m(self.dtype) is not None:
-            # PQ codes in list-sorted order (the 'IVFn,PQm' factory
-            # configuration) — shared codec build (ops/pq.pq_build_store:
-            # dim interleave, train-per-build, exact recon-norm stats).
-            from smqtk_indexing_tpu.ops import pq as pq_ops
-            if self.pq_residual:
-                (self._pq_perm, self._pq_rot, _, self._pq_cb_dev,
-                 self._dev, s2, cents_c, self._row2list_dev) = \
-                    pq_ops.pq_residual_build_store(
-                        self._host, self._valid_host, self._capacity,
-                        d_pad, self._pq_m(self.dtype),
-                        self._centroids_np, self._assign_host,
-                        rotate=self._pq_rotate(self.dtype))
-                self._cents_codec_dev = jnp.asarray(
-                    cents_c.astype(np.float32))
-            else:
-                (self._pq_perm, self._pq_rot, _, self._pq_cb_dev,
-                 self._dev, s2) = pq_ops.pq_build_store(
-                    self._host, self._valid_host, self._capacity, d_pad,
-                    self._pq_m(self.dtype),
-                    rotate=self._pq_rotate(self.dtype))
-            # Padding rows decode to some centroid, but list windows
-            # never cover them; keep their stats harmless anyway.
-            self._dev_sq = jnp.where(jnp.asarray(valid), s2, 0.0)
-            self._dev_norm = jnp.sqrt(jnp.maximum(self._dev_sq, 0.0))
-            self._dev_valid = jnp.asarray(valid)
-        else:
-            dev_dtype = jnp.bfloat16 if self.dtype == "bfloat16" \
-                else jnp.float32
-            # Host matrix is raw vectors; device matrix matches the metric
-            # space used for exact scoring (raw for all metrics — cosine
-            # normalizes in the kernel via db_norm).
-            padded = pad_rows_np(self._host, self._capacity, d_pad)
-            sq = np.zeros(self._capacity, dtype=np.float32)
-            sq[:n] = np.einsum("ij,ij->i", self._host, self._host)
-            self._dev = jnp.asarray(padded, dtype=dev_dtype)
-            self._dev_sq = jnp.asarray(sq)
-            self._dev_norm = jnp.sqrt(self._dev_sq)
-            self._dev_valid = jnp.asarray(valid)
-        c_count = self._centroids_np.shape[0]
-        lens = np.bincount(self._assign_host,
-                           minlength=c_count).astype(np.int32)
-        offsets = np.zeros(c_count, dtype=np.int32)
-        offsets[1:] = np.cumsum(lens)[:-1]
-        # Balance the inverted lists: the query kernel pads every probe to
-        # the LONGEST list, so one skewed mega-list multiplies the whole
-        # gather. Lists longer than ~2x the mean split into contiguous
-        # virtual sublists sharing (duplicating) their centroid — duplicate
-        # centroid scores tie, so the probe selection naturally spends
-        # adjacent nprobe slots covering a big list (standard IVF bucket
-        # balancing; nprobe counts sublists).
-        from smqtk_indexing_tpu.ops.pallas_ivf import L_MAX as _DMA_L
-        # Cap also at the DMA kernel's fixed block length (minus sublane
-        # alignment slack) so balanced layouts always qualify for it.
-        cap = min(max(int(np.ceil(2.0 * max(n, 1) / c_count)), 32),
-                  _DMA_L - 32)
-        v_off, v_len, v_orig = [], [], []
-        for li in range(c_count):
-            length = int(lens[li])
-            start = int(offsets[li])
-            if length == 0:
-                v_off.append(start)
-                v_len.append(0)
-                v_orig.append(li)
-                continue
-            for lo in range(0, length, cap):
-                v_off.append(start + lo)
-                v_len.append(min(cap, length - lo))
-                v_orig.append(li)
-        v_off = np.asarray(v_off, dtype=np.int32)
-        v_len = np.asarray(v_len, dtype=np.int32)
-        v_orig = np.asarray(v_orig, dtype=np.int32)
-        self._n_virtual = len(v_off)
-        # One representative virtual slot per original list (v_orig is
-        # ascending by construction) — drives the FAISS-faithful
-        # original-list probe eligibility (ops/ivf.probe_eligibility).
-        first_virt = np.searchsorted(v_orig,
-                                     np.arange(c_count)).astype(np.int32)
-        self._dev_first_virt = jnp.asarray(first_virt)
-        # Worst-case sublists of a single original list: the query-side
-        # nprobe translation scales by this so probing n original lists
-        # always has enough virtual slots regardless of how finely the
-        # balancer split them.
-        self._max_split = int(np.bincount(v_orig).max())
-        self._l_max_raw = max(int(v_len.max()), 1)
-        self._l_max = _pow2_at_least(self._l_max_raw)
-        # Centroids stay float even over int8 code storage.
-        cent_dtype = jnp.bfloat16 if self.dtype == "bfloat16" \
-            else jnp.float32
-        self._dev_centroids = jnp.asarray(self._centroids_np[v_orig],
-                                          dtype=cent_dtype)
-        if self._pq_m(self.dtype) is not None:
-            # PQ queries arrive dim-interleaved (and OPQ-rotated) on the
-            # codec grid; probe selection needs centroids in the same
-            # space (rankings are orthogonal-transform invariant).
-            self._dev_centroids_pq = jnp.asarray(
-                _pq_prep(self._centroids_np[v_orig].astype(np.float32),
-                         self._pq_perm, self._pq_rot))
-        offsets, lens = v_off, v_len
-        self._dev_offsets = jnp.asarray(offsets)
-        self._dev_lens = jnp.asarray(lens)
-        self._mesh = self._make_mesh()
-        if self._mesh is not None:
-            from smqtk_indexing_tpu.parallel.mesh import (
-                replicate, shard_rows,
-            )
-            from smqtk_indexing_tpu.parallel.sharded_ivf import shard_csr
-            n_shards = self._mesh.devices.size
-            loc_off, loc_len = shard_csr(offsets, lens, self._capacity,
-                                         n_shards)
-            self._dev = shard_rows(self._mesh, self._dev)
-            self._dev_sq = shard_rows(self._mesh, self._dev_sq)
-            self._dev_norm = shard_rows(self._mesh, self._dev_norm)
-            self._dev_valid = shard_rows(self._mesh, self._dev_valid)
-            self._dev_centroids = replicate(self._mesh,
-                                            self._dev_centroids)
-            self._dev_offsets = shard_rows(self._mesh,
-                                           jnp.asarray(loc_off))
-            self._dev_lens = shard_rows(self._mesh, jnp.asarray(loc_len))
-            self._dev_first_virt = replicate(self._mesh,
-                                             self._dev_first_virt)
-            if self._pq_m(self.dtype) is not None:
-                self._pq_cb_dev = replicate(self._mesh, self._pq_cb_dev)
-                self._dev_centroids_pq = replicate(
-                    self._mesh, self._dev_centroids_pq)
-                if self.pq_residual:
-                    # Residual PQ: the row -> original-list map shards
-                    # with the codes; codec-space centroids replicate
-                    # (the per-probe -2<q,c> offset derives from each
-                    # shard's own probe-selection matmul).
-                    self._row2list_dev = shard_rows(
-                        self._mesh, self._row2list_dev)
-                    self._cents_codec_dev = replicate(
-                        self._mesh, self._cents_codec_dev)
-
-    # ------------------------------------------------------------------
-    # persistence
-    # ------------------------------------------------------------------
+        """Rows-tier device build (engine:
+        models/nn_index/_ivf_rows.upload_rows) — may ROUTE compressed
+        configurations through the tiled engine (_tiled_rows_ok)."""
+        from smqtk_indexing_tpu.models.nn_index import _ivf_rows
+        _ivf_rows.upload_rows(self)
     def _save_index(self) -> None:
-        if self.index_element is None:
-            return
-        if self.index_element.is_read_only():
-            raise ReadOnlyError(
-                f"Index element {self.index_element} is read-only.")
-        header = json.dumps({"metric": self.metric,
-                             "storage": self.storage,
-                             "dim": self._dim,
-                             "pq_residual": self.pq_residual}).encode()
-        bio = io.BytesIO()
-        if self._host is None:
-            np.savez(bio, empty=np.array(True))
-        else:
-            keep = np.flatnonzero(self._valid_host)
-            extra = {}
-            if self._code_a is not None:
-                # 'code' tier: the payload is the int8 codes + the codec
-                # that decodes them — float originals are never persisted
-                # (rebuild-from-codes; FAISS serializes SQ codes the same
-                # way, faiss.py:368-386).
-                extra = {"code_a": self._code_a, "code_b": self._code_b}
-            elif self._code_cb is not None:
-                # PQ 'code' tier: uint8 codes + codebooks (the dim
-                # interleave is deterministic from the padded dim —
-                # _pq_grid — so only the codebooks persist) + the OPQ
-                # rotation when the codec is rotated.
-                extra = {"code_cb": self._code_cb}
-                if self._code_rot is not None:
-                    extra["code_rot"] = self._code_rot
-            np.savez(bio,
-                     matrix=self._host[keep],
-                     uids=np.array([self._row2uid[i] for i in keep],
-                                   dtype=object),
-                     centroids=self._centroids_np,
-                     assigns=self._assign_host[keep],
-                     **extra)
-        body = bio.getvalue()
-        self.index_element.set_bytes(
-            len(header).to_bytes(8, "big") + header + body)
-
+        """Persist the payload into the configured index element
+        (engine: models/nn_index/_ivf_persist.save_index)."""
+        from smqtk_indexing_tpu.models.nn_index import _ivf_persist
+        _ivf_persist.save_index(self)
     def _dim_from_descriptor_set(self):
         """True (unpadded) vector width from any stored descriptor, or
         None when the set is empty — legacy-payload dim recovery."""
@@ -1098,111 +559,10 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
         return None
 
     def _load_index(self) -> None:
-        if self.index_element is None or self.index_element.is_empty():
-            return
-        payload = self.index_element.get_bytes()
-        hlen = int.from_bytes(payload[:8], "big")
-        header = json.loads(payload[8:8 + hlen].decode())
-        if header.get("metric") != self.metric:
-            LOG.warning(
-                "Loaded IVF index was built with metric %r; instance is "
-                "configured with %r — centroids/layout may not suit the "
-                "configured metric.", header.get("metric"), self.metric)
-        with np.load(io.BytesIO(payload[8 + hlen:]),
-                     allow_pickle=True) as z:
-            if "empty" in z:
-                return
-            mat = z["matrix"]
-            uids = list(z["uids"])
-            self._centroids_np = z["centroids"]
-            assigns = z["assigns"].astype(np.int32)
-            code_a = z["code_a"] if "code_a" in z else None
-            code_b = z["code_b"] if "code_b" in z else None
-            code_cb = z["code_cb"] if "code_cb" in z else None
-            code_rot = z["code_rot"] if "code_rot" in z else None
-        if mat.dtype == np.uint8 and code_cb is not None:
-            # PQ-code payload: the row width is the subquantizer count,
-            # not the descriptor dim — recover dim from the header. The
-            # centroid width is LANE-PADDED and must not be trusted as a
-            # fallback (queries at the true width would then be rejected
-            # by the dim check); for dim-less legacy payloads recover the
-            # true width from a stored descriptor instead, else refuse.
-            if "dim" in header:
-                self._dim = int(header["dim"])
-            else:
-                self._dim = self._dim_from_descriptor_set()
-                if self._dim is None:
-                    raise ValueError(
-                        "PQ-code index payload lacks a 'dim' header and "
-                        "the descriptor set is empty — the true vector "
-                        "width cannot be recovered (the centroid width "
-                        "is lane-padded). Re-save the index with a "
-                        "current build to add the header.")
-        else:
-            self._dim = int(mat.shape[1])
-        if mat.dtype == np.int8 and code_a is not None:
-            if self.storage == "code" \
-                    and self._pq_m(self.dtype) is None:
-                # Codes + codec restore directly (no float originals ever
-                # existed on disk — the capacity contract).
-                self._code_a, self._code_b = code_a, code_b
-            else:
-                # Payload written by a 'code' instance, loaded by a
-                # 'rows' (or differently-coded) one: decode to float
-                # (lossy only by the SQ8 step the codes already carry).
-                mat = mat.astype(np.float32) * code_a[None, :] \
-                    + code_b[None, :]
-        elif mat.dtype == np.uint8 and code_cb is not None:
-            if self.storage == "code" \
-                    and self._pq_m(self.dtype) is not None:
-                # The serialized index defines the codec (FAISS read
-                # semantics): adopt the payload's codebooks (+ rotation
-                # + residual flag — decoding with the wrong frame would
-                # silently corrupt every distance).
-                self._code_cb = np.asarray(code_cb, np.float32)
-                if code_rot is not None:
-                    self._code_rot = np.asarray(code_rot, np.float32)
-                # Default FALSE for legacy payloads (saved before the
-                # flag existed, i.e. raw codes): falling back to the
-                # instance flag would serve raw codes as residuals.
-                self.pq_residual = bool(header.get("pq_residual", False))
-            else:
-                from smqtk_indexing_tpu.ops.device import pad_rows_np
-                from smqtk_indexing_tpu.ops.pq import pq_decode_np
-                x_c = pq_decode_np(mat, np.asarray(code_cb, np.float32))
-                if code_rot is not None:
-                    # Reconstructions live in the rotated codec space;
-                    # rotate back before un-interleaving.
-                    x_c = x_c @ np.asarray(code_rot, np.float32).T
-                d_codec = x_c.shape[1]
-                m_pay = code_cb.shape[0]
-                perm = np.argsort(np.arange(d_codec) % m_pay,
-                                  kind="stable")
-                if header.get("pq_residual"):
-                    # Residual payload: codes carried x_T - c_T[list];
-                    # add the (perm-space) centroid back.
-                    x_c = x_c + pad_rows_np(
-                        self._centroids_np.astype(np.float32),
-                        self._centroids_np.shape[0], d_codec
-                    )[:, perm][assigns]
-                mat = np.ascontiguousarray(
-                    x_c[:, np.argsort(perm)][:, :self._dim])
-        self._layout(mat, uids, assigns)
-        if self.descriptor_set.count() != self._n_live:
-            LOG.warning(
-                "Descriptor set size (%d) disagrees with loaded index size "
-                "(%d); repopulating from index payload.",
-                self.descriptor_set.count(), self._n_live)
-            from smqtk_indexing_tpu.data.descriptor import (
-                DescriptorMemoryElement,
-            )
-            self.descriptor_set.clear()
-            self.descriptor_set.add_many_descriptors(
-                DescriptorMemoryElement(self._row2uid[i],
-                                        self._row_vector(i))
-                for i in np.flatnonzero(self._valid_host))
-        self._sync_kvs()
-
+        """Load + relayout the persisted payload (engine:
+        models/nn_index/_ivf_persist.load_index)."""
+        from smqtk_indexing_tpu.models.nn_index import _ivf_persist
+        _ivf_persist.load_index(self)
     def _row_vector(self, i: int) -> np.ndarray:
         """Float view of host row ``i`` (decodes the code mirror on the
         'code' tier — the only float these rows have; originals are not
@@ -1431,154 +791,15 @@ class IvfNearestNeighborsIndex (NearestNeighborsIndex):
             # No removed rows -> the kernels skip the per-row liveness
             # gather (large and scattered at high probe budgets).
             has_dead = not bool(self._valid_host.all())
-            if self._dev3 is not None and self._mesh is not None:
-                # Sharded capacity tier: per-shard tiled DMA scan over
-                # the clipped CSR views + hierarchical k-merge
-                # (parallel/sharded_ivf_code.py).
-                import jax
-                from smqtk_indexing_tpu.parallel.mesh import replicate
-                from smqtk_indexing_tpu.parallel.sharded_ivf_code import (
-                    sharded_ivf_query_tiled, sharded_ivf_query_tiled_pq,
-                )
-                nprobe_o = min(self.nprobe, self._centroids_np.shape[0])
-                rr = "score" if self.rerank == "score" else "gather"
-                # Interpret must follow the MESH's platform, not the
-                # default backend: on a single-chip TPU session make_mesh
-                # falls back to the virtual CPU host platform, where the
-                # Mosaic kernels can only run interpreted.
-                interp = next(
-                    iter(self._mesh.devices.flat)).platform != "tpu"
-                qd = replicate(self._mesh, jnp.asarray(q_p))
-                if self._pq_m(self.dtype) is not None:
-                    rc = None if self._cents_codec_dev is None else \
-                        replicate(self._mesh, self._cents_codec_dev)
-                    dists, rows = sharded_ivf_query_tiled_pq(
-                        self._mesh, self._dev3, self._s2t,
-                        replicate(self._mesh, self._cb_dev),
-                        replicate(self._mesh, self._perm_dev),
-                        self._dev_centroids, self._slot_table,
-                        self._v_tile, self._v_col, self._v_len, qd,
-                        k=k_dev, nprobe_orig=nprobe_o,
-                        interpret=interp, rerank=rr,
-                        res_cents=rc, row2list=self._row2list_dev,
-                        metric=self.metric)
-                else:
-                    dists, rows = sharded_ivf_query_tiled(
-                        self._mesh, self._dev3, self._s2t,
-                        replicate(self._mesh, self._sq8_a),
-                        replicate(self._mesh, self._sq8_b),
-                        self._dev_centroids, self._slot_table,
-                        self._v_tile, self._v_col, self._v_len, qd,
-                        k=k_dev, nprobe_orig=nprobe_o,
-                        interpret=interp, rerank=rr,
-                        metric=self.metric)
-            elif self._dev3 is not None:
-                # Tiled-transposed DMA list-scan with original-centroid
-                # table probe selection (the 100M demo's serving path,
-                # behind the public model API) — the 'code' capacity tier
-                # always, and rows-sq8 when routed (_tiled_rows_ok). Dead
-                # rows are +inf-poisoned in _s2t, so no liveness gather.
-                import jax
-                from smqtk_indexing_tpu.ops.pallas_ivf import (
-                    ivf_query_dma_tiled_table,
-                    ivf_query_dma_tiled_table_pq,
-                )
-                nprobe_o = min(self.nprobe, self._centroids_np.shape[0])
-                rr = "score" if self.rerank == "score" else "gather"
-                # Gate interpret on the ACTUAL placement of the tiles
-                # (tests/users may pin computation to CPU via
-                # jax.default_device while the default backend is still
-                # the TPU — Mosaic cannot run there).
-                try:
-                    interp = next(
-                        iter(self._dev3.devices())).platform != "tpu"
-                except Exception:  # pragma: no cover - exotic arrays
-                    interp = jax.default_backend() != "tpu"
-                if self._pq_m(self.dtype) is not None:
-                    dists, rows = ivf_query_dma_tiled_table_pq(
-                        self._dev3, self._s2t, self._cb_dev,
-                        self._perm_dev, self._dev_centroids,
-                        self._slot_table, self._v_tile, self._v_col,
-                        self._v_len, jnp.asarray(q_p), k=k_dev,
-                        nprobe_orig=nprobe_o, interpret=interp,
-                        rerank=rr, res_cents=self._cents_codec_dev,
-                        row2list=self._row2list_dev,
-                        metric=self.metric)
-                else:
-                    dists, rows = ivf_query_dma_tiled_table(
-                        self._dev3, self._s2t, self._sq8_a, self._sq8_b,
-                        self._dev_centroids, self._slot_table,
-                        self._v_tile, self._v_col, self._v_len,
-                        jnp.asarray(q_p), k=k_dev, nprobe_orig=nprobe_o,
-                        interpret=interp, rerank=rr, metric=self.metric)
-            elif self._mesh is not None \
-                    and self._pq_m(self.dtype) is not None:
-                from smqtk_indexing_tpu.parallel.mesh import replicate
-                from smqtk_indexing_tpu.parallel.sharded_ivf import (
-                    sharded_ivf_query_pq,
-                )
-                dists, rows = sharded_ivf_query_pq(
-                    self._mesh, self._dev, self._pq_cb_dev, self._dev_sq,
-                    self._dev_valid, self._dev_centroids_pq,
-                    self._dev_offsets, self._dev_lens,
-                    replicate(self._mesh, jnp.asarray(
-                        _pq_prep(q_p, self._pq_perm, self._pq_rot))),
-                    k=k_dev, nprobe=nprobe, l_max=self._l_max,
-                    metric=self.metric, first_virt=first_virt,
-                    nprobe_orig=nprobe_orig, has_dead=has_dead,
-                    res_cents=self._cents_codec_dev,
-                    row2list=self._row2list_dev)
-            elif self._mesh is not None:
-                from smqtk_indexing_tpu.parallel.mesh import replicate
-                from smqtk_indexing_tpu.parallel.sharded_ivf import (
-                    sharded_ivf_query,
-                )
-                dq = None
-                if self.dtype == "sq8":
-                    dq = (replicate(self._mesh, self._sq8_a),
-                          replicate(self._mesh, self._sq8_b))
-                dists, rows = sharded_ivf_query(
-                    self._mesh, self._dev, self._dev_sq, self._dev_norm,
-                    self._dev_valid, self._dev_centroids,
-                    self._dev_offsets, self._dev_lens,
-                    replicate(self._mesh, jnp.asarray(q_p)), k=k_dev,
-                    nprobe=nprobe, l_max=self._l_max, metric=self.metric,
-                    dq=dq, first_virt=first_virt, nprobe_orig=nprobe_orig,
-                    has_dead=has_dead)
-            elif self._dma_eligible():
-                from smqtk_indexing_tpu.ops.pallas_ivf import ivf_query_dma
-                dq = (self._sq8_a, self._sq8_b) \
-                    if self.dtype == "sq8" else None
-                dists, rows = ivf_query_dma(
-                    self._dev, self._dev_sq, self._dev_valid,
-                    self._dev_centroids, self._dev_offsets,
-                    self._dev_lens, jnp.asarray(q_p), k=k_dev,
-                    n_probe=nprobe, first_virt=first_virt,
-                    nprobe_orig=nprobe_orig, has_dead=has_dead, dq=dq)
-            elif self._pq_m(self.dtype) is not None:
-                from smqtk_indexing_tpu.ops.ivf import ivf_query_pq
-                dists, rows = ivf_query_pq(
-                    self._dev, self._pq_cb_dev, self._dev_sq,
-                    self._dev_valid, self._dev_centroids_pq,
-                    self._dev_offsets, self._dev_lens,
-                    jnp.asarray(_pq_prep(q_p, self._pq_perm,
-                                         self._pq_rot)),
-                    k=k_dev,
-                    nprobe=nprobe, l_max=self._l_max, metric=self.metric,
-                    first_virt=first_virt, nprobe_orig=nprobe_orig,
-                    has_dead=has_dead, res_cents=self._cents_codec_dev,
-                    row2list=self._row2list_dev)
-            else:
-                dq = (self._sq8_a, self._sq8_b) \
-                    if self.dtype == "sq8" else None
-                dists, rows = ivf_query(
-                    self._dev, self._dev_sq, self._dev_norm,
-                    self._dev_valid, self._dev_centroids,
-                    self._dev_offsets, self._dev_lens,
-                    jnp.asarray(q_p), k=k_dev, nprobe=nprobe,
-                    l_max=self._l_max, metric=self.metric, dq=dq,
-                    first_virt=first_virt, nprobe_orig=nprobe_orig,
-                    has_dead=has_dead)
+            from smqtk_indexing_tpu.models.nn_index import (
+                _ivf_code, _ivf_rows,
+            )
+            res = _ivf_code.query_tiled(self, q_p, k_dev)
+            if res is None:
+                res = _ivf_rows.query_rows(
+                    self, q_p, k_dev, nprobe, first_virt, nprobe_orig,
+                    has_dead)
+            dists, rows = res
             dists = np.asarray(dists)[:b, :k_eff]
             rows = np.asarray(rows)[:b, :k_eff]
             # Unfilled slots (not enough candidates in probed lists)

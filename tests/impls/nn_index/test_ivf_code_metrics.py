@@ -232,10 +232,20 @@ class TestPersistence:
             assert j.count() == len(elems)
 
 
-class TestResidualStaysEuclidean:
-    def test_rejected(self):
-        for m in ("inner_product", "cosine"):
-            with pytest.raises(ValueError, match="euclidean"):
-                IvfNearestNeighborsIndex(
-                    storage="code", dtype="pq4", metric=m,
-                    pq_residual=True)
+class TestResidualMetricMatrix:
+    def test_ip_rejected_cosine_code_accepted(self):
+        # Round 5: cosine residual EXISTS on the code tier (unit-sphere
+        # codes); inner_product stays rejected (no L2 probe-score
+        # decomposition), and rows-tier cosine residual stays rejected.
+        with pytest.raises(ValueError, match="inner_product"):
+            IvfNearestNeighborsIndex(
+                storage="code", dtype="pq4", metric="inner_product",
+                pq_residual=True)
+        with pytest.raises(ValueError, match="storage='code'"):
+            IvfNearestNeighborsIndex(
+                storage="rows", dtype="pq4", metric="cosine",
+                pq_residual=True)
+        idx = IvfNearestNeighborsIndex(
+            storage="code", dtype="pq4", metric="cosine",
+            pq_residual=True)
+        assert idx.pq_residual is True

@@ -1,0 +1,204 @@
+"""
+100M stage-1 decomposition (round-5 verdict item 3): WHERE do the
+~43 ms of the 12.9GB segment-minima pass go, when the DMA floor is
+~16 ms and the B=128 MXU work is ~17 ms?
+
+Hypothesis (from the kernel structure, ops/pallas_scan._scan_kernel):
+within one grid step the MXU dot and the VPU epilogue (per-128-column
+segment min — a cross-LANE reduction) SERIALIZE; Mosaic's auto-pipeline
+overlaps DMA with compute across steps, but nothing overlaps the two
+compute units within a step. If true, per-step cost ~= dot + min (not
+max(dot, min)), and the pass is compute-epilogue-bound, not DMA-bound.
+
+Variants measured in ONE process (tunnel variance policy):
+  full     — the production kernel (dot + segment min).
+  nomin    — same dot, epilogue = strided lane slice (scores[:, ::SEG])
+             instead of the min reduce: isolates the min-reduce cost.
+  nodot    — no MXU (scores = sq - 2*first-code-row), same min reduce:
+             isolates DMA + epilogue (the block is still fully DMA'd).
+  sweep    — tiles_per_step 4/8/16/32 on the production kernel.
+
+Usage (TPU): PYTHONPATH=/root/repo:/root/.axon_site \
+    python tools/stage1_analysis.py [n_tiles] [reps]
+Defaults: 24576 tiles (100.7M rows, 12.9GB int8) on TPU, 64 on CPU.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import os
+
+import jax
+
+if os.environ.get("SMQTK_STAGE1_CPU"):
+    # CPU smoke mode (the axon sitecustomize pins the TPU otherwise).
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+
+from smqtk_indexing_tpu.ops.pallas_scan import (  # noqa: E402
+    SEG, TILE_N, _q_kernel_dtype, _tile_ip, segment_minima_tiled,
+)
+
+D = 128
+B = 128
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def _variant_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, mode,
+                    variant):
+    q = q_ref[0]
+    full = db_ref[:]
+    t_count, _, tile_n = full.shape
+    nseg_sub = tile_n // SEG
+    b_rows = q_ref.shape[1]
+    sub_outs = []
+    for j in range(t_count):
+        tile = full[j]
+        sq_j = sq_ref[:, j * tile_n:(j + 1) * tile_n]
+        pen_j = pen_ref[:, j * tile_n:(j + 1) * tile_n]
+        if variant == "nodot":
+            # No MXU: a one-sublane read of the tile keeps the DMA
+            # honest (the block is in VMEM either way), the epilogue
+            # stays the full segment-min reduce.
+            scores = (sq_j - 2.0 * tile[:1, :].astype(jnp.float32)
+                      + pen_j) + jnp.zeros((b_rows, 1), jnp.float32)
+            sub_outs.append(
+                jnp.min(scores.reshape(b_rows, nseg_sub, SEG), axis=-1))
+        elif variant == "nomin":
+            ip = _tile_ip(q, tile, mode)
+            scores = sq_j - 2.0 * ip + pen_j
+            # CONTIGUOUS narrow slice instead of the 128-lane min tree
+            # (a strided ::SEG lane slice does not lower on Mosaic;
+            # data is wrong but the store width and the dot match the
+            # production step — that is the point of the A/B).
+            sub_outs.append(scores[:, :nseg_sub])
+        else:  # full
+            ip = _tile_ip(q, tile, mode)
+            scores = sq_j - 2.0 * ip + pen_j
+            sub_outs.append(
+                jnp.min(scores.reshape(b_rows, nseg_sub, SEG), axis=-1))
+    out = sub_outs[0] if t_count == 1 \
+        else jnp.concatenate(sub_outs, axis=-1)
+    out_ref[:] = out.reshape(1, b_rows, t_count * nseg_sub)
+
+
+@partial(jax.jit, static_argnames=("variant", "t_step", "interpret"))
+def _run_variant(db3, db_sq, penalty, q, *, variant, t_step,
+                 interpret=False):
+    n_tiles, d, tile_n = db3.shape
+    nseg_t = tile_n // SEG
+    b = q.shape[0]
+    while n_tiles % t_step:
+        t_step //= 2
+    n_steps = n_tiles // t_step
+    q3 = _q_kernel_dtype(q, db3.dtype).reshape(1, b, d)
+    kernel = partial(_variant_kernel, mode="native", variant=variant)
+    out = pl.pallas_call(
+        kernel,
+        grid=(1, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, b, d), lambda qi, ni: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_step, d, tile_n), lambda qi, ni: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_step * tile_n), lambda qi, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_step * tile_n), lambda qi, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b, t_step * nseg_t), lambda qi, ni: (ni, qi, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_steps, b, t_step * nseg_t), jnp.float32),
+        interpret=interpret,
+    )(q3, db3, db_sq, penalty)
+    # Reduce to a tiny result so timing excludes any (B, N/SEG) device->
+    # host pull; a scalar sum forces full materialization of the pass.
+    return jnp.sum(out[:, :, 0])
+
+
+def main() -> None:
+    on_tpu = jax.default_backend() == "tpu"
+    n_tiles = int(sys.argv[1]) if len(sys.argv) > 1 \
+        else (24576 if on_tpu else 64)
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    interp = not on_tpu
+    n = n_tiles * TILE_N
+    gb = n * D / 2 ** 30
+    _emit(metric="stage1_analysis_config", n_tiles=n_tiles, rows=n,
+          int8_gb=round(gb, 2), b=B, backend=jax.default_backend())
+
+    key = jax.random.PRNGKey(0)
+    step = min(512, n_tiles)
+    assert n_tiles % step == 0, (n_tiles, step)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, ci):
+        k = jax.random.fold_in(key, ci)
+        t = jax.random.randint(k, (step, D, TILE_N), -127, 128,
+                               jnp.int32).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice(buf, t, (ci, 0, 0))
+
+    # Donated in-place fill (a block list + concatenate would need 2x
+    # the 12GB corpus transiently — the OOM the 100M demo's ingest
+    # design exists to avoid).
+    db3 = jnp.zeros((n_tiles, D, TILE_N), jnp.int8)
+    for ci in range(0, n_tiles, step):
+        db3 = fill(db3, jnp.int32(ci))
+    db3.block_until_ready()
+    db_sq = jnp.ones((1, n), jnp.float32)
+    penalty = jnp.zeros((1, n), jnp.float32)
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, D), jnp.float32) * 8
+
+    # Reference numbers: ideal DMA and MXU times.
+    hbm_gbps = 819.0
+    mxu_tflops = 197.0
+    dma_ms = gb / hbm_gbps * 1e3
+    mxu_ms = (B * n * D * 2) / (mxu_tflops * 1e12) * 1e3
+    _emit(metric="stage1_ideal", dma_ms=round(dma_ms, 1),
+          mxu_bf16_ms=round(mxu_ms, 1),
+          ideal_overlapped_ms=round(max(dma_ms, mxu_ms), 1))
+
+    # Production path first (the number docs Config 5 carries).
+    out = segment_minima_tiled(db3, db_sq, penalty, q, interpret=interp)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = segment_minima_tiled(db3, db_sq, penalty, q,
+                                   interpret=interp)
+    np.asarray(out[0, 0])
+    prod_ms = (time.perf_counter() - t0) / reps * 1e3
+    _emit(metric="stage1_production_ms", value=round(prod_ms, 1),
+          gbps=round(gb / (prod_ms / 1e3), 0))
+
+    for variant in ("full", "nomin", "nodot"):
+        for t_step in (4, 8, 16, 32):
+            r = _run_variant(db3, db_sq, penalty, q, variant=variant,
+                             t_step=t_step, interpret=interp)
+            r.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = _run_variant(db3, db_sq, penalty, q, variant=variant,
+                                 t_step=t_step, interpret=interp)
+            np.asarray(r)
+            ms = (time.perf_counter() - t0) / reps * 1e3
+            _emit(metric=f"stage1_{variant}_t{t_step}_ms",
+                  value=round(ms, 1),
+                  gbps=round(gb / (ms / 1e3), 0))
+
+
+if __name__ == "__main__":
+    main()
