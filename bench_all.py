@@ -384,6 +384,14 @@ def bench_lsh_e2e() -> None:
     emit(metric="lsh_e2e_itq128_build_wall",
          value=round(time.perf_counter() - t0, 1), unit="s",
          dataset=dataset)
+    st = idx._fused_ready(10, 1024)
+    emit(metric="lsh_e2e_fused_state",
+         eligible_b1024=st is not None,
+         n_codes_live=None if idx._fused is None
+         else idx._fused["n_codes_live"],
+         l_max=None if idx._fused is None else idx._fused["l_max"],
+         rows=None if idx._fused is None
+         else len(idx._fused["row2elem"]))
 
     for tag, env in (("fused", {}),
                      ("twodispatch", {"SMQTK_TPU_NO_LSH_FUSED": "1"})):

@@ -525,9 +525,13 @@ def main() -> None:
     # ADC oracle: a wide-probe scan over the SAME codes separates list-
     # coverage loss (the IVF tier's own contribution) from codec loss
     # (recall vs the float oracle, flat across nprobe when codec-bound).
+    # The probe-slot budget is nprobe * s_max: cap it near 2048 slots —
+    # at 64 chunks s_max is 128 and an 8192-slot kernel program blew the
+    # remote compiler (measured: scoped-VMEM/register spills, HTTP 500).
+    oracle_np = max(16, min(64, 2048 // int(table.shape[1])))
     _, rr_adc = ivf_query_dma_tiled_table_pq(
         bigp, s2bigp, cb, perm, cents, table_d, v_tile_d, v_col_d,
-        v_len_d, qd, k=K, nprobe_orig=64, interpret=INTERP,
+        v_len_d, qd, k=K, nprobe_orig=oracle_np, interpret=INTERP,
         rerank="score", res_cents=res_c)
     truth_adc = np.asarray(rr_adc)[:, :10]
     for nprobe in (2, 4, 8, 16):

@@ -31,7 +31,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from smqtk_indexing_tpu.ops.hamming import _INVALID, _block_hamming
+from smqtk_indexing_tpu.ops.hamming import DEFAULT_CHUNK, hamming_topk
 from smqtk_indexing_tpu.ops.metrics import candidate_distances
 
 
@@ -103,17 +103,25 @@ def lsh_fused_query(db: jnp.ndarray, row_valid: jnp.ndarray,
                 precision=jax.lax.Precision.HIGHEST)
     qp = _pack_bits_device(z >= 0)
 
-    hd = _block_hamming(qp, packed)
-    hd = jnp.where(code_valid[None, :], hd, _INVALID)
-    _, codes_sel = jax.lax.top_k(-hd, n_codes)          # (B, n_codes)
+    # Streaming chunked XOR-popcount top-n over the unique-code table
+    # (ops/hamming.hamming_topk's lax.scan form): never materializes the
+    # (B, U) distance matrix — 4GB at B=1024 over 1M unique codes if
+    # done as one block. Invalid selections (fewer than n_codes live
+    # codes) surface via the code_valid gather below.
+    _, codes_sel = hamming_topk(packed, code_valid, qp, k=n_codes,
+                                chunk=min(DEFAULT_CHUNK,
+                                          packed.shape[0]))
 
+    neg_sel = codes_sel < 0        # streaming top-k may keep -1 pads
+    codes_sel = jnp.maximum(codes_sel, 0)
     sel_off = jnp.take(off, codes_sel, axis=0)          # (B, n_codes)
     sel_len = jnp.take(ln, codes_sel, axis=0)
     # Zero out (a) shape-budget slots past the requested n_sel codes and
-    # (b) dead/padding codes that surfaced because fewer than n_codes
-    # valid codes exist.
+    # (b) dead/padding/-1 selections that surfaced because fewer than
+    # n_codes valid codes exist.
     rank_ok = jnp.arange(n_codes, dtype=jnp.int32)[None, :] < n_sel
-    sel_ok = rank_ok & jnp.take(code_valid, codes_sel, axis=0)
+    sel_ok = rank_ok & ~neg_sel \
+        & jnp.take(code_valid, codes_sel, axis=0)
     sel_len = jnp.where(sel_ok, sel_len, 0)
     b = q.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, n_codes, l_max), 2)

@@ -172,32 +172,49 @@ def main() -> None:
           mxu_bf16_ms=round(mxu_ms, 1),
           ideal_overlapped_ms=round(max(dma_ms, mxu_ms), 1))
 
-    # Production path first (the number docs Config 5 carries).
-    out = segment_minima_tiled(db3, db_sq, penalty, q, interpret=interp)
+    # Production path first (the number docs Config 5 carries). Wrap in
+    # one jit: segment_minima_tiled is an eager pallas_call + transpose,
+    # and 3 eager dispatches through the ~28 ms tunnel RTT swamp the
+    # kernel (first run measured "348 ms" that way — a measurement
+    # artifact, not kernel time).
+    @jax.jit
+    def prod(db3_, sq_, pen_, q_):
+        out = segment_minima_tiled(db3_, sq_, pen_, q_,
+                                   interpret=interp)
+        return jnp.sum(out[:, 0])
+
+    out = prod(db3, db_sq, penalty, q)
     out.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = segment_minima_tiled(db3, db_sq, penalty, q,
-                                   interpret=interp)
-    np.asarray(out[0, 0])
+        out = prod(db3, db_sq, penalty, q)
+    np.asarray(out)
     prod_ms = (time.perf_counter() - t0) / reps * 1e3
     _emit(metric="stage1_production_ms", value=round(prod_ms, 1),
           gbps=round(gb / (prod_ms / 1e3), 0))
 
+    # t_step sweep stops at 8: t=16 int8 blocks (8MB x double buffer)
+    # exceed the 16MB scoped-VMEM limit (measured: "Scoped allocation
+    # with size 17.50M ... exceeded scoped vmem limit").
     for variant in ("full", "nomin", "nodot"):
-        for t_step in (4, 8, 16, 32):
-            r = _run_variant(db3, db_sq, penalty, q, variant=variant,
-                             t_step=t_step, interpret=interp)
-            r.block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(reps):
+        for t_step in (2, 4, 8):
+            try:
                 r = _run_variant(db3, db_sq, penalty, q, variant=variant,
                                  t_step=t_step, interpret=interp)
-            np.asarray(r)
-            ms = (time.perf_counter() - t0) / reps * 1e3
-            _emit(metric=f"stage1_{variant}_t{t_step}_ms",
-                  value=round(ms, 1),
-                  gbps=round(gb / (ms / 1e3), 0))
+                r.block_until_ready()
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    r = _run_variant(db3, db_sq, penalty, q,
+                                     variant=variant, t_step=t_step,
+                                     interpret=interp)
+                np.asarray(r)
+                ms = (time.perf_counter() - t0) / reps * 1e3
+                _emit(metric=f"stage1_{variant}_t{t_step}_ms",
+                      value=round(ms, 1),
+                      gbps=round(gb / (ms / 1e3), 0))
+            except Exception as e:  # compile/VMEM limits: keep sweeping
+                _emit(metric=f"stage1_{variant}_t{t_step}_ms",
+                      error=f"{type(e).__name__}: {str(e)[:160]}")
 
 
 if __name__ == "__main__":

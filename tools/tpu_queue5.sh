@@ -25,3 +25,11 @@ echo "$(date +%T) queue5 done" >> /tmp/tpu_queue5.log
 Q stage1b 2400 python tools/stage1_analysis.py
 Q tpusuite 3600 env SMQTK_TPU_TESTS=1 XLA_FLAGS=--xla_force_host_platform_device_count=8 python -m pytest tests/ -q
 echo "$(date +%T) queue5 extras done" >> /tmp/tpu_queue5.log
+Q ivf400m_b 5400 python examples/ivf_400m.py
+echo "$(date +%T) queue5 400m retry done" >> /tmp/tpu_queue5.log
+Q lsh_e2e_b 3600 python bench_all.py lsh_e2e
+echo "$(date +%T) queue5 lsh retry done" >> /tmp/tpu_queue5.log
+Q exact9 1200 python tools/verify_exactness.py 9
+echo "$(date +%T) queue5 exact9 done" >> /tmp/tpu_queue5.log
+Q stage1c 2400 python tools/stage1_analysis.py
+echo "$(date +%T) queue5 stage1c done" >> /tmp/tpu_queue5.log

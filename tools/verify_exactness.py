@@ -21,6 +21,9 @@ TPU matmul precision semantics differ; see CLAUDE.md):
    score is -<q, x_hat-b>); cosine (sq8) ranking matches the float64
    angular oracle over the unit-sphere codes. The split-bf16 LUT/fold
    precision is TPU-only behavior — CPU interpret cannot regress it.
+9. COSINE RESIDUAL PQ code tier (round 5): residual codes over
+   unit-sphere rows + per-probe -2<q,c> offsets, ranking AND distances
+   vs the float64 angular oracle over the reconstructions.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/verify_exactness.py
 Optional args select a subset of checks, e.g. `... verify_exactness.py 5 8`.
@@ -57,7 +60,7 @@ def main() -> None:
     from smqtk_indexing_tpu.ops.device import capacity_for, pad_rows_np
     from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused
 
-    known = set(range(1, 9))
+    known = set(range(1, 10))
     sel = {int(a) for a in sys.argv[1:]} or known
     unknown = sel - known
     if unknown:
@@ -362,6 +365,53 @@ def main() -> None:
                 (j, np.abs(np.asarray(dists) - ref_d).max())
         _log("8b. code-tier cosine (sq8) == float64 angular oracle at "
              "256K OK")
+
+    if 9 in sel:
+        # 9. COSINE RESIDUAL PQ on the code tier (round 5): residual
+        # codes over unit-sphere rows + the per-probe -2<q,c> offsets +
+        # split-bf16 ADC, vs a float64 angular oracle over the index's
+        # OWN reconstructions — all in the CODEC frame (the perm is
+        # orthogonal, so norms/angles are identical there). On-chip
+        # only: interpret mode folds the split-bf16 ADC dots.
+        idx_cr = IvfNearestNeighborsIndex(
+            n_lists=64, nprobe=64, kmeans_iterations=4, random_seed=0,
+            dtype="pq16", storage="code", metric="cosine",
+            pq_residual=True)
+        idx_cr.build_index([DescriptorMemoryElement(i, db[i])
+                            for i in range(n_pq)])
+        assert idx_cr._cents_codec_dev is not None
+        rec_c = pq.pq_decode_np(idx_cr._host, idx_cr._code_cb) \
+            .astype(np.float64)
+        rec_c += idx_cr._pq_cents_codec(None)[idx_cr._assign_host] \
+            .astype(np.float64)
+        nrm = np.linalg.norm(rec_c, axis=1)
+        # PQ16 reconstructions of unit rows scatter wider than sq8's
+        # (16-byte codec): sanity-band only.
+        assert np.allclose(nrm, 1.0, atol=0.2), (nrm.min(), nrm.max())
+        _, _, perm9 = idx_cr._pq_grid()
+        uid_of_row = np.asarray(idx_cr._row2uid)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = idx_cr.nn_many(q_elems, K)
+        for j, (e_list, dists) in enumerate(res):
+            qc = np.zeros(len(perm9))
+            qc[:D] = q[j]
+            qc = qc[perm9]
+            qc = qc / np.linalg.norm(qc)
+            sim = np.clip((rec_c @ qc) / np.where(nrm == 0, 1.0, nrm),
+                          -1.0, 1.0)
+            d_ref = 2.0 * np.arccos(sim) / np.pi
+            order = np.argsort(d_ref, kind="stable")[:K]
+            expect = {int(uid_of_row[r]) for r in order}
+            got_ids = [e.uuid() for e in e_list]
+            assert len(expect & set(got_ids)) >= K - 1, \
+                (j, got_ids, sorted(expect))
+            ref_d = d_ref[[int(np.where(uid_of_row == u)[0][0])
+                           for u in got_ids]]
+            assert np.allclose(dists, ref_d, atol=1e-2), \
+                (j, np.abs(np.asarray(dists) - ref_d).max())
+        _log("9. code-tier COSINE RESIDUAL pq16 == float64 angular "
+             "oracle over reconstructions at 256K OK")
 
     _log(f"EXACTNESS DRIVES PASSED: {sorted(sel)}")
 
