@@ -63,7 +63,9 @@ class TestFusedParity:
         nbrs, dists = idx.nn(els[17], 4)
         assert idx._fused is not None
         assert nbrs[0].uuid() == 17
-        assert dists[0] < 1e-5
+        # TPU native-precision distances carry ~1e-4 noise (bf16 MXU in
+        # candidate_distances — same margin as the two-dispatch path).
+        assert dists[0] < 1e-3
 
     def test_counters(self):
         from smqtk_indexing_tpu.utils.tracing import COUNTERS
