@@ -412,7 +412,13 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
             mean, proj, normalize = model
             bits = proj.shape[1]
             u = len(keys)
-            u_pad = _pow2_at_least(u)
+            from smqtk_indexing_tpu.ops.hamming import MXU_SCAN_MIN
+            from smqtk_indexing_tpu.ops.pallas_scan import TILE_N
+            mxu_want = u >= MXU_SCAN_MIN \
+                or bool(os.environ.get("SMQTK_TPU_LSH_FUSED_MXU"))
+            # The MXU engine's fused scan needs the code table padded to
+            # the kernel tile (dead codes are +inf-masked either way).
+            u_pad = _pow2_at_least(u, lo=TILE_N if mxu_want else 8)
             packed = np.zeros((u_pad, (bits + 31) // 32), dtype=np.uint32)
             packed[:u] = ints_to_packed_u32(keys, bits)
             code_valid = np.zeros(u_pad, dtype=bool)
@@ -441,6 +447,27 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
             row_valid = np.zeros(n_pad, dtype=bool)
             row_valid[:n_rows] = True
             l_max = int(ln.max()) if u else 1
+            # ±1 bf16 mirrors for the MXU near-code engine (the same
+            # engine threshold ops/hamming.CodeStore uses: the XOR
+            # path's per-chunk running top-k is XLA-TopK-bound at large
+            # U — measured round 5: fused XOR at 1M unique codes lost
+            # to the two-dispatch path; the MXU form is the round-1
+            # 66x lesson applied inside the fused program).
+            pm1 = pm1_t = code_sq = None
+            if mxu_want:
+                from smqtk_indexing_tpu.utils.bits import (
+                    unpack_bit_vectors_u32,
+                )
+                bits_pad = -(-bits // 128) * 128
+                pm1_np = np.zeros((u_pad, bits_pad), dtype=np.float32)
+                pm1_np[:u, :bits] = unpack_bit_vectors_u32(
+                    packed[:u], bits).astype(np.float32) * 2.0 - 1.0
+                pm1 = jnp.asarray(pm1_np, dtype=jnp.bfloat16)
+                pm1_t = jnp.asarray(np.ascontiguousarray(pm1_np.T),
+                                    dtype=jnp.bfloat16)
+                code_sq = jnp.asarray(
+                    np.where(code_valid, float(bits), 0.0)
+                    .astype(np.float32))
             self._fused = {
                 "db": jnp.asarray(mat),
                 "row_valid": jnp.asarray(row_valid),
@@ -454,6 +481,9 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
                 "l_max": _pow2_at_least(max(l_max, 1), lo=1),
                 "n_codes_live": u,
                 "row2elem": elems,
+                "pm1": pm1,
+                "pm1_t": pm1_t,
+                "code_sq": code_sq,
             }
         st = self._fused
         n_codes = _pow2_at_least(min(n, st["n_codes_live"]), lo=1)
@@ -568,12 +598,23 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
         k_dev = _pow2_at_least(min(n, max(n_rows, 1)), lo=1)
         COUNTERS.add("lsh.queries", b)
         COUNTERS.add("lsh.fused_queries", b)
+        engine = "mxu" if st["pm1"] is not None else "xor"
+        if engine == "mxu":
+            import jax
+            try:
+                interp = next(
+                    iter(st["pm1"].devices())).platform != "tpu"
+            except Exception:  # pragma: no cover - exotic arrays
+                interp = jax.default_backend() != "tpu"
+        else:
+            interp = False
         dists, rows = lsh_fused_query(
             st["db"], st["row_valid"], st["packed"], st["code_valid"],
             st["off"], st["ln"], jnp.asarray(q_p), st["mean"],
             st["proj"], k=k_dev, n_codes=n_codes, n_sel=n_sel,
             l_max=st["l_max"], metric=self.distance_method,
-            normalize=st["normalize"])
+            normalize=st["normalize"], engine=engine, interpret=interp,
+            pm1=st["pm1"], pm1_t=st["pm1_t"], code_sq=st["code_sq"])
         dists = np.asarray(dists)[:b]
         rows = np.asarray(rows)[:b]
         elems = st["row2elem"]

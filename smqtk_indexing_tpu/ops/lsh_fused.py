@@ -57,13 +57,17 @@ def _pack_bits_device(h: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("k", "n_codes", "n_sel", "l_max",
-                                   "metric", "normalize"))
+                                   "metric", "normalize", "engine",
+                                   "interpret"))
 def lsh_fused_query(db: jnp.ndarray, row_valid: jnp.ndarray,
                     packed: jnp.ndarray, code_valid: jnp.ndarray,
                     off: jnp.ndarray, ln: jnp.ndarray,
                     q: jnp.ndarray, mean: jnp.ndarray, proj: jnp.ndarray,
                     *, k: int, n_codes: int, n_sel: int, l_max: int,
-                    metric: str, normalize=None
+                    metric: str, normalize=None, engine: str = "xor",
+                    interpret: bool = False,
+                    pm1: jnp.ndarray = None, pm1_t: jnp.ndarray = None,
+                    code_sq: jnp.ndarray = None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     One-dispatch LSH serve.
@@ -91,6 +95,21 @@ def lsh_fused_query(db: jnp.ndarray, row_valid: jnp.ndarray,
     :param normalize: functor row-normalization ``ord`` (static; None =
         pass-through), applied before the mean subtract as in
         models/lsh_functor/simple_rp.norm_rows.
+    :param engine: near-code scan engine (static). "xor" — streaming
+        chunked XOR-popcount (ops/hamming.hamming_topk; never
+        materializes the (B, U) distance matrix, but its per-chunk
+        running top-k is XLA-TopK-bound at large U). "mxu" — the ±1
+        bfloat16 MXU form through the fused flat-scan kernel
+        (ops/pallas_scan.flat_topk_fused; squared L2 between ±1 vectors
+        is exactly 4x Hamming, so the euclidean surrogate
+        ``bits - 2<q,u> = 4*ham - bits`` ranks codes exactly) — the
+        same engine choice ops/hamming.CodeStore makes above
+        MXU_SCAN_MIN codes. Requires ``pm1``/``pm1_t``/``code_sq``.
+    :param interpret: run the Pallas kernel interpreted (CPU parity).
+    :param pm1: (U_pad, bits_pad) bfloat16 ±1 code rows, zero-padded
+        dims/rows (mxu engine only).
+    :param pm1_t: (bits_pad, U_pad) bfloat16 transposed mirror.
+    :param code_sq: (U_pad,) float32 true bit count per live code.
     :return: (dists (B, k) f32 ascending with +inf pads,
         rows (B, k) int32 into the bucket-sorted layout, -1 pads).
     """
@@ -101,16 +120,29 @@ def lsh_fused_query(db: jnp.ndarray, row_valid: jnp.ndarray,
     z = jnp.dot(q - mean[None, :], proj,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-    qp = _pack_bits_device(z >= 0)
+    h = z >= 0
 
-    # Streaming chunked XOR-popcount top-n over the unique-code table
-    # (ops/hamming.hamming_topk's lax.scan form): never materializes the
-    # (B, U) distance matrix — 4GB at B=1024 over 1M unique codes if
-    # done as one block. Invalid selections (fewer than n_codes live
-    # codes) surface via the code_valid gather below.
-    _, codes_sel = hamming_topk(packed, code_valid, qp, k=n_codes,
-                                chunk=min(DEFAULT_CHUNK,
-                                          packed.shape[0]))
+    if engine == "mxu":
+        from smqtk_indexing_tpu.ops.pallas_scan import flat_topk_fused
+        bits = proj.shape[1]
+        b = q.shape[0]
+        bits_pad = pm1.shape[1]
+        q_pm1 = jnp.zeros((b, bits_pad), jnp.float32)
+        q_pm1 = q_pm1.at[:, :bits].set(
+            h.astype(jnp.float32) * 2.0 - 1.0)
+        _, codes_sel = flat_topk_fused(
+            pm1, code_sq, code_valid, q_pm1, k=n_codes, db_t=pm1_t,
+            interpret=interpret)
+    else:
+        qp = _pack_bits_device(h)
+        # Streaming chunked XOR-popcount top-n over the unique-code
+        # table: never materializes the (B, U) distance matrix — 4GB at
+        # B=1024 over 1M unique codes if done as one block. Invalid
+        # selections (fewer than n_codes live codes) surface via the
+        # code_valid gather below.
+        _, codes_sel = hamming_topk(packed, code_valid, qp, k=n_codes,
+                                    chunk=min(DEFAULT_CHUNK,
+                                              packed.shape[0]))
 
     neg_sel = codes_sel < 0        # streaming top-k may keep -1 pads
     codes_sel = jnp.maximum(codes_sel, 0)

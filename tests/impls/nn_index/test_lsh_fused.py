@@ -112,6 +112,32 @@ class TestFusedLifecycle:
         res = _q(idx, els[:4])
         assert res[0][0][0].uuid() == 0
 
+    def test_mxu_engine_parity(self, monkeypatch):
+        """The ±1-MXU near-code engine (forced via
+        SMQTK_TPU_LSH_FUSED_MXU on a small set; interpret mode off-TPU)
+        must serve the same contract as the XOR engine — equal-Hamming
+        code ties may legally admit different bucket supersets, so the
+        assertions are contract-shaped (self-match, sorted distances,
+        identical nearest result), not bit-equality."""
+        els = _elems(300, d=32, seed=3)
+        monkeypatch.setenv("SMQTK_TPU_LSH_FUSED_MXU", "1")
+        idx = _build(els)
+        st = idx._fused_ready(5, 8)
+        assert st is not None and st["pm1"] is not None
+        res_m = _q(idx, els[:16])
+        for i, (nbrs, dists) in enumerate(res_m):
+            assert nbrs[0].uuid() == i
+            assert dists[0] < 1e-3
+            assert list(dists) == sorted(dists)
+        # same index through the XOR engine: nearest result agrees
+        idx._fused = None
+        monkeypatch.delenv("SMQTK_TPU_LSH_FUSED_MXU")
+        res_x = _q(idx, els[:16])
+        assert idx._fused["pm1"] is None
+        for (em, dm), (ex, dx) in zip(res_m, res_x):
+            assert em[0].uuid() == ex[0].uuid()
+            assert abs(dm[0] - dx[0]) < 1e-4
+
     def test_functor_without_affine_form_falls_back(self):
         els = _elems()
         idx = _build(els)

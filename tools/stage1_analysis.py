@@ -68,7 +68,26 @@ def _variant_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, mode,
         tile = full[j]
         sq_j = sq_ref[:, j * tile_n:(j + 1) * tile_n]
         pen_j = pen_ref[:, j * tile_n:(j + 1) * tile_n]
-        if variant == "nodot":
+        if variant == "bf16min":
+            # Same dot; the segment-min tree runs on PACKED bf16 lanes
+            # (2 elements/lane — if Mosaic exploits it, the VPU epilogue
+            # halves). Selection-precision cost if productionized:
+            # ~2^-8 relative on the minima (the k+8 segment margin and
+            # exact stage 2 would absorb most of it; exactness check 1
+            # is the gate).
+            ip = _tile_ip(q, tile, mode)
+            scores = (sq_j - 2.0 * ip + pen_j).astype(jnp.bfloat16)
+            sub_outs.append(
+                jnp.min(scores.reshape(b_rows, nseg_sub, SEG),
+                        axis=-1).astype(jnp.float32))
+        elif variant == "folded":
+            # sq+pen pre-folded into ONE row vector (saves one
+            # full-width VPU pass per step; pen_j unused).
+            ip = _tile_ip(q, tile, mode)
+            scores = sq_j - 2.0 * ip
+            sub_outs.append(
+                jnp.min(scores.reshape(b_rows, nseg_sub, SEG), axis=-1))
+        elif variant == "nodot":
             # No MXU: a one-sublane read of the tile keeps the DMA
             # honest (the block is in VMEM either way), the epilogue
             # stays the full segment-min reduce.
@@ -196,7 +215,7 @@ def main() -> None:
     # t_step sweep stops at 8: t=16 int8 blocks (8MB x double buffer)
     # exceed the 16MB scoped-VMEM limit (measured: "Scoped allocation
     # with size 17.50M ... exceeded scoped vmem limit").
-    for variant in ("full", "nomin", "nodot"):
+    for variant in ("full", "nomin", "nodot", "bf16min", "folded"):
         for t_step in (2, 4, 8):
             try:
                 r = _run_variant(db3, db_sq, penalty, q, variant=variant,

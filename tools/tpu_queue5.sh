@@ -33,3 +33,7 @@ Q exact9 1200 python tools/verify_exactness.py 9
 echo "$(date +%T) queue5 exact9 done" >> /tmp/tpu_queue5.log
 Q stage1c 2400 python tools/stage1_analysis.py
 echo "$(date +%T) queue5 stage1c done" >> /tmp/tpu_queue5.log
+Q stage1d 2400 python tools/stage1_analysis.py
+echo "$(date +%T) queue5 stage1d done" >> /tmp/tpu_queue5.log
+Q exact9b 1200 python tools/verify_exactness.py 9
+echo "$(date +%T) queue5 exact9b done" >> /tmp/tpu_queue5.log
