@@ -175,9 +175,19 @@ def serving_metric(host_scan_qps_times_n: float) -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     n_serve, d_serve = (1_000_000, 96) if on_tpu else (20_000, 96)
+    # Clustered synthetic mixture, same shape/recipe as bench_all's
+    # Deep1M stand-in (recall on pure-uniform data is degenerate — every
+    # query's true neighbors scatter across arbitrary k-means cells and
+    # nprobe=4 recall reads ~0.05 regardless of pipeline quality).
+    # Queries are held-out mixture draws, never indexed.
     rng = np.random.default_rng(2)
-    db = rng.random((n_serve, d_serve), dtype=np.float32)
-    queries = rng.random((1024, d_serve), dtype=np.float32)
+    n_clusters = 1024
+    total = n_serve + 1024
+    centers = rng.random((n_clusters, d_serve), dtype=np.float32)
+    pts = centers[rng.integers(0, n_clusters, size=total)]
+    pts += rng.normal(size=(total, d_serve)).astype(np.float32) / 12
+    pts = np.clip(pts, 0, 1).astype(np.float32)[rng.permutation(total)]
+    db, queries = pts[:n_serve], pts[n_serve:]
 
     elems = [DescriptorMemoryElement(i, db[i]) for i in range(n_serve)]
     q_large = [DescriptorMemoryElement(f"Q{i}", queries[i])
