@@ -17,6 +17,14 @@ Variants measured in ONE process (tunnel variance policy):
   nodot    — no MXU (scores = sq - 2*first-code-row), same min reduce:
              isolates DMA + epilogue (the block is still fully DMA'd).
   sweep    — tiles_per_step 4/8/16/32 on the production kernel.
+  staged   — two-phase software pipeline: sub-tile j's dot issues
+             adjacent to sub-tile j-1's min tree (independent MXU/VPU
+             chains — tests whether Mosaic co-issues the units once the
+             within-sub-tile dependency is broken).
+  minfirst — all dots, then all min trees (max scheduling freedom,
+             t_count live score blocks — VMEM-bound above t=4).
+
+argv[3] (optional): comma-separated variant subset to sweep.
 
 Usage (TPU): PYTHONPATH=/root/repo:/root/.axon_site \
     python tools/stage1_analysis.py [n_tiles] [reps]
@@ -103,11 +111,52 @@ def _variant_kernel(q_ref, db_ref, sq_ref, pen_ref, out_ref, *, mode,
             # data is wrong but the store width and the dot match the
             # production step — that is the point of the A/B).
             sub_outs.append(scores[:, :nseg_sub])
+        elif variant in ("staged", "minfirst"):
+            continue  # handled below (cross-sub-tile pipelining)
         else:  # full
             ip = _tile_ip(q, tile, mode)
             scores = sq_j - 2.0 * ip + pen_j
             sub_outs.append(
                 jnp.min(scores.reshape(b_rows, nseg_sub, SEG), axis=-1))
+    if variant == "staged":
+        # The docs Config 5 hypothesis made concrete: break the
+        # dot(j) -> min(j) data dependency so adjacent program-order
+        # ops are INDEPENDENT MXU and VPU work — iteration j issues
+        # sub-tile j's dot and sub-tile j-1's segment-min tree. If
+        # Mosaic's scheduler can co-issue matmul pushes with lane
+        # shuffles across that boundary, per-step cost drops from
+        # dot+min toward max(dot, min). Costs one extra live
+        # (b, tile_n) f32 score block (2MB at B=128) of scoped VMEM.
+        def _ip(j):
+            return _tile_ip(q, full[j], mode)
+
+        def _sc(j, ip):
+            return (sq_ref[:, j * tile_n:(j + 1) * tile_n] - 2.0 * ip
+                    + pen_ref[:, j * tile_n:(j + 1) * tile_n])
+
+        def _mn(scores):
+            return jnp.min(scores.reshape(b_rows, nseg_sub, SEG),
+                           axis=-1)
+
+        prev = _sc(0, _ip(0))
+        for j in range(1, t_count):
+            ip = _ip(j)
+            sub_outs.append(_mn(prev))
+            prev = _sc(j, ip)
+        sub_outs.append(_mn(prev))
+    elif variant == "minfirst":
+        # All dots first, then all min trees: maximal scheduling
+        # freedom, but t_count live (b, tile_n) f32 score blocks
+        # (16MB at t=8/B=128 — expect VMEM failures above t=4).
+        blocks = []
+        for j in range(t_count):
+            ip = _tile_ip(q, full[j], mode)
+            blocks.append(
+                sq_ref[:, j * tile_n:(j + 1) * tile_n] - 2.0 * ip
+                + pen_ref[:, j * tile_n:(j + 1) * tile_n])
+        for sc in blocks:
+            sub_outs.append(
+                jnp.min(sc.reshape(b_rows, nseg_sub, SEG), axis=-1))
     out = sub_outs[0] if t_count == 1 \
         else jnp.concatenate(sub_outs, axis=-1)
     out_ref[:] = out.reshape(1, b_rows, t_count * nseg_sub)
@@ -215,7 +264,12 @@ def main() -> None:
     # t_step sweep stops at 8: t=16 int8 blocks (8MB x double buffer)
     # exceed the 16MB scoped-VMEM limit (measured: "Scoped allocation
     # with size 17.50M ... exceeded scoped vmem limit").
-    for variant in ("full", "nomin", "nodot", "bf16min", "folded"):
+    all_variants = ("full", "nomin", "nodot", "bf16min", "folded",
+                    "staged", "minfirst")
+    variants = tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 \
+        else all_variants
+    assert all(v in all_variants for v in variants), variants
+    for variant in variants:
         for t_step in (2, 4, 8):
             try:
                 r = _run_variant(db3, db_sq, penalty, q, variant=variant,
