@@ -10,6 +10,7 @@ import abc
 import io
 import os
 import pickle
+import warnings
 from typing import Any, Dict, Hashable, Iterable, Iterator, Mapping
 
 from smqtk_indexing_tpu.core.configuration import Configurable
@@ -192,24 +193,49 @@ class FileKeyValueStore (KeyValueStore):
     def _replay(self) -> None:
         live: Dict[Hashable, Any] = {}
         dead = 0
+        size = os.path.getsize(self._filepath)
+        good = 0  # byte offset just past the last intact record
+        tail_err = None
         with open(self._filepath, "rb") as f:
             unpickler = pickle.Unpickler(f)
             while True:
                 try:
                     op, payload = unpickler.load()
+                    if op == self._OP_ADD:
+                        dead += sum(1 for k in payload if k in live)
+                        live.update(payload)
+                    elif op == self._OP_DEL:
+                        for k in payload:
+                            if k in live:
+                                del live[k]
+                                dead += 1
+                    elif op == self._OP_CLEAR:
+                        dead += len(live)
+                        live.clear()
+                    else:
+                        raise ValueError(f"unknown log opcode {op!r}")
                 except EOFError:
                     break
-                if op == self._OP_ADD:
-                    dead += sum(1 for k in payload if k in live)
-                    live.update(payload)
-                elif op == self._OP_DEL:
-                    for k in payload:
-                        if k in live:
-                            del live[k]
-                            dead += 1
-                else:  # clear
-                    dead += len(live)
-                    live.clear()
+                except Exception as ex:  # torn/corrupt record
+                    tail_err = ex
+                    break
+                good = f.tell()
+        if good < size:
+            # Torn tail: a mutation was interrupted mid-append (or the
+            # tail was otherwise corrupted). Keep every record before
+            # it; truncate the log back to the last intact boundary so
+            # future appends extend a valid stream (reference parity:
+            # the post-load consistency-check-and-recover behavior of
+            # faiss.py:426-438).
+            warnings.warn(
+                f"FileKeyValueStore log {self._filepath!r} has a "
+                f"corrupt/torn tail at byte {good} of {size} "
+                f"({type(tail_err).__name__ if tail_err is not None else 'EOFError'}: {tail_err}); "
+                f"recovered {len(live)} live key(s)"
+                + ("" if self._readonly
+                   else " and truncated the damaged tail"))
+            if not self._readonly:
+                os.truncate(self._filepath, good)
         self._table = live
         self._dead = dead
 

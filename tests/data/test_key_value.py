@@ -121,6 +121,50 @@ class TestFileKeyValueStore:
             with pytest.raises(ReadOnlyError):
                 call()
 
+    def test_torn_tail_recovered_and_truncated(self, tmp_path):
+        """A mutation interrupted mid-append (torn final record) must not
+        brick the store: replay keeps every intact record, warns, and
+        truncates the log so later appends extend a valid stream."""
+        p = str(tmp_path / "kv.log")
+        kv = FileKeyValueStore(p)
+        kv.add("a", 1)
+        kv.add("b", 2)
+        good_size = os.path.getsize(p)
+        kv.add("c", 3)
+        # tear the last record mid-way
+        os.truncate(p, good_size + 3)
+        with pytest.warns(UserWarning, match="torn tail"):
+            kv2 = FileKeyValueStore(p)
+        assert dict(zip(kv2.keys(), kv2.values())) == {"a": 1, "b": 2}
+        assert os.path.getsize(p) == good_size
+        # the repaired log accepts appends and replays cleanly
+        kv2.add("d", 4)
+        kv3 = FileKeyValueStore(p)
+        assert dict(zip(kv3.keys(), kv3.values())) == {"a": 1, "b": 2,
+                                                       "d": 4}
+
+    def test_garbage_tail_recovered(self, tmp_path):
+        p = str(tmp_path / "kv.log")
+        FileKeyValueStore(p).add_many({"a": 1, "b": 2})
+        good_size = os.path.getsize(p)
+        with open(p, "ab") as f:
+            f.write(b"not a pickle record")
+        with pytest.warns(UserWarning, match="torn tail"):
+            kv = FileKeyValueStore(p)
+        assert kv.get("a") == 1 and kv.get("b") == 2
+        assert os.path.getsize(p) == good_size
+
+    def test_torn_tail_readonly_not_modified(self, tmp_path):
+        p = str(tmp_path / "kv.log")
+        FileKeyValueStore(p).add("a", 1)
+        with open(p, "ab") as f:
+            f.write(b"\x80\x05torn")
+        torn_size = os.path.getsize(p)
+        with pytest.warns(UserWarning, match="torn tail"):
+            kv = FileKeyValueStore(p, readonly=True)
+        assert kv.get("a") == 1
+        assert os.path.getsize(p) == torn_size  # file untouched
+
     def test_config_round_trip(self, tmp_path):
         from smqtk_indexing_tpu.core.configuration import (
             from_config_dict, to_config_dict,
