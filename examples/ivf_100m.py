@@ -118,7 +118,7 @@ RESIDUAL_PQ = not bool(os.environ.get("SMQTK_IVF100M_RAW_PQ"))
 #: this near-iid mixture the rotation is close to identity (OPQ's win
 #: is on correlated data, docs Config 3b); it is exercised here to
 #: demonstrate the full capacity pipeline.
-OPQ_ROT = bool(os.environ.get("SMQTK_IVF100M_OPQ"))
+OPQ_ROT = os.environ.get("SMQTK_IVF100M_OPQ", "") not in ("", "0")
 
 
 def _gen_rows(centers: jnp.ndarray, row_ids: jnp.ndarray) -> jnp.ndarray:
@@ -528,7 +528,10 @@ def main() -> None:
     # The probe-slot budget is nprobe * s_max: cap it near 2048 slots —
     # at 64 chunks s_max is 128 and an 8192-slot kernel program blew the
     # remote compiler (measured: scoped-VMEM/register spills, HTTP 500).
-    oracle_np = max(16, min(64, 2048 // int(table.shape[1])))
+    # The slot budget WINS over the 16-probe floor: at skewed builds
+    # where s_max > 128 the old max(16, ...) re-inflated nprobe*s_max
+    # past the ~4K-slot compiler limit this cap exists for.
+    oracle_np = min(64, max(1, 2048 // int(table.shape[1])))
     _, rr_adc = ivf_query_dma_tiled_table_pq(
         bigp, s2bigp, cb, perm, cents, table_d, v_tile_d, v_col_d,
         v_len_d, qd, k=K, nprobe_orig=oracle_np, interpret=INTERP,

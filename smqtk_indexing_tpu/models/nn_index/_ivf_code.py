@@ -252,7 +252,7 @@ def query_tiled(idx, q_p, k_dev):
     _ivf_rows.query_rows)."""
     if idx._dev3 is None:
         return None
-    if idx._dev3 is not None and idx._mesh is not None:
+    if idx._mesh is not None:
         # Sharded capacity tier: per-shard tiled DMA scan over
         # the clipped CSR views + hierarchical k-merge
         # (parallel/sharded_ivf_code.py).
@@ -293,7 +293,7 @@ def query_tiled(idx, q_p, k_dev):
                 k=k_dev, nprobe_orig=nprobe_o,
                 interpret=interp, rerank=rr,
                 metric=idx.metric)
-    elif idx._dev3 is not None:
+    else:
         # Tiled-transposed DMA list-scan with original-centroid
         # table probe selection (the 100M demo's serving path,
         # behind the public model API) — the 'code' capacity tier

@@ -16,15 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from smqtk_indexing_tpu.ops.device import capacity_for, pad_rows_np
+from smqtk_indexing_tpu.ops.device import pow2_at_least as _pow2_at_least
 from smqtk_indexing_tpu.ops.ivf import ivf_query
 from smqtk_indexing_tpu.ops.pq import pq_prep_queries as _pq_prep
-
-
-def _pow2_at_least(x: int, lo: int = 1) -> int:
-    p = lo
-    while p < x:
-        p *= 2
-    return p
 
 
 def upload_rows(idx) -> None:

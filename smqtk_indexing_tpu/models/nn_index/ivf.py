@@ -39,7 +39,7 @@ from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
     NearestNeighborsIndex, NNResult,
 )
 from smqtk_indexing_tpu.ops.device import capacity_for, pad_dim, pad_rows_np
-from smqtk_indexing_tpu.ops.ivf import METRICS
+from smqtk_indexing_tpu.ops.device import pow2_at_least as _pow2_at_least
 from smqtk_indexing_tpu.models.nn_index._ivf_matrix import (  # noqa: F401
     _is_pq_dtype, validate_ivf_combination,
 )
@@ -47,13 +47,6 @@ from smqtk_indexing_tpu.ops.kmeans import kmeans_assign, kmeans_lloyd
 from smqtk_indexing_tpu.utils.tracing import COUNTERS, trace_span
 
 LOG = logging.getLogger(__name__)
-
-
-def _pow2_at_least(x: int, lo: int = 1) -> int:
-    p = lo
-    while p < x:
-        p *= 2
-    return p
 
 
 class IvfNearestNeighborsIndex (NearestNeighborsIndex):

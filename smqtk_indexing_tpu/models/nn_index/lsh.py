@@ -45,6 +45,7 @@ from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
     NearestNeighborsIndex, NNResult,
 )
 from smqtk_indexing_tpu.models.hash_index.linear import LinearHashIndex
+from smqtk_indexing_tpu.ops.device import pow2_at_least as _pow2_at_least
 from smqtk_indexing_tpu.ops.metrics import candidate_distances
 from smqtk_indexing_tpu.utils.bits import (
     bit_matrix_to_ints, bit_vector_to_int_large, int_to_bit_vector_large,
@@ -79,13 +80,6 @@ def _rerank_batch(q: jnp.ndarray, cand: jnp.ndarray, valid: jnp.ndarray,
     d = jnp.where(valid, d, jnp.inf)
     order = jnp.argsort(d, axis=1)
     return jnp.take_along_axis(d, order, axis=1), order
-
-
-def _pow2_at_least(x: int, lo: int = 8) -> int:
-    p = lo
-    while p < x:
-        p *= 2
-    return p
 
 
 class LSHNearestNeighborIndex (NearestNeighborsIndex):
@@ -332,8 +326,12 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
             uids = list(uids)
             # Pre-check: all UIDs must exist (raises KeyError before any
             # mutation; MemoryDescriptorSet.get_many_descriptors checks
-            # before yielding).
-            elems = list(self.descriptor_set.get_many_descriptors(uids))
+            # before yielding). Re-pair by uuid — the zip with ``uids``
+            # below is positional and get_many_descriptors order is not
+            # guaranteed (same defense as models/nn_index/_results.py).
+            fetched = {e.uuid(): e for e in
+                       self.descriptor_set.get_many_descriptors(uids)}
+            elems = [fetched[u] for u in uids]
             codes, ints = self._hash_elements(elems)
 
             kv_update: Dict[int, Set[Hashable]] = {}
@@ -436,11 +434,17 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
                 ln[i] = len(members)
                 uids.extend(members)
                 pos += len(members)
-            elems = list(self.descriptor_set.get_many_descriptors(uids))
+            # Re-pair by uuid: the CSR off/len windows are positional
+            # over ``uids`` and get_many_descriptors order is not
+            # guaranteed (dedup/set-ordered DescriptorSet backends) —
+            # same defense as models/nn_index/_results.py.
+            fetched = {e.uuid(): e for e in
+                       self.descriptor_set.get_many_descriptors(uids)}
+            elems = [fetched[u] for u in uids]
             n_rows = len(elems)
             d_dim = int(np.asarray(elems[0].vector()).shape[-1]) \
                 if n_rows else proj.shape[0]
-            n_pad = _pow2_at_least(max(n_rows, 1))
+            n_pad = _pow2_at_least(max(n_rows, 1), lo=8)
             mat = np.zeros((n_pad, d_dim), dtype=np.float32)
             if n_rows:
                 mat[:n_rows] = np.vstack([e.vector() for e in elems])
@@ -487,7 +491,10 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
             }
         st = self._fused
         n_codes = _pow2_at_least(min(n, st["n_codes_live"]), lo=1)
-        if b * n_codes * st["l_max"] > self._FUSED_SLOT_BUDGET:
+        # Budget against the PADDED batch the device program actually
+        # runs (_nn_many_fused pads b to a power of two, floor 8).
+        if _pow2_at_least(b, lo=8) * n_codes * st["l_max"] \
+                > self._FUSED_SLOT_BUDGET:
             return None
         return st
 
@@ -589,7 +596,7 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
         between them (reference flow lsh.py:452-518)."""
         from smqtk_indexing_tpu.ops.lsh_fused import lsh_fused_query
         b = q_mat.shape[0]
-        b_pad = _pow2_at_least(b)
+        b_pad = _pow2_at_least(b, lo=8)
         q_p = np.zeros((b_pad, q_mat.shape[1]), dtype=np.float32)
         q_p[:b] = q_mat
         n_sel = min(n, st["n_codes_live"])
@@ -661,7 +668,7 @@ class LSHNearestNeighborIndex (NearestNeighborsIndex):
                 .astype(np.float32)
 
         m = cand.shape[0]
-        m_pad = _pow2_at_least(m)
+        m_pad = _pow2_at_least(m, lo=8)
         pad = np.zeros((m_pad, cand.shape[1]), dtype=np.float32)
         pad[:m] = cand
         valid = np.zeros(m_pad, dtype=bool)

@@ -36,17 +36,11 @@ from smqtk_indexing_tpu.interfaces.nearest_neighbor_index import (
     NearestNeighborsIndex, NNResult,
 )
 from smqtk_indexing_tpu.ops.device import capacity_for, pad_dim, pad_rows_np
+from smqtk_indexing_tpu.ops.device import pow2_at_least as _pow2_at_least
 from smqtk_indexing_tpu.ops.mrpt import build_trees, mrpt_query, project_all
 from smqtk_indexing_tpu.utils.tracing import COUNTERS
 
 LOG = logging.getLogger(__name__)
-
-
-def _pow2_at_least(x: int, lo: int = 1) -> int:
-    p = lo
-    while p < x:
-        p *= 2
-    return p
 
 
 class MRPTNearestNeighborsIndex (NearestNeighborsIndex):

@@ -27,6 +27,22 @@ def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pow2_at_least(x: int, lo: int = 1) -> int:
+    """Smallest power of two >= ``x``, floored at ``lo`` (itself assumed a
+    power of two). The shape-rounding primitive every store uses to bound
+    jit-cache growth on batch/k/window dims.
+
+    >>> pow2_at_least(5)
+    8
+    >>> pow2_at_least(3, lo=8)
+    8
+    """
+    p = lo
+    while p < x:
+        p *= 2
+    return p
+
+
 def pad_dim(d: int) -> int:
     """Pad feature dim to a multiple of the TPU lane width (128).
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from smqtk_indexing_tpu.ops.device import capacity_for
+from smqtk_indexing_tpu.ops.device import pow2_at_least as _pow2_at_least
 from smqtk_indexing_tpu.utils import bits as bits_util
 
 #: Rows per streamed block (codes are narrow, so blocks can be large).
@@ -100,12 +101,6 @@ def hamming_topk(db: jnp.ndarray, valid: jnp.ndarray, q: jnp.ndarray, *,
     (best_d, best_r), _ = jax.lax.scan(body, init, (db_c, va_c, base_rows))
     return best_d, best_r
 
-
-def _pow2_at_least(x: int, lo: int = 1) -> int:
-    p = lo
-    while p < x:
-        p *= 2
-    return p
 
 
 class CodeStore:

@@ -114,10 +114,15 @@ def lsh_fused_query(db: jnp.ndarray, row_valid: jnp.ndarray,
         rows (B, k) int32 into the bucket-sorted layout, -1 pads).
     """
     q = q.astype(jnp.float32)
+    # Functor normalization applies to HASHING only (the reference functor
+    # normalizes inside get_hash, itq.py:389-408); the exact re-rank below
+    # must use the RAW query, matching the two-dispatch path's
+    # _rerank_batch(q_mat, ...) (models/nn_index/lsh.py).
+    qh = q
     if normalize is not None:
         nrm = jnp.linalg.norm(q, ord=normalize, axis=-1, keepdims=True)
-        q = q / jnp.where(nrm == 0, 1.0, nrm)
-    z = jnp.dot(q - mean[None, :], proj,
+        qh = q / jnp.where(nrm == 0, 1.0, nrm)
+    z = jnp.dot(qh - mean[None, :], proj,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
     h = z >= 0

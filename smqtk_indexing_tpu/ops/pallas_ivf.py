@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from smqtk_indexing_tpu.ops.device import pow2_at_least as _pow2_at_least_ivf
 from smqtk_indexing_tpu.ops.scan import _exact_selected
 
 #: Fixed per-probe DMA length (rows). Must be >= the layout's l_max; the
@@ -33,13 +34,6 @@ from smqtk_indexing_tpu.ops.scan import _exact_selected
 #: 2x the mean, so 512 covers balanced layouts; callers fall back to the
 #: XLA path when l_max exceeds this.
 L_MAX = 512
-
-def _pow2_at_least_ivf(x: int) -> int:
-    p = 1
-    while p < x:
-        p *= 2
-    return p
-
 
 #: MAX probes scored per grid step. Each step emits one (L_MAX, pps)
 #: score tile (probes on lanes) — a per-probe (L_MAX, 1) output column

@@ -23,6 +23,7 @@ import numpy as np
 
 from smqtk_indexing_tpu.ops import scan
 from smqtk_indexing_tpu.ops.device import capacity_for, pad_dim, pad_rows_np
+from smqtk_indexing_tpu.ops.device import pow2_at_least as _pow2_at_least
 
 #: Device storage codecs: float32 (exact), bfloat16 (half traffic, tiny
 #: recall cost), sq8 (int8 scalar quantization, 4x capacity — the
@@ -46,13 +47,6 @@ def _pq_rotate(dtype_name: str) -> bool:
     """True for the OPQ variants ('opq<M>')."""
     m = _PQ_RE.fullmatch(dtype_name)
     return bool(m and m.group(1))
-
-
-def _pow2_at_least(x: int, lo: int = 8) -> int:
-    p = lo
-    while p < x:
-        p *= 2
-    return p
 
 
 class VectorStore:

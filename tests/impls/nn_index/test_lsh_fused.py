@@ -57,6 +57,29 @@ class TestFusedParity:
             assert [e.uuid() for e in ef] == [e.uuid() for e in e2]
             np.testing.assert_allclose(df, d2, rtol=1e-5, atol=1e-6)
 
+    def test_normalized_functor_rerank_uses_raw_query(self, monkeypatch):
+        """Functor normalization applies to HASHING only (the reference
+        functor normalizes inside get_hash, itq.py:389-408; the query
+        re-rank uses raw vectors, lsh.py:507-518). Regression: the fused
+        program once reranked against the normalized query, so
+        self-queries stopped returning themselves."""
+        els = _elems(seed=5)
+        functor = ItqFunctor(bit_length=8, random_seed=0, normalize=2)
+        functor.fit(els)
+        idx = LSHNearestNeighborIndex(lsh_functor=functor)
+        idx.build_index(els)
+        assert idx._fused_ready(5, 8) is not None
+        res_f = _q(idx, els[:16])
+        assert idx._fused is not None
+        for i, (nbrs, dists) in enumerate(res_f):
+            assert nbrs[0].uuid() == i
+            assert dists[0] < 1e-3
+        monkeypatch.setenv("SMQTK_TPU_NO_LSH_FUSED", "1")
+        res_2 = _q(idx, els[:16])
+        for (ef, df), (e2, d2) in zip(res_f, res_2):
+            assert [e.uuid() for e in ef] == [e.uuid() for e in e2]
+            np.testing.assert_allclose(df, d2, rtol=1e-5, atol=1e-6)
+
     def test_single_query_nn_uses_fused(self):
         els = _elems()
         idx = _build(els)
