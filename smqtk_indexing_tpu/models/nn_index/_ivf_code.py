@@ -102,10 +102,14 @@ def upload_tiled(idx, sq8_codes: Optional[np.ndarray] = None,
         rot = pq_rot if pq_rot is not None else idx._code_rot
         codes = np.zeros((n_pad, m), dtype=np.uint8)
         codes[:n] = pq_codes if pq_codes is not None else idx._host
-        cb_sq = (cb.astype(np.float64) ** 2).sum(-1)
         s2 = np.zeros(n_pad, dtype=np.float64)
-        for mi in range(m):
-            s2 += cb_sq[mi][codes[:, mi]]
+        if idx.metric != "inner_product":
+            # IP kernel form needs NO row stats (score = -2<q, x_hat>)
+            # — skip the m full-length gather passes entirely; the
+            # +inf dead poison below still applies.
+            cb_sq = (cb.astype(np.float64) ** 2).sum(-1)
+            for mi in range(m):
+                s2 += cb_sq[mi][codes[:, mi]]
         if idx.pq_residual:
             # Residual codec: stats are the FULL reconstruction
             # norms ||c_T + r_hat||^2 = ||r_hat||^2 + 2<c_T, r_hat>
@@ -127,10 +131,6 @@ def upload_tiled(idx, sq8_codes: Optional[np.ndarray] = None,
                 cents_c.astype(np.float32))
             idx._row2list_dev = jnp.asarray(asg_pad)
         s2 = s2.astype(np.float32)
-        if idx.metric == "inner_product":
-            # IP kernel form: score = -2<q, x_hat> needs NO row
-            # stats — zero them (the +inf dead poison below stays).
-            s2[:] = 0.0
         s2[dead] = np.inf
         # uint8 codes bit-reinterpreted to int8 (Mosaic's proven
         # int8 DMA path; the kernel masks back with & 0xFF).
@@ -196,15 +196,18 @@ def upload_tiled(idx, sq8_codes: Optional[np.ndarray] = None,
         )
         vt, vc, vl, st = shard_tiled_layout(
             lens, n_pad, mesh.devices.size, c_count)
-        idx._dev3 = shard_rows(
-            mesh, jnp.asarray(np.ascontiguousarray(tiles)))
+        # Shard the big buffers straight from HOST numpy: device_put
+        # with a NamedSharding sends each device only its slice —
+        # wrapping in jnp.asarray first would commit the whole
+        # multi-GB tile buffer to ONE device before resharding
+        # (OOM at >1-chip corpus sizes, the tier's whole point).
+        idx._dev3 = shard_rows(mesh, np.ascontiguousarray(tiles))
         idx._s2t = shard_rows(
-            mesh, jnp.asarray(
-                s2.reshape(n_tiles, 1, TILE_ROWS)))
-        idx._v_tile = shard_rows(mesh, jnp.asarray(vt))
-        idx._v_col = shard_rows(mesh, jnp.asarray(vc))
-        idx._v_len = shard_rows(mesh, jnp.asarray(vl))
-        idx._slot_table = shard_rows(mesh, jnp.asarray(st))
+            mesh, s2.reshape(n_tiles, 1, TILE_ROWS))
+        idx._v_tile = shard_rows(mesh, vt)
+        idx._v_col = shard_rows(mesh, vc)
+        idx._v_len = shard_rows(mesh, vl)
+        idx._slot_table = shard_rows(mesh, st)
         if idx._row2list_dev is not None:
             # Residual PQ: the row -> original-list map is
             # row-aligned with the tiles — shard it the same way.
@@ -226,7 +229,10 @@ def upload_tiled(idx, sq8_codes: Optional[np.ndarray] = None,
         idx._dev_centroids = replicate(
             mesh, jnp.asarray(idx._centroids_np.astype(np.float32)))
         idx._capacity = n_pad
-        idx._n_virtual = int((vl > 0).sum())
+        # Same definition as the single-device path below: TOTAL slot
+        # count (incl. dead empty-list slots — budget semantics), here
+        # summed over the per-shard clipped tables.
+        idx._n_virtual = int(vl.size)
         idx._mesh = mesh
         return
     idx._dev3 = jnp.asarray(np.ascontiguousarray(tiles))
@@ -256,7 +262,6 @@ def query_tiled(idx, q_p, k_dev):
         # Sharded capacity tier: per-shard tiled DMA scan over
         # the clipped CSR views + hierarchical k-merge
         # (parallel/sharded_ivf_code.py).
-        import jax
         from smqtk_indexing_tpu.parallel.mesh import replicate
         from smqtk_indexing_tpu.parallel.sharded_ivf_code import (
             sharded_ivf_query_tiled, sharded_ivf_query_tiled_pq,

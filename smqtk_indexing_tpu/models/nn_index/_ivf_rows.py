@@ -268,7 +268,7 @@ def query_rows(idx, q_p, k_dev, nprobe, first_virt, nprobe_orig,
         dq = (idx._sq8_a, idx._sq8_b) \
             if idx.dtype == "sq8" else None
         dists, rows = ivf_query_dma(
-            idx._dev, idx._dev_sq, idx._dev_valid,
+            idx._dev, idx._dev_valid,
             idx._dev_centroids, idx._dev_offsets,
             idx._dev_lens, jnp.asarray(q_p), k=k_dev,
             n_probe=nprobe, first_virt=first_virt,

@@ -191,7 +191,7 @@ def ivf_list_scores(db: jnp.ndarray,
 @partial(jax.jit,
          static_argnames=("k", "n_probe", "interpret", "nprobe_orig",
                           "has_dead"))
-def ivf_query_dma(db: jnp.ndarray, db_sq: jnp.ndarray, valid: jnp.ndarray,
+def ivf_query_dma(db: jnp.ndarray, valid: jnp.ndarray,
                   centroids: jnp.ndarray, offsets: jnp.ndarray,
                   lens: jnp.ndarray, q: jnp.ndarray, *, k: int,
                   n_probe: int, interpret: bool = False, first_virt=None,
@@ -546,10 +546,6 @@ def ivf_query_dma_tiled(db3: jnp.ndarray, s2t: jnp.ndarray, a: jnp.ndarray,
         quantized vectors, rows (B, k) int32; +inf / -1 padding).
     """
     from smqtk_indexing_tpu.ops.ivf import probe_eligibility
-    from smqtk_indexing_tpu.ops.pallas_scan import (
-        SEG, seg_gather_tiled, topk_smallest,
-    )
-    from smqtk_indexing_tpu.ops.scan import exact_rerank_decoded
 
     n_tiles, d, tile_n = db3.shape
     b = q.shape[0]
@@ -586,6 +582,22 @@ def ivf_query_dma_tiled(db3: jnp.ndarray, s2t: jnp.ndarray, a: jnp.ndarray,
     return _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0,
                               lo, hi, k=k, n_probe=n_probe,
                               interpret=interpret, rerank=rerank)
+
+
+def _score_out(dists, top_rows, k):
+    """Score-mode finalization honoring the (B, k) return contract even
+    when the candidate budget caps the selection width below k (gather
+    mode pads through ops/scan.exact_rerank_decoded; this is its
+    score-mode counterpart): pad with +inf / -1."""
+    b, kk = dists.shape
+    d_out, r_out = dists[:, :k], top_rows[:, :k]
+    if kk < k:
+        pad = k - kk
+        d_out = jnp.concatenate(
+            [d_out, jnp.full((b, pad), jnp.inf, d_out.dtype)], axis=1)
+        r_out = jnp.concatenate(
+            [r_out, jnp.full((b, pad), -1, jnp.int32)], axis=1)
+    return d_out, r_out
 
 
 def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,
@@ -672,7 +684,7 @@ def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,
             else:
                 dists = jnp.sqrt(d2)
         dists = jnp.where(top_rows < 0, jnp.inf, dists)
-        return dists[:, :k], top_rows[:, :k]
+        return _score_out(dists, top_rows, k)
 
     # Exact re-rank: fetch each winner's 128-row segment through the DMA
     # gather, slice its column, dequantize, exact f32 distance.
@@ -909,7 +921,7 @@ def _tiled_scan_finish_pq(db3c, s2t, codebooks, q_c, lut, ti, c0, lo, hi,
             else:
                 dists = jnp.sqrt(d2)
         dists = jnp.where(top_rows < 0, jnp.inf, dists)
-        return dists[:, :k], top_rows[:, :k]
+        return _score_out(dists, top_rows, k)
 
     rows_c = jnp.maximum(top_rows, 0)
     seg_ids = rows_c // SEG
@@ -926,6 +938,39 @@ def _tiled_scan_finish_pq(db3c, s2t, codebooks, q_c, lut, ti, c0, lo, hi,
                          jnp.take(row2list, rows_c, axis=0), axis=0)
     return exact_rerank_decoded(x, q_c, q_norm, top_scores, top_rows,
                                 metric, k)
+
+
+def _expand_slots(slot_table, lists, v_tile, v_col, v_len, tile_n):
+    """Expand selected ORIGINAL lists into their sublist DMA windows via
+    the slot table (shared by the SQ8 and PQ table-form queries): returns
+    step-padded flattened (ti, c0, lo, hi) probe operands, the padded
+    budget ``n_probe``, ``s_max``, and the ``flat`` padder for extra
+    per-slot operands. Dead (-1) slots become zero-length windows whose
+    DMAs the kernel skips."""
+    b = lists.shape[0]
+    slots = slot_table[lists]                    # (B, n_orig, S_max)
+    s_max = slot_table.shape[1]
+    dead = slots < 0
+    slots_c = jnp.maximum(slots, 0)
+    ln = jnp.where(dead, 0, v_len[slots_c])
+    ti = jnp.where(dead, 0, v_tile[slots_c])
+    col = jnp.where(dead, 0, v_col[slots_c])
+    c0 = jnp.minimum((col // 128) * 128, tile_n - W_TILED)
+    lo = col - c0
+    hi = lo + ln
+    # Pad the flattened budget to the kernel's per-step tile.
+    p_raw = lists.shape[1] * s_max
+    n_probe = -(-p_raw // P_STEP_TILED) * P_STEP_TILED
+    pad = n_probe - p_raw
+
+    def flat(x, dtype=jnp.int32):
+        x = x.reshape(b, p_raw)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((b, pad), dtype)], axis=1)
+        return x
+
+    return flat(ti), flat(c0), flat(lo), flat(hi), n_probe, s_max, flat
 
 
 @partial(jax.jit, static_argnames=("k", "nprobe_orig", "interpret",
@@ -1010,26 +1055,8 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
         c_scores = c_sq[None, :] - 2.0 * ip_c
     _, lists = jax.lax.top_k(-c_scores, nprobe_orig)      # (B, n_orig)
 
-    slots = slot_table[lists]                    # (B, n_orig, S_max)
-    s_max = slot_table.shape[1]
-    dead = slots < 0
-    slots_c = jnp.maximum(slots, 0)
-    ln = jnp.where(dead, 0, v_len[slots_c])
-    ti = jnp.where(dead, 0, v_tile[slots_c])
-    col = jnp.where(dead, 0, v_col[slots_c])
-    c0 = jnp.minimum((col // 128) * 128, tile_n - W_TILED)
-    lo = col - c0
-    hi = lo + ln
-    p_raw = nprobe_orig * s_max
-    n_probe = -(-p_raw // P_STEP_TILED) * P_STEP_TILED
-    pad = n_probe - p_raw
-
-    def flat(x, dtype=jnp.int32):
-        x = x.reshape(b, p_raw)
-        if pad:
-            x = jnp.concatenate(
-                [x, jnp.zeros((b, pad), dtype)], axis=1)
-        return x
+    ti, c0, lo, hi, n_probe, s_max, flat = _expand_slots(
+        slot_table, lists, v_tile, v_col, v_len, tile_n)
 
     probe_off = None
     if res_cents is not None:
@@ -1040,7 +1067,7 @@ def ivf_query_dma_tiled_table_pq(db3c: jnp.ndarray, s2t: jnp.ndarray,
             off_orig[..., None], (b, nprobe_orig, s_max)), jnp.float32)
 
     return _tiled_scan_finish_pq(db3c, s2t, codebooks, q_c, lut,
-                                 flat(ti), flat(c0), flat(lo), flat(hi),
+                                 ti, c0, lo, hi,
                                  k=k, n_probe=n_probe,
                                  interpret=interpret, rerank=rerank,
                                  probe_off=probe_off,
@@ -1119,29 +1146,10 @@ def ivf_query_dma_tiled_table(db3: jnp.ndarray, s2t: jnp.ndarray,
         c_scores = c_sq[None, :] - 2.0 * ip_c
     _, lists = jax.lax.top_k(-c_scores, nprobe_orig)      # (B, n_orig)
 
-    slots = slot_table[lists]                    # (B, n_orig, S_max)
-    s_max = slot_table.shape[1]
-    dead = slots < 0
-    slots_c = jnp.maximum(slots, 0)
-    ln = jnp.where(dead, 0, v_len[slots_c])
-    ti = jnp.where(dead, 0, v_tile[slots_c])
-    col = jnp.where(dead, 0, v_col[slots_c])
-    c0 = jnp.minimum((col // 128) * 128, tile_n - W_TILED)
-    lo = col - c0
-    hi = lo + ln
-    # Pad the flattened budget to the kernel's per-step tile.
-    p_raw = nprobe_orig * s_max
-    n_probe = -(-p_raw // P_STEP_TILED) * P_STEP_TILED
-    pad = n_probe - p_raw
-
-    def flat(x):
-        x = x.reshape(b, p_raw)
-        if pad:
-            x = jnp.concatenate(
-                [x, jnp.zeros((b, pad), jnp.int32)], axis=1)
-        return x
+    ti, c0, lo, hi, n_probe, _, _ = _expand_slots(
+        slot_table, lists, v_tile, v_col, v_len, tile_n)
 
     return _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t,
-                              flat(ti), flat(c0), flat(lo), flat(hi),
+                              ti, c0, lo, hi,
                               k=k, n_probe=n_probe, interpret=interpret,
                               rerank=rerank, metric=metric)

@@ -83,7 +83,7 @@ def test_dma_kernel_faithful_nprobe1():
         [np.asarray(sq), (pad ** 2).sum(1).astype(np.float32)]))
     valid_p = jnp.asarray(np.concatenate(
         [np.ones(n, bool), np.zeros(L_MAX, bool)]))
-    dd, rr = ivf_query_dma(db_p, sq_p, valid_p, cents, offsets, lens, q,
+    dd, rr = ivf_query_dma(db_p, valid_p, cents, offsets, lens, q,
                            k=8, n_probe=4, interpret=True,
                            first_virt=first_virt, nprobe_orig=1)
     rows = np.asarray(rr)[0]

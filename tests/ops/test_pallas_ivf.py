@@ -38,7 +38,7 @@ def test_dma_matches_xla_kernel():
                          jnp.asarray(cents), jnp.asarray(offsets),
                          jnp.asarray(lens), jnp.asarray(q), k=k, nprobe=c,
                          l_max=int(lens.max()))
-    d_p, r_p = ivf_query_dma(jnp.asarray(db), jnp.asarray(sq),
+    d_p, r_p = ivf_query_dma(jnp.asarray(db),
                              jnp.asarray(valid), jnp.asarray(cents),
                              jnp.asarray(offsets), jnp.asarray(lens),
                              jnp.asarray(q), k=k, n_probe=c,
@@ -58,7 +58,7 @@ def test_dma_respects_valid_mask_and_end_clamp():
     q = np.vstack([db[7] + 0.001] + list(
         rng.normal(size=(b - 1, d)).astype(np.float32)))
 
-    d_p, r_p = ivf_query_dma(jnp.asarray(db), jnp.asarray(sq),
+    d_p, r_p = ivf_query_dma(jnp.asarray(db),
                              jnp.asarray(valid), jnp.asarray(cents),
                              jnp.asarray(offsets), jnp.asarray(lens),
                              jnp.asarray(q), k=4, n_probe=c,
@@ -78,7 +78,7 @@ def test_dma_bf16_database():
     q = rng.normal(size=(b, d)).astype(np.float32) * 3
     valid = np.ones(n, dtype=bool)
     db16 = jnp.asarray(db, dtype=jnp.bfloat16)
-    d_p, r_p = ivf_query_dma(db16, jnp.asarray(sq), jnp.asarray(valid),
+    d_p, r_p = ivf_query_dma(db16, jnp.asarray(valid),
                              jnp.asarray(cents), jnp.asarray(offsets),
                              jnp.asarray(lens), jnp.asarray(q), k=k,
                              n_probe=c, interpret=True)
@@ -112,7 +112,7 @@ def test_dma_sq8_codes():
                          jnp.asarray(cents), jnp.asarray(offsets),
                          jnp.asarray(lens), jnp.asarray(q), k=k, nprobe=c,
                          l_max=int(lens.max()), dq=(a_dev, b_dev))
-    d_p, r_p = ivf_query_dma(codes_dev, nrm * nrm, jnp.asarray(valid),
+    d_p, r_p = ivf_query_dma(codes_dev, jnp.asarray(valid),
                              jnp.asarray(cents), jnp.asarray(offsets),
                              jnp.asarray(lens), jnp.asarray(q), k=k,
                              n_probe=c, interpret=True,
@@ -155,7 +155,7 @@ def test_dma_sq8_faithful_nprobe_and_dead_rows():
                          jnp.asarray(cents), jnp.asarray(offsets),
                          jnp.asarray(lens), jnp.asarray(q), nprobe=c,
                          l_max=int(lens.max()), dq=(a_dev, b_dev), **kw)
-    d_p, r_p = ivf_query_dma(codes_dev, nrm * nrm, jnp.asarray(valid),
+    d_p, r_p = ivf_query_dma(codes_dev, jnp.asarray(valid),
                              jnp.asarray(cents), jnp.asarray(offsets),
                              jnp.asarray(lens), jnp.asarray(q),
                              n_probe=c, interpret=True,

@@ -213,3 +213,34 @@ def test_tiled_score_rerank_matches_gather():
         assert np.abs(d_s[bi].astype(np.float64) ** 2
                       - exact ** 2).max() <= tol2, bi
         assert list(d_s[bi]) == sorted(d_s[bi]), bi
+
+
+def test_tiled_score_mode_pads_to_k():
+    # The (B, k) return contract must hold in score mode even when k
+    # exceeds the probe budget's candidate width (gather mode pads via
+    # exact_rerank_decoded; regression: score mode once returned
+    # (B, kk) with kk = n_probe * W_TILED < k).
+    from smqtk_indexing_tpu.ops.pallas_ivf import (
+        build_slot_table, ivf_query_dma_tiled_table,
+    )
+    (db3, s2t, a, b, cents, v_tile, v_col, v_len, v_orig, first_virt,
+     dbq, assigns) = _chunked_layout(n_chunks=2, c_lists=16, seed=31)
+    rng = np.random.default_rng(9)
+    q = dbq[rng.integers(0, dbq.shape[0], 2)].astype(np.float32)
+    table = build_slot_table(v_orig, cents.shape[0])
+    s_max = table.shape[1]
+    budget = -(-1 * s_max // P_STEP_TILED) * P_STEP_TILED  # nprobe=1
+    k = budget * W_TILED + 40          # wider than every candidate slot
+    d_s, r_s = ivf_query_dma_tiled_table(
+        jnp.asarray(db3), jnp.asarray(s2t), jnp.asarray(a),
+        jnp.asarray(b), jnp.asarray(cents), jnp.asarray(table),
+        jnp.asarray(v_tile), jnp.asarray(v_col), jnp.asarray(v_len),
+        jnp.asarray(q), k=k, nprobe_orig=1, interpret=True,
+        rerank="score")
+    assert d_s.shape == (2, k) and r_s.shape == (2, k)
+    d_s, r_s = np.asarray(d_s), np.asarray(r_s)
+    assert np.isinf(d_s[:, -40:]).all()
+    assert (r_s[:, -40:] == -1).all()
+    # the real candidates lead the row, sorted ascending
+    lead = d_s[0][np.isfinite(d_s[0])]
+    assert (np.diff(lead) >= 0).all() and lead.size > 0
