@@ -161,11 +161,19 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
             raise ValueError(
                 "storage must be 'device' (HBM-resident) or "
                 f"'host_stream' (>HBM tier), got {storage!r}")
-        from smqtk_indexing_tpu.ops.store import _pq_rotate
+        from smqtk_indexing_tpu.ops.store import _pq_m, _pq_rotate
         if _pq_rotate(dtype) and metric == "hik":
             raise ValueError(
                 "metric 'hik' is not supported with OPQ dtypes "
                 "(min() is rotation-variant); use 'pq<M>'")
+        if metric not in ("euclidean", "inner_product", "cosine", "hik") \
+                and (dtype == "sq8" or _pq_m(dtype) is not None):
+            # Fail at construction, not at the first query after an
+            # expensive build (the compressed scans serve the matmul-form
+            # metrics + hik only; ops/sq8.SQ8_METRICS, ops/pq.PQ_METRICS).
+            raise ValueError(
+                f"metric {metric!r} is not supported with compressed "
+                f"dtype {dtype!r}; use float32/bfloat16")
         self.descriptor_set = descriptor_set if descriptor_set is not None \
             else MemoryDescriptorSet()
         self.index_element = index_element
@@ -266,6 +274,14 @@ class FlatNearestNeighborsIndex (NearestNeighborsIndex):
             LOG.warning(
                 "Loaded index was built with metric %r; instance configured "
                 "with %r.", header.get("metric"), self.metric)
+        if header.get("dtype") != self.dtype:
+            # Symmetric to the metric warning: the payload carries raw
+            # floats, so loading re-encodes with THIS instance's codec —
+            # distances and memory footprint change silently otherwise.
+            LOG.warning(
+                "Loaded index was built with dtype %r; instance configured "
+                "with %r (rows re-encode with the configured codec).",
+                header.get("dtype"), self.dtype)
         self._sync_kvs()
 
     # ------------------------------------------------------------------

@@ -11,13 +11,14 @@ kernel keeps everything on-chip:
   VPU:         per-128-row segment minima + a running top-S merge held in
                VMEM scratch across grid steps.
 
-Output is the per-query top-S (segment minima, segment ids) — S = 2k —
-from which the caller gathers only S*128 rows per query and exact-re-ranks
+Output is the per-query top-S (segment minima, segment ids) — S =
+min(max(k + 8, 16), n/SEG) in flat_topk_fused (k + 16 in sq8_topk) — from
+which the caller gathers only S*128 rows per query and exact-re-ranks
 (stage 2, plain XLA). Exactness of the segment pre-selection: every row of
 the true top-k has score <= theta (the kth best), so its segment's minimum
 is <= theta; at most k distinct segment minima can be <= theta (each
-minimum is itself a score), so the top-2k segments by minimum contain every
-true top-k row with slack for ties.
+minimum is itself a score), so the top-(k + margin) segments by minimum
+contain every true top-k row with slack for ties.
 
 Used automatically by ops/scan-level callers on TPU via ``flat_topk_fused``;
 falls back to interpret mode off-TPU (tests).

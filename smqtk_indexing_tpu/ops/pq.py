@@ -135,7 +135,7 @@ def pq_codec_dim(d_pad: int, m: int) -> int:
 
 def pq_build_store(host: np.ndarray, valid_mask: np.ndarray,
                    capacity: int, d_pad: int, m: int,
-                   rotate: bool = False, seed: int = 0):
+                   rotate: bool = False, seed: int = 0, codec=None):
     """
     The one shared PQ store build (used by both the flat VectorStore and
     the IVF CSR store so codec details cannot diverge): round-robin dim
@@ -159,17 +159,23 @@ def pq_build_store(host: np.ndarray, valid_mask: np.ndarray,
         raise ValueError(
             f"PQ{m}: more subquantizers than dims ({host.shape[1]}).")
     d_codec = pq_codec_dim(d_pad, m)
-    perm = np.argsort(np.arange(d_codec) % m,
-                      kind="stable").astype(np.int32)
     n = host.shape[0]
-    live = host[valid_mask] if not valid_mask.all() else host
-    live_p = pad_rows_np(live, live.shape[0], d_codec)
-    rot = None
-    if rotate:
-        from smqtk_indexing_tpu.ops.opq import opq_train
-        rot, cb = opq_train(live_p[:, perm], m, seed=seed)
+    if codec is not None:
+        # Train-once contract (FAISS quantizer semantics): capacity
+        # growth and compaction re-uploads reuse the build-time
+        # (perm, rot, codebooks) so existing rows keep their distances.
+        perm, rot, cb = codec
     else:
-        cb = pq_train(live_p[:, perm], m)
+        perm = np.argsort(np.arange(d_codec) % m,
+                          kind="stable").astype(np.int32)
+        live = host[valid_mask] if not valid_mask.all() else host
+        live_p = pad_rows_np(live, live.shape[0], d_codec)
+        rot = None
+        if rotate:
+            from smqtk_indexing_tpu.ops.opq import opq_train
+            rot, cb = opq_train(live_p[:, perm], m, seed=seed)
+        else:
+            cb = pq_train(live_p[:, perm], m)
     codes = np.zeros((capacity, m), dtype=np.uint8)
     rows_c = pad_rows_np(host, n, d_codec)[:, perm]
     codes[:n] = pq_encode_np(

@@ -77,7 +77,7 @@ def sq8_decode(codes: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray
 
 
 def sq8_build_store(host: np.ndarray, valid_mask: np.ndarray,
-                    capacity: int, d_pad: int, dim: int):
+                    capacity: int, d_pad: int, dim: int, codec=None):
     """
     The one shared SQ8 store build (flat VectorStore and the IVF CSR
     store both call it so codec details cannot diverge): per-dim codec
@@ -89,8 +89,14 @@ def sq8_build_store(host: np.ndarray, valid_mask: np.ndarray,
         int8, s2 (capacity,), nrm (capacity,)).
     """
     n = host.shape[0]
-    live = host[valid_mask] if not valid_mask.all() else host
-    a, b = sq8_train(live)
+    if codec is not None:
+        # Train-once contract (FAISS scalar quantizer): capacity growth
+        # and compaction re-uploads reuse the build-time codec so
+        # already-indexed rows keep their distances.
+        a, b = codec
+    else:
+        live = host[valid_mask] if not valid_mask.all() else host
+        a, b = sq8_train(live)
     a_p = np.full(d_pad, 1e-12, dtype=np.float32)
     b_p = np.zeros(d_pad, dtype=np.float32)
     a_p[:dim] = a

@@ -180,7 +180,12 @@ class VectorStore:
     # ------------------------------------------------------------------
     def build(self, mat: np.ndarray, uids: Sequence[Hashable]) -> None:
         """Replace all contents with the given (n, d) matrix and UIDs."""
+        src = mat
         mat = np.ascontiguousarray(np.atleast_2d(mat), dtype=np.float32)
+        if isinstance(src, np.ndarray) and np.shares_memory(mat, src):
+            # The host mirror is the persistence/compaction source of
+            # truth — never alias caller-owned memory.
+            mat = mat.copy()
         if mat.shape[0] != len(uids):
             raise ValueError("Row count does not match UID count.")
         if len(set(uids)) != len(uids):
@@ -210,6 +215,8 @@ class VectorStore:
             if mat.shape[1] != self._dim:
                 raise ValueError(
                     f"Dim mismatch: store={self._dim}, input={mat.shape[1]}")
+            if len(set(uids)) != len(uids):
+                raise ValueError("Duplicate UIDs in add input.")
             for u in uids:
                 if u in self._uid2row:
                     raise ValueError(f"UID already present: {u!r}")
@@ -276,10 +283,13 @@ class VectorStore:
         valid[:n] = self._valid_host
         if self._dtype_name == "sq8":
             from smqtk_indexing_tpu.ops import sq8
+            codec = None if self._sq8_a is None else (
+                np.asarray(self._sq8_a)[:self._dim],
+                np.asarray(self._sq8_b)[:self._dim])
             (self._sq8_a, self._sq8_b, self._dev, self._dev_sq,
              self._dev_norm) = sq8.sq8_build_store(
                 self._host, self._valid_host, self._capacity, d_pad,
-                self._dim)
+                self._dim, codec=codec)
             self._dev_valid = jnp.asarray(valid)
             self._dev_t = None
             if self._mesh is not None:
@@ -292,10 +302,12 @@ class VectorStore:
         pq_m = _pq_m(self._dtype_name)
         if pq_m is not None:
             from smqtk_indexing_tpu.ops import pq
+            codec = None if self._pq_cb is None else (
+                self._pq_perm, self._pq_rot, self._pq_cb)
             (self._pq_perm, self._pq_rot, self._pq_cb, self._pq_cb_dev,
              self._dev, self._dev_sq) = pq.pq_build_store(
                 self._host, self._valid_host, self._capacity, d_pad,
-                pq_m, rotate=_pq_rotate(self._dtype_name))
+                pq_m, rotate=_pq_rotate(self._dtype_name), codec=codec)
             self._dev_norm = jnp.sqrt(jnp.maximum(self._dev_sq, 0.0))
             self._dev_valid = jnp.asarray(valid)
             self._dev_t = None
@@ -412,7 +424,12 @@ class VectorStore:
             sq8_a, sq8_b = self._sq8_a, self._sq8_b
             pq_cb_dev, pq_perm = self._pq_cb_dev, self._pq_perm
             pq_rot = self._pq_rot
-            row2uid = list(self._row2uid)
+            # Borrow, don't copy: the list only ever grows in place
+            # (append under the lock) and compaction REPLACES the
+            # object, so this reference stays index-consistent with the
+            # device arrays snapshotted above — an O(N) copy per query
+            # batch costs ~10ms at 1M rows on this host.
+            row2uid = self._row2uid
             n_live = self._n_live
             cap = self._capacity
             d = self._dim
@@ -439,7 +456,8 @@ class VectorStore:
                         norm = jnp.where(self._dev_norm == 0, 1.0,
                                          self._dev_norm)
                         self._dev_t = jnp.asarray(
-                            (self._dev / norm[:, None]).T)
+                            (self._dev / norm[:, None])
+                            .astype(self._dev.dtype).T)
                     else:
                         self._dev_t = jnp.asarray(self._dev.T)
                     self._dev_t_metric = mirror_kind
@@ -527,7 +545,10 @@ class VectorStore:
                 k=k_dev, metric=metric)
         dists = np.asarray(dists)[:b, :k_eff]
         rows = np.asarray(rows)[:b, :k_eff]
-        uid_lists = [[row2uid[r] for r in row] for row in rows]
+        # r >= 0 guard: -1 padding must fail soft (skip), not resolve to
+        # the last row via Python negative indexing (k_eff = min(k,
+        # n_live) keeps padding out today; match the streamed sibling).
+        uid_lists = [[row2uid[r] for r in row if r >= 0] for row in rows]
         return dists, uid_lists, rows
 
     # ------------------------------------------------------------------
@@ -621,7 +642,7 @@ class HostStreamedVectorStore (VectorStore):
             # array), never mutated in place, so the reference is safe —
             # and copying it here could be tens of GB.
             valid_host = self._valid_host.copy()
-            row2uid = list(self._row2uid)
+            row2uid = self._row2uid   # borrow (see base knn)
             n_live = self._n_live
             d = self._dim
 
