@@ -129,7 +129,12 @@ def upload_tiled(idx, sq8_codes: Optional[np.ndarray] = None,
                 s2 += 2.0 * ipc[asg_pad, mi, codes[:, mi]]
             idx._cents_codec_dev = jnp.asarray(
                 cents_c.astype(np.float32))
-            idx._row2list_dev = jnp.asarray(asg_pad)
+            # Keep the (n_pad,) row->list map on HOST here: the mesh
+            # branch below shards it straight from numpy (a
+            # jnp.asarray now would commit the whole map to ONE
+            # device first — ~1.6GB at the 400M tier, the same
+            # single-device-commit failure the tile buffers avoid).
+            idx._row2list_dev = asg_pad
         s2 = s2.astype(np.float32)
         s2[dead] = np.inf
         # uint8 codes bit-reinterpreted to int8 (Mosaic's proven
@@ -237,6 +242,11 @@ def upload_tiled(idx, sq8_codes: Optional[np.ndarray] = None,
         return
     idx._dev3 = jnp.asarray(np.ascontiguousarray(tiles))
     idx._s2t = jnp.asarray(s2.reshape(n_tiles, 1, TILE_ROWS))
+    if idx._row2list_dev is not None:
+        # Residual PQ: the row->list map stayed host numpy above so
+        # the mesh branch could shard it without a single-device
+        # commit; single-device serving wants it resident here.
+        idx._row2list_dev = jnp.asarray(idx._row2list_dev)
     v_tile, v_col, v_len, v_orig, _ = build_tiled_csr(
         lens[None, :], np.zeros(1, dtype=np.int64))
     table = build_slot_table(v_orig, c_count)

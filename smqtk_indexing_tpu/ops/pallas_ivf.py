@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from smqtk_indexing_tpu.ops.device import pow2_at_least as _pow2_at_least_ivf
-from smqtk_indexing_tpu.ops.scan import _exact_selected
+from smqtk_indexing_tpu.ops.scan import _exact_selected, pad_to_k
 
 #: Fixed per-probe DMA length (rows). Must be >= the layout's l_max; the
 #: IVF list balancer (models/nn_index/ivf.py) bounds list lengths near
@@ -584,20 +584,10 @@ def ivf_query_dma_tiled(db3: jnp.ndarray, s2t: jnp.ndarray, a: jnp.ndarray,
                               interpret=interpret, rerank=rerank)
 
 
-def _score_out(dists, top_rows, k):
-    """Score-mode finalization honoring the (B, k) return contract even
-    when the candidate budget caps the selection width below k (gather
-    mode pads through ops/scan.exact_rerank_decoded; this is its
-    score-mode counterpart): pad with +inf / -1."""
-    b, kk = dists.shape
-    d_out, r_out = dists[:, :k], top_rows[:, :k]
-    if kk < k:
-        pad = k - kk
-        d_out = jnp.concatenate(
-            [d_out, jnp.full((b, pad), jnp.inf, d_out.dtype)], axis=1)
-        r_out = jnp.concatenate(
-            [r_out, jnp.full((b, pad), -1, jnp.int32)], axis=1)
-    return d_out, r_out
+# Score-mode finalization = the shared (B, k) +inf/-1 padding contract
+# (gather mode pads through ops/scan.exact_rerank_decoded, which uses
+# the same helper).
+_score_out = pad_to_k
 
 
 def _tiled_scan_finish(db3, s2t, a, b_codec, q, q_norm, t, ti, c0, lo, hi,

@@ -212,14 +212,24 @@ def exact_rerank_decoded(x: jnp.ndarray, q: jnp.ndarray,
     out_d = -neg
     out_rows = jnp.take_along_axis(best_r, sel, axis=1)
     out_rows = jnp.where(jnp.isinf(out_d), -1, out_rows)
-    if k_out < k:
-        b = x.shape[0]
-        pad = k - k_out
-        out_d = jnp.concatenate(
-            [out_d, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1)
-        out_rows = jnp.concatenate(
-            [out_rows, jnp.full((b, pad), -1, jnp.int32)], axis=1)
-    return out_d, out_rows
+    return pad_to_k(out_d, out_rows, k)
+
+
+def pad_to_k(dists: jnp.ndarray, rows: jnp.ndarray, k: int):
+    """Honor the (B, k) return contract when a candidate budget caps the
+    selection width below k: truncate to k and pad with +inf / -1. The
+    ONE implementation of this epilogue — the tiled score-mode finisher
+    (ops/pallas_ivf) and the sharded per-shard merges
+    (parallel/sharded_ivf_code) share it."""
+    b, kk = dists.shape
+    d_out, r_out = dists[:, :k], rows[:, :k]
+    if kk < k:
+        pad = k - kk
+        d_out = jnp.concatenate(
+            [d_out, jnp.full((b, pad), jnp.inf, d_out.dtype)], axis=1)
+        r_out = jnp.concatenate(
+            [r_out, jnp.full((b, pad), -1, jnp.int32)], axis=1)
+    return d_out, r_out
 
 
 def _exact_selected(metric: str, db: jnp.ndarray, q: jnp.ndarray,

@@ -31,6 +31,7 @@ import numpy as np
 
 from jax.sharding import Mesh, PartitionSpec as P
 
+from smqtk_indexing_tpu.ops.scan import pad_to_k
 from smqtk_indexing_tpu.parallel.mesh import row_axes
 from smqtk_indexing_tpu.parallel.sharded_scan import (
     _global_shard_index, _hier_merge,
@@ -88,14 +89,6 @@ def shard_tiled_layout(lens: np.ndarray, n_rows_pad: int, n_shards: int,
     return vt, vc, vl, st
 
 
-def _pad_to_k(d, r, k: int, b: int):
-    k_loc = d.shape[1]
-    if k_loc < k:
-        d = jnp.concatenate(
-            [d, jnp.full((b, k - k_loc), jnp.inf, jnp.float32)], axis=1)
-        r = jnp.concatenate(
-            [r, jnp.full((b, k - k_loc), -1, jnp.int32)], axis=1)
-    return d, r
 
 
 @partial(jax.jit, static_argnames=("k", "nprobe_orig", "interpret",
@@ -128,7 +121,7 @@ def sharded_ivf_query_tiled(mesh: Mesh, db3, s2t, a, b_codec, centroids,
             db3_l, s2_l, a_l, b_l, c, st_l[0], vt_l[0], vc_l[0], vl_l[0],
             q_l, k=k_loc, nprobe_orig=nprobe_orig, interpret=interpret,
             rerank=rerank, metric=metric)
-        d, r = _pad_to_k(d, r, k, q_l.shape[0])
+        d, r = pad_to_k(d, r, k)
         offset = _global_shard_index(mesh) * n_local
         r = jnp.where(r >= 0, r + offset, r)
         return _hier_merge(mesh, d, r, k)
@@ -185,7 +178,7 @@ def sharded_ivf_query_tiled_pq(mesh: Mesh, db3c, s2t, codebooks, perm,
             vl_l[0], q_l, k=k_loc, nprobe_orig=nprobe_orig,
             interpret=interpret, rerank=rerank,
             res_cents=rc_l, row2list=r2l_l, metric=metric)
-        d, r = _pad_to_k(d, r, k, q_l.shape[0])
+        d, r = pad_to_k(d, r, k)
         offset = _global_shard_index(mesh) * n_local
         r = jnp.where(r >= 0, r + offset, r)
         return _hier_merge(mesh, d, r, k)

@@ -43,9 +43,42 @@ class TestBookkeeping:
         d, uids, rows = st.knn(_mat(2, seed=3), 4)
         assert len(uids) == 2 and len(uids[0]) == 4
         st.add(_mat(4, seed=5), [100, 101, 102, 103])
-        st.remove(list(range(28)))      # triggers compaction
+        st.remove(list(range(28)))
         d2, uids2, _ = st.knn(st.vector(100)[None, :], 1)
         assert uids2[0][0] == 100 and d2[0][0] < 1e-5
+
+    def test_row2uid_borrow_invariant_across_add_and_compaction(self):
+        # The borrow contract knn relies on (store.py "Borrow, don't
+        # copy"): a reference taken under the lock (what a mid-flight
+        # query batch holds while off the lock) must stay
+        # index-consistent with the device snapshot it was taken with.
+        # add() may only APPEND to the same object (existing indices
+        # stable); compaction must REPLACE the object (the borrow keeps
+        # the pre-compaction mapping). Compaction only fires when the
+        # store is over 1024 rows and under half live — drive that leg
+        # for real.
+        n = 1500
+        st = VectorStore()
+        st.build(_mat(n), list(range(n)))
+        borrowed = st._row2uid
+        snapshot = list(borrowed)
+
+        # add leg: same object, prefix untouched, suffix appended
+        st.add(_mat(3, seed=7), [9000, 9001, 9002])
+        assert st._row2uid is borrowed
+        assert borrowed[:n] == snapshot
+        assert borrowed[n:] == [9000, 9001, 9002]
+
+        # compaction leg: 1503 rows -> 503 live (< half, > 1024 total)
+        st.remove(list(range(1000)))
+        assert st.n_valid == 503
+        assert st._row2uid is not borrowed, \
+            "compaction must replace the row->uid list, not mutate it"
+        # the borrow still resolves pre-compaction rows
+        assert borrowed[:n] == snapshot and len(borrowed) == n + 3
+        # and the store's fresh mapping is correct post-compaction
+        d, uids, _ = st.knn(st.vector(9002)[None, :], 1)
+        assert uids[0][0] == 9002 and d[0][0] < 1e-5
 
 
 class TestCodecStability:
