@@ -260,3 +260,32 @@ def test_seg_gather_prefetch_matches_barrier_and_numpy(monkeypatch):
                 oracle[qi, si] = db3[t, :, c0:c0 + SEG]
         assert np.array_equal(got, ref)
         assert np.array_equal(got, oracle)
+
+
+def test_pad_to_k_contract():
+    # ops/scan.pad_to_k is the ONE (B, k) epilogue shared by the tiled
+    # score-mode finisher, exact_rerank_decoded, and both sharded
+    # per-shard merges — pin both legs: truncate when the candidate
+    # width exceeds k, +inf/-1 pad when a budget capped it below k.
+    from smqtk_indexing_tpu.ops.scan import pad_to_k
+
+    d = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4))
+    r = jnp.asarray(np.arange(12, dtype=np.int32).reshape(3, 4))
+
+    # truncate leg: kk=4 > k=2
+    dt, rt = pad_to_k(d, r, 2)
+    assert dt.shape == (3, 2) and rt.shape == (3, 2)
+    assert np.array_equal(np.asarray(dt), np.asarray(d)[:, :2])
+    assert np.array_equal(np.asarray(rt), np.asarray(r)[:, :2])
+
+    # pad leg: kk=4 < k=7 -> +inf dists, -1 rows, dtype preserved
+    dp, rp = pad_to_k(d.astype(jnp.bfloat16), r, 7)
+    assert dp.shape == (3, 7) and rp.shape == (3, 7)
+    assert dp.dtype == jnp.bfloat16 and rp.dtype == jnp.int32
+    assert np.all(np.isinf(np.asarray(dp, dtype=np.float32)[:, 4:]))
+    assert np.all(np.asarray(rp)[:, 4:] == -1)
+
+    # identity leg: kk == k returns the same content
+    di, ri = pad_to_k(d, r, 4)
+    assert np.array_equal(np.asarray(di), np.asarray(d))
+    assert np.array_equal(np.asarray(ri), np.asarray(r))
